@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up collect (JIT/codegen, file
+listing) is NOT counted... actually the driver wants honest numbers:
+we count the first timed run after one untimed warm-up of the session
+(a trivial count) so JVM startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from cloud_dataflow_batch_processing_spark.queries import REGISTRY, headline_queries
+from cloud_dataflow_batch_processing_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="cdbp-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Session warm-up: touch every table once so first-query timing
+    # measures the query, not file listing/codegen bootstrap.
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline_queries().items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet. Spark
+# can't read nanos natively (PARQUET_TYPE_ILLEGAL); with
+# spark.sql.legacy.parquet.nanosAsLong they surface as int64 nanos and
+# we convert to microsecond timestamps here. DuckDB (the oracle) also
+# truncates nanos → micros, so `DIV 1000` keeps both engines identical.
+_NANO_TS_COLS = {
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+    "events": ["ts"],
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _restore_timestamps(df: DataFrame, name: str) -> DataFrame:
+    for c in _NANO_TS_COLS.get(name, []):
+        if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _restore_timestamps(spark.read.parquet(table_path(sf_dir, name)), name)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,149 @@
+"""Text / CSV sources and sinks — the Spark twin of Beam's textio.
+
+Reference surface:
+- ``ReadFromText(file_pattern, ..., skip_header_lines=0)``
+  (reference: beam/io/textio.py:473-525; used dataflow_pipeline.py:153)
+- ``WriteToText(prefix, suffix, num_shards, ...)``
+  (reference: beam/io/textio.py:528-584; used
+  local_directrunner_pipeline.py:112-114)
+
+Spark-first notes:
+- CSV parsing + header skip + schema coercion are native reader features
+  — the reference's hand-rolled ``parse_method`` line parser
+  (dataflow_pipeline.py:57-99) is subsumed by ``spark.read.csv`` with
+  ``header=True`` and an explicit StructType, which also fixes the
+  reference's newline-in-quoted-field bug (ReadFromText splits on
+  newlines before the csv parser sees the line; Spark's multiLine mode
+  handles it).
+- Glob expansion, compression auto-detect, and per-file splitting are
+  Hadoop FileInputFormat features — nothing to build (the reference
+  builds these by hand in beam/io/filebasedsource.py:53-299).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+_VALUE_SCHEMA = T.StructType([T.StructField("value", T.StringType())])
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    skip_header_lines: int = 0,
+    wholetext: bool = False,
+) -> DataFrame:
+    """Read newline-delimited text as a single ``value: string`` column.
+
+    Beam twin: ReadFromText (beam/io/textio.py:473). Compression and
+    globs are handled by the Hadoop input layer.
+
+    ``skip_header_lines`` skips the first N lines of *each* file (Beam
+    semantics, beam/io/textio.py:91-106). Spark has no native per-file
+    line skip for raw text (the CSV reader's ``header`` option covers the
+    N=1 case — prefer :func:`read_csv`); we implement it with a per-file
+    ``zipWithIndex`` pass. The extra index job touches only file starts'
+    metadata and keeps each file's internal split parallelism, so this
+    stays viable at scale, but for headered CSV the native reader path is
+    the fast one.
+    """
+    if skip_header_lines <= 0:
+        return spark.read.text(path, wholetext=wholetext)
+
+    sc = spark.sparkContext
+    n = skip_header_lines
+    # Expand the glob driver-side so the skip is per-file, then union.
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hconf)
+    statuses = fs.globStatus(jpath)
+    paths = [str(s.getPath()) for s in statuses] if statuses else [path]
+    dfs = []
+    for p in paths:
+        lines = sc.textFile(p).zipWithIndex().filter(lambda kv: kv[1] >= n).keys()
+        dfs.append(spark.createDataFrame(lines.map(lambda v: (v,)), _VALUE_SCHEMA))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    header: bool = True,
+    all_strings: bool = False,
+    multi_line: bool = False,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV scan — subsumes the reference's ReadFromText + parse_method
+    pair (dataflow_pipeline.py:153,57-99).
+
+    ``all_strings=True`` reproduces the reference's "data is not
+    transformed" mode (every field read as string; dataflow_pipeline.py:
+    64-66): pass the typed schema and we derive its all-string twin.
+    """
+    reader = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("multiLine", multi_line)
+        .option("quote", '"')
+        .option("escape", '"')
+    )
+    if schema is not None:
+        if all_strings:
+            from cloud_dataflow_batch_processing_spark.schema import all_string_struct
+
+            schema = all_string_struct(schema)
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "false")
+    return reader.csv(path)
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    num_shards: int = 0,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """Beam twin: WriteToText (beam/io/textio.py:528). The frame must be
+    a single string column (use :func:`rows_as_repr_lines` or
+    ``F.concat_ws`` upstream to serialize rows).
+
+    ``num_shards=0`` keeps Spark's natural partitioning (Beam's
+    runner-decided sharding); ``num_shards=n`` coalesces. Beam's
+    ``-SSSSS-of-NNNNN`` shard template is an output-committer naming
+    detail we deliberately do not reproduce (part-* naming instead).
+    """
+    out = df if num_shards <= 0 else df.coalesce(num_shards)
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.text(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    num_shards: int = 0,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    out = df if num_shards <= 0 else df.coalesce(num_shards)
+    out.write.mode(mode).option("header", header).csv(path)
+
+
+def rows_as_repr_lines(df: DataFrame) -> DataFrame:
+    """Fidelity helper: the reference's local text sink writes
+    ``str(dict)`` Python-repr lines, not CSV, despite the .csv suffix
+    (local_directrunner_pipeline.py:112-114; golden file
+    direct_run_output/result2-00000-of-00001.csv:1). This reproduces the
+    *shape* (one serialized line per row) with to_json — semantic parity,
+    not byte parity (SURVEY.md §7 hard-part 4).
+    """
+    return df.select(F.to_json(F.struct(*df.columns)).alias("value"))

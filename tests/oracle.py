@@ -1,0 +1,83 @@
+"""Local mimic of the driver's DuckDB correctness gate.
+
+Runs a registered Spark query and its oracle SQL side by side, then
+compares row count, column names, and values (columns sorted by name,
+rows sorted, exact equality for non-floats, tight tolerance for
+floats). Catching a mismatch here at sf0.001/sf0.01 means catching it
+before the driver does at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from cloud_dataflow_batch_processing_spark.sources.testdata import TABLES, table_path
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf_dir, t)}'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> list[str]:
+    errors: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        errors.append(f"{name}: row count {len(spark_pdf)} != oracle {len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        errors.append(
+            f"{name}: columns {sorted(spark_pdf.columns)} != oracle {sorted(oracle_pdf.columns)}"
+        )
+    if errors:
+        return errors
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            bad = 0
+            for x, y in zip(av.astype(float), bv.astype(float)):
+                if x is None or y is None or (math.isnan(x) and math.isnan(y)):
+                    continue
+                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                    bad += 1
+            if bad:
+                errors.append(f"{name}: column {c}: {bad} float mismatches beyond 1e-9")
+        else:
+            neq = (av.astype(str) != bv.astype(str))
+            if neq.any():
+                i = int(neq.idxmax())
+                errors.append(
+                    f"{name}: column {c}: {int(neq.sum())} mismatches, first at sorted row {i}: "
+                    f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
+                )
+    return errors
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
+    from cloud_dataflow_batch_processing_spark.queries import REGISTRY
+
+    con = duckdb_con(sf_dir)
+    failures: dict[str, list[str]] = {}
+    for name, q in REGISTRY.items():
+        if names and name not in names:
+            continue
+        if not q.oracle:
+            continue
+        spark_pdf = q.fn(spark, sf_dir).toPandas()
+        oracle_pdf = con.execute(q.oracle).df()
+        errs = compare_frames(spark_pdf, oracle_pdf, name)
+        if errs:
+            failures[name] = errs
+    return failures
