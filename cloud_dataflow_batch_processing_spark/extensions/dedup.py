@@ -1,0 +1,370 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard
+(SURVEY.md §2.3 / BASELINE.json north-star: LLM-data-pipeline dedup).
+
+Engine-neutral design: all hashing is rolling-polynomial arithmetic mod
+1e9+7 (functions/text.py) instead of murmur3/xxhash64, so every stage —
+token hashes, shingles, MinHash signatures, LSH bands, SimHash bits —
+can be emitted as equivalent DuckDB SQL (the ``*_sql`` twins) and
+verified by the driver's oracle. The cost vs native hash functions is a
+few extra codegen ops per token; the benefit is a *provably correct*
+dedup pipeline.
+
+Scale posture (100 TB):
+- Signature computation is per-row, no shuffle, whole-stage codegen.
+- The LSH candidate join shuffles on (band_id, band_hash) — collision
+  groups, not the cross product. Skewed mega-buckets (e.g. boilerplate
+  docs) are handled by AQE skew-join splitting; a hard cap per bucket
+  (``max_bucket_size``) guards against adversarial skew.
+- Exact-verify (Jaccard on shingle-hash sets) touches only candidate
+  pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from cloud_dataflow_batch_processing_spark.functions.text import (
+    HASH_MOD as M,
+    HASH_MULT,
+    rolling_hash,
+    rolling_hash_sql,
+    tokens,
+    tokens_sql,
+)
+
+# MinHash configuration: 16 hashes = 4 bands x 4 rows. Seeds are fixed
+# small odd/prime-ish constants so both engines compute identically.
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+SHINGLE_K = 3
+
+
+def _seed_a(j: int) -> int:
+    return 2 * j + 3
+
+
+def _seed_b(j: int) -> int:
+    return 7919 * j + 13
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: one survivor (min id) per distinct key, with the
+    duplicate count. A single hash-aggregate shuffle on the content key
+    — ``dropDuplicates`` keeps an arbitrary row; this keeps a
+    deterministic one."""
+    return df.groupBy(*cols).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles and MinHash signatures (Spark Column builders)
+# ---------------------------------------------------------------------------
+
+
+def token_hashes(col: str) -> Column:
+    """Rolling hash of each whitespace token."""
+    return F.transform(tokens(col), lambda t: rolling_hash(t))
+
+
+def shingles_from_token_hashes(th: Column, k: int = SHINGLE_K) -> Column:
+    """Shingle hashes from an *already-computed* token-hash array column.
+
+    Staging matters: higher-order-function lambdas are interpreted (not
+    whole-stage codegen), and Spark does not CSE a repeated expression
+    subtree across output columns — so every consumer must reference a
+    materialized column, not re-embed the char-fold tree. See
+    ``minhash_near_dup_pairs`` for the staged plan."""
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for off in range(1, k):
+            acc = (acc * HASH_MULT + F.element_at(th, i + off)) % M
+        return acc
+
+    return F.when(
+        F.size(th) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(th) - k + 1), combine),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+
+def shingle_hashes(col: str, k: int = SHINGLE_K) -> Column:
+    """Hashes of k-token shingles, combined as
+    ``((h1*31 + h2) % M * 31 + h3) % M`` — order-sensitive, engine-neutral.
+    Convenience single-expression form; for multi-consumer plans use the
+    staged ``shingles_from_token_hashes``."""
+    return shingles_from_token_hashes(token_hashes(col), k)
+
+
+def minhash_from_shingles(sh: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """MinHash lanes from an already-computed shingle-hash column:
+    ``min over shingles of (a_j*s + b_j) % M``; empty shingle set →
+    sentinel M (matches COALESCE in the oracle)."""
+    return [
+        F.coalesce(
+            F.array_min(F.transform(sh, lambda s: (s * _seed_a(j) + _seed_b(j)) % M)),
+            F.lit(M),
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+
+
+def minhash_signature(col: str, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """Single-expression MinHash lanes (each lane re-embeds the shingle
+    tree — fine for a few lanes; use the staged form for all 16)."""
+    return minhash_from_shingles(shingle_hashes(col), num_hashes)
+
+
+def band_hash(sig_cols: list[Column | str], band: int) -> Column:
+    """Fold one band's signature rows into a single bucket key."""
+    vals = [
+        F.col(c) if isinstance(c, str) else c
+        for c in sig_cols[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+    ]
+    acc: Column = vals[0]
+    for v in vals[1:]:
+        acc = (acc * HASH_MULT + v) % M
+    return acc
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline:
+
+    shingle → 16 minhashes → 4 band buckets → self-join per bucket →
+    exact shingle-set Jaccard verify ≥ threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, rounded to 4.
+    ``max_bucket_size`` drops degenerate buckets (all-identical
+    boilerplate) before the join — at 100 TB a single mega-bucket would
+    otherwise produce a quadratic pair blowup.
+    """
+    # Staged plan — each expensive array is computed once per row:
+    #   stage 1: char-fold token hashes   (the dominant cost)
+    #   stage 2: shingle combination
+    #   stage 3: 16 minhash lanes + distinct shingle set
+    # then cache: the band explosion, bucket sizing, and the pair join
+    # all reuse the signature frame instead of recomputing it 6x.
+    th_df = df.select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
+    sh_df = th_df.select(
+        "__id", shingles_from_token_hashes(F.col("__th")).alias("__shl")
+    )
+    base = sh_df.select(
+        "__id",
+        F.array_distinct("__shl").alias("__sh"),
+        *minhash_from_shingles(F.col("__shl")),
+    ).cache()
+    sig_cols = [f"mh{j}" for j in range(NUM_HASHES)]
+    bands = None
+    for b in range(NUM_BANDS):
+        part = base.select(
+            "__id", "__sh", F.lit(b).alias("band_id"), band_hash(sig_cols, b).alias("bh")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    # Guard degenerate buckets before the pair join.
+    sizes = bands.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("__n"))
+    bands = bands.join(
+        sizes.filter(F.col("__n") <= max_bucket_size).drop("__n"),
+        on=["band_id", "bh"],
+        how="inner",
+    )
+
+    a, b_ = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__sh").alias("sh_a"),
+            F.col("b.__sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.filter("sh_a", lambda x: F.array_contains("sh_b", x)))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 4)
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_from_token_hashes(th: Column) -> Column:
+    """32-bit SimHash from an already-computed token-hash column: bit b
+    is the majority of token-hash bits at position b. Reference the
+    staged ``th`` column — this expression reads it ~65 times and Spark
+    does not CSE repeated subtrees."""
+    n = F.size(th)
+
+    def bit_contrib(b: int) -> Column:
+        ones = F.size(F.filter(th, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1))
+        return F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    total = bit_contrib(0)
+    for b in range(1, SIMHASH_BITS):
+        total = total + bit_contrib(b)
+    return total
+
+
+def simhash(col: str) -> Column:
+    """Single-expression SimHash — only for small slices; staged plans
+    must select ``token_hashes`` into a column first."""
+    return simhash_from_token_hashes(token_hashes(col))
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Popcount of XOR — for simhash near-dup thresholds."""
+    ac = F.col(a) if isinstance(a, str) else a
+    bc = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ac.bitwiseXOR(bc))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup: band the 32 bits into (max_hamming+1) chunks —
+    by pigeonhole, any pair within the Hamming radius shares at least
+    one exact chunk — join per chunk, verify true distance."""
+    chunks = max_hamming + 1
+    width = SIMHASH_BITS // chunks
+    base = (
+        df.select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
+        .select("__id", simhash_from_token_hashes(F.col("__th")).alias("__sim"))
+        .cache()
+    )
+    bands = None
+    for c in range(chunks):
+        mask = ((1 << width) - 1) << (c * width)
+        part = base.select(
+            "__id",
+            "__sim",
+            F.lit(c).alias("chunk_id"),
+            F.col("__sim").bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            hamming_distance(F.col("a.__sim"), F.col("b.__sim")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (oracle generation)
+# ---------------------------------------------------------------------------
+
+
+def token_hashes_sql(col: str) -> str:
+    inner = rolling_hash_sql("t")
+    return f"list_transform({tokens_sql(col)}, t -> {inner})"
+
+
+def shingle_hashes_sql(col: str, k: int = SHINGLE_K) -> str:
+    th = f"th"  # expects a CTE exposing th
+    expr = f"{th}[i]"
+    for off in range(1, k):
+        expr = f"(({expr}) * {HASH_MULT} + {th}[i + {off}]) % {M}"
+    return (
+        f"CASE WHEN len({th}) >= {k} THEN "
+        f"list_transform(range(1, len({th}) - {k} + 2), i -> {expr}) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )
+
+
+def minhash_signature_sql() -> str:
+    """Signature as a BIGINT[16] list expression over a CTE column ``sh``."""
+    mins = ", ".join(
+        f"COALESCE(list_min(list_transform(sh, s -> (s * {_seed_a(j)} + {_seed_b(j)}) % {M})), {M})"
+        for j in range(NUM_HASHES)
+    )
+    return f"[{mins}]"
+
+
+def band_hash_sql(band: int) -> str:
+    """Band bucket key over a CTE column ``sig`` (1-based list)."""
+    idx = [band * ROWS_PER_BAND + r + 1 for r in range(ROWS_PER_BAND)]
+    acc = f"sig[{idx[0]}]"
+    for i in idx[1:]:
+        acc = f"(({acc}) * {HASH_MULT} + sig[{i}]) % {M}"
+    return acc
+
+
+def minhash_pipeline_sql(threshold: float = 0.8, source: str = "documents") -> str:
+    """The full oracle: identical pipeline in DuckDB SQL."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_id, {band_hash_sql(b)} AS bh FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH th_t AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source}
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({shingle_hashes_sql('text')}) AS sh FROM th_t
+    ),
+    sig AS (
+      SELECT doc_id, sh, {minhash_signature_sql()} AS sig FROM sh_t
+    ),
+    bands AS ({band_rows}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+                   / (len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x)))),
+                   4) AS jaccard
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def simhash_sql(col: str) -> str:
+    """SimHash twin over a CTE column ``th`` (token hash list)."""
+    return (
+        f"list_sum(list_transform(range(0, {SIMHASH_BITS}), b -> "
+        f"CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th) "
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+    )

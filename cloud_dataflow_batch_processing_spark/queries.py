@@ -473,13 +473,30 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Submodule registries (imported at the end so `register` exists; the
+# circular import is intentional and safe — only `register`/`REGISTRY`
+# are needed by the submodules and both are bound above).
+def _load_submodule_registries() -> None:
+    from cloud_dataflow_batch_processing_spark import queries_text  # noqa: F401
+
+    try:
+        from cloud_dataflow_batch_processing_spark import queries_dedup  # noqa: F401
+        from cloud_dataflow_batch_processing_spark import queries_similarity  # noqa: F401
+        from cloud_dataflow_batch_processing_spark import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_submodule_registries()
     return {name: q.fn for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_submodule_registries()
     return {name: q.oracle.strip() for name, q in REGISTRY.items() if q.oracle}
 
 
 def headline_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_submodule_registries()
     return {name: q.fn for name, q in REGISTRY.items() if q.headline}

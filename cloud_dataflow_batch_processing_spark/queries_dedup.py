@@ -1,0 +1,120 @@
+"""Dedup query registrations: exact, MinHash-LSH, SimHash, n-gram
+Jaccard — every stage oracle-checked thanks to engine-neutral hashing
+(extensions/dedup.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+from cloud_dataflow_batch_processing_spark.queries import register
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic survivor (min doc_id) per distinct
+    text — one hash-aggregate shuffle."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.exact_dedup(d, ["text"], "doc_id")
+
+
+@register(
+    "dedup_minhash_signature",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents WHERE doc_id < 100
+    ),
+    sh_t AS (
+      SELECT doc_id, {D.shingle_hashes_sql('text')} AS sh FROM th_t
+    )
+    SELECT doc_id, {D.minhash_signature_sql()}[1] AS mh0,
+           {D.minhash_signature_sql()}[2] AS mh1,
+           {D.minhash_signature_sql()}[8] AS mh7
+    FROM (SELECT doc_id, sh FROM sh_t) s
+    """,
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature values (spot-checking 3 of 16 hash lanes
+    against the oracle; all 16 drive the pairs query below)."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    staged = d.select("doc_id", D.token_hashes("text").alias("__th")).select(
+        "doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl")
+    )
+    sig = D.minhash_from_shingles(F.col("__shl"))
+    return staged.select("doc_id", sig[0], sig[1], sig[7])
+
+
+@register(
+    "dedup_minhash_pairs",
+    oracle=D.minhash_pipeline_sql(threshold=0.8),
+    headline=True,
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-duplicate detection: shingles → 16-lane
+    signature → 4 LSH bands → bucket self-join → exact Jaccard ≥ 0.8.
+    The driver's planted near-dup docs (shingle-Jaccard ≈ 0.99) surface
+    here; the oracle recomputes the identical pipeline in SQL."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id, {D.simhash_sql('text')} AS simhash FROM th_t
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (majority vote over token-hash bits)."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    return d.select("doc_id", D.token_hashes("text").alias("__th")).select(
+        "doc_id", D.simhash_from_token_hashes(F.col("__th")).alias("simhash")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents WHERE doc_id < 40
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({D.shingle_hashes_sql('text')}) AS sh FROM th_t
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x)))),
+                 4) AS jaccard
+    FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise n-gram (3-token shingle) Jaccard on a small doc
+    slice — the brute-force ground truth MinHash approximates."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 40)
+    sh = (
+        d.select("doc_id", D.token_hashes("text").alias("__th"))
+        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select(F.col("doc_id"), F.array_distinct("__shl").alias("sh"))
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.filter(F.col("a.sh"), lambda x: F.array_contains(F.col("b.sh"), x)))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+    )

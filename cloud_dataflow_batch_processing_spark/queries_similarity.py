@@ -1,0 +1,66 @@
+"""Similarity-search query registrations: brute-force cosine top-k
+(exact baseline), LSH bucket assignment, and LSH-pruned near-pair
+retrieval — all oracle-checked via engine-neutral FP-ordered math
+(extensions/similarity.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions import similarity as S
+from cloud_dataflow_batch_processing_spark.queries import register
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+
+@register(
+    "ann_brute_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, ROUND({S.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    headline=True,
+)
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 against the vec_id=0 query vector: per-row
+    codegen score + TakeOrderedAndProject (no corpus shuffle)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_topk(emb, list(qv), 10)
+
+
+@register(
+    "ann_lsh_buckets",
+    oracle=f"""
+    SELECT {S.lsh_signature_sql('embedding')} AS bucket, COUNT(*) AS n
+    FROM embeddings GROUP BY bucket
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram — verifies the signature
+    computation (the heart of the ANN scale path) bit-for-bit."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.groupBy(S.lsh_signature("embedding").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "ann_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket
+      FROM embeddings WHERE vec_id < 200
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({S.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.2
+    """,
+)
+def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned near-pair retrieval: exact cosine evaluated only
+    within hyperplane buckets (the candidate set), threshold 0.2."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 200)
+    return S.lsh_bucketed_pairs(emb, min_cosine=0.2)

@@ -1,0 +1,131 @@
+"""Windowed-aggregation query registrations over the ``events`` table.
+
+These run the *batch* path of the streaming window helpers (identical
+semantics: F.window/session_window work on batch frames), which makes
+them DuckDB-oracle-checkable. The genuinely-streaming execution (rate
+source, watermark, availableNow trigger, foreachBatch) is exercised in
+tests/test_streaming.py — per the driver contract, non-SQL-expressible
+streaming gets the weaker rows-only check.
+
+Oracle notes:
+- Spark tumbling windows align to the epoch; DuckDB time_bucket aligns
+  to 2000-01-01 for day-multiples but epoch-aligned for sub-day
+  intervals — both hour-aligned here.
+- Session windows are reproduced in SQL with the classic
+  gaps-and-islands (lag + cumulative sum) construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.queries import register, _dec
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+from cloud_dataflow_batch_processing_spark.streaming.windows import session, sliding, tumbling
+
+
+@register(
+    "window_tumbling",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) AS w_start,
+           CAST(epoch(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR) AS BIGINT) AS w_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    headline=True,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FixedWindows (beam/transforms/window.py:318): 1-hour tumbling
+    count+sum per event_type."""
+    e = load_tables(spark, sf_dir)["events"]
+    return tumbling(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "window_sliding",
+    oracle="""
+    WITH g AS (
+      SELECT unnest(range(
+               time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+               time_bucket(INTERVAL 30 MINUTE, ts) + INTERVAL 1 MINUTE,
+               INTERVAL 30 MINUTE)) AS w_start_ts,
+             *
+      FROM events
+    )
+    SELECT CAST(epoch(w_start_ts) AS BIGINT) AS w_start,
+           CAST(epoch(w_start_ts + INTERVAL 1 HOUR) AS BIGINT) AS w_end,
+           COUNT(*) AS n
+    FROM g
+    WHERE ts >= w_start_ts AND ts < w_start_ts + INTERVAL 1 HOUR
+    GROUP BY 1, 2
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingWindows (beam/transforms/window.py:370): 1-hour windows
+    every 30 minutes (each event in 2 windows). The oracle reproduces
+    Spark's duplicate-assignment by generating both candidate window
+    starts per event."""
+    e = load_tables(spark, sf_dir)["events"]
+    return sliding(e, "ts", "1 hour", "30 minutes", [], F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "window_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 50
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS w_start,
+           CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) // 1000000 AS BIGINT) AS w_end,
+           COUNT(*) AS n
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions(gap=30m) (beam/transforms/window.py:429) per user —
+    session_window natively; the oracle uses gaps-and-islands SQL.
+    Session end = last event + gap (both engines' definition)."""
+    e = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 50)
+    s = session(e, "ts", "30 minutes", ["user_id"], F.count(F.lit(1)).alias("n"))
+    return s
+
+
+@register(
+    "window_global",
+    oracle="""
+    SELECT COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    """,
+)
+def window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GlobalWindows (beam/transforms/window.py:287) + CombineGlobally:
+    whole-stream aggregate as a 1-row frame."""
+    e = load_tables(spark, sf_dir)["events"]
+    return e.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )

@@ -66,7 +66,9 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
 
 
 def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, list[str]]:
-    from cloud_dataflow_batch_processing_spark.queries import REGISTRY
+    from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
+
+    queries()  # populate submodule registries
 
     con = duckdb_con(sf_dir)
     failures: dict[str, list[str]] = {}

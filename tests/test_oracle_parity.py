@@ -7,8 +7,10 @@ from __future__ import annotations
 
 import pytest
 
-from cloud_dataflow_batch_processing_spark.queries import REGISTRY
+from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
 from tests.oracle import run_parity
+
+queries()  # populate submodule registries before parametrize collection
 
 
 @pytest.mark.parametrize("name", [n for n, q in REGISTRY.items() if q.oracle])

@@ -1,0 +1,144 @@
+"""Genuinely-streaming execution tests (SURVEY.md §5 item 3): the same
+window helpers driven through Structured Streaming with a file source,
+watermark = 0 (Beam 2.5 parity: allowed_lateness hardcoded 0,
+beam/transforms/core.py:1571), availableNow trigger, memory sink."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.streaming.windows import (
+    session,
+    tumbling,
+    with_watermark,
+)
+
+
+@pytest.fixture()
+def stream_events(spark, tmp_path):
+    """A small deterministic event stream written as JSON files, read
+    back with readStream (file source = replayable unbounded source)."""
+    rows = [
+        # (ts, user, value) — two users, two 1-hour buckets
+        ("2024-01-01 00:05:00", 1, 10.0),
+        ("2024-01-01 00:15:00", 1, 5.0),
+        ("2024-01-01 00:55:00", 2, 1.0),
+        ("2024-01-01 01:05:00", 1, 2.0),
+        ("2024-01-01 01:40:00", 2, 3.0),
+    ]
+    batch = spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+    )
+    path = str(tmp_path / "events_json")
+    batch.coalesce(1).write.mode("overwrite").json(path)
+    return spark.readStream.schema("ts timestamp, user_id long, value double").json(path)
+
+
+def _run_to_memory(sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    return q
+
+
+def test_streaming_tumbling(spark, stream_events):
+    sdf = tumbling(
+        with_watermark(stream_events, "ts"),
+        "ts",
+        "1 hour",
+        ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("sum_value"),
+    )
+    _run_to_memory(sdf, "t_tumbling")
+    got = {
+        (r.w_start, r.user_id): (r.n, r.sum_value)
+        for r in spark.sql("select * from t_tumbling").collect()
+    }
+    h0 = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got[(h0, 1)] == (2, 15.0)
+    assert got[(h0, 2)] == (1, 1.0)
+    assert got[(h0 + 3600, 1)] == (1, 2.0)
+    assert got[(h0 + 3600, 2)] == (1, 3.0)
+
+
+def test_streaming_session(spark, stream_events):
+    sdf = session(
+        with_watermark(stream_events, "ts"),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        F.count(F.lit(1)).alias("n"),
+    )
+    _run_to_memory(sdf, "t_session")
+    rows = spark.sql("select * from t_session").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.w_start, r.w_end, r.n))
+    # user 1: events at 00:05 and 00:15 merge (gap 10m < 30m); 01:05 separate
+    assert sorted(by_user[1]) == [
+        (1704067500, 1704069900, 2),  # 00:05 → 00:45 (00:15 + 30m)
+        (1704071100, 1704072900, 1),  # 01:05 → 01:35
+    ]
+    # user 2: 00:55 and 01:40 are 45m apart → two sessions
+    assert len(by_user[2]) == 2
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """With watermark delay 0 and append mode, a row older than the
+    watermark is dropped — Beam 2.5's allowed_lateness=0 semantics.
+    Driven as two micro-batches via two availableNow runs over a
+    growing file directory with checkpointing."""
+    path = str(tmp_path / "late_json")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out_parquet")
+    schema = "ts timestamp, user_id long, value double"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").json(path)
+
+    def run_once():
+        sdf = spark.readStream.schema(schema).json(path)
+        agg = tumbling(
+            with_watermark(sdf, "ts"),
+            "ts",
+            "1 hour",
+            [],
+            F.count(F.lit(1)).alias("n"),
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Batch 1 advances the watermark to 03:00.
+    write_batch([("2024-01-01 03:00:00", 1, 1.0)])
+    run_once()
+    # Batch 2: one in-order row and one 3-hours-late row (00:10 < wm).
+    write_batch([("2024-01-01 03:30:00", 1, 1.0), ("2024-01-01 00:10:00", 9, 9.0)])
+    run_once()
+    # Batch 3: advance watermark far so the 03:00 window finalizes.
+    write_batch([("2024-01-01 06:00:00", 1, 1.0)])
+    run_once()
+
+    got = {r.w_start: r.n for r in spark.read.parquet(out).collect()}
+    h3 = 1704078000  # 03:00 UTC
+    # The 03:00 window must contain ONLY the two on-time rows; the late
+    # 00:10 row must not have produced a 00:00 window.
+    assert got.get(h3) == 2
+    assert 1704067200 not in got, "late row leaked past the watermark"
