@@ -1,0 +1,55 @@
+"""CLI entry point — the reference's ``run(argv)`` twin (P11,
+dataflow_pipeline.py:102-148 / local_directrunner_pipeline.py:75-103).
+
+Same argument surface (--input CSV, --output table) plus the Spark-side
+knobs that replace PipelineOptions. The BigQuery table argument works
+against the real connector when present, else the local parquet
+warehouse (sources/bigquery.py).
+
+    python -m cloud_dataflow_batch_processing_spark.cli \
+        --input /path/AB_NYC_2019.csv --output dataset.table \
+        --schema resources/schema.json --key neighbourhood \
+        --value calculated_host_listings_count
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from cloud_dataflow_batch_processing_spark.schema import bq_schema_file_to_struct
+from cloud_dataflow_batch_processing_spark.session import get_spark
+from cloud_dataflow_batch_processing_spark.workload import run_reference_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="input CSV path (local/hdfs/s3a/gs)")
+    p.add_argument("--output", required=True, help="output table as dataset.table")
+    p.add_argument("--schema", required=True, help="BigQuery JSON schema file")
+    p.add_argument("--key", default="neighbourhood", help="group-by column")
+    p.add_argument(
+        "--value", default="calculated_host_listings_count", help="summed column"
+    )
+    p.add_argument("--warehouse", default=None, help="local warehouse dir (fallback sink)")
+    p.add_argument("--master", default=None, help="Spark master (default local[$SPARK_GRAFT_CPUS])")
+    return p
+
+
+def run(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="cdbp-reference-pipeline", master=args.master)
+    st = bq_schema_file_to_struct(args.schema)
+    raw, transformed = run_reference_pipeline(
+        spark,
+        args.input,
+        args.output,
+        schema=st,
+        warehouse=args.warehouse,
+        key=args.key,
+        value=args.value,
+    )
+    print(f"raw rows written: {raw.count()}; groups written: {transformed.count()}")
+
+
+if __name__ == "__main__":
+    run()

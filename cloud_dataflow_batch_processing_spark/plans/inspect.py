@@ -1,0 +1,75 @@
+"""Plan inspection and scale-posture assertions.
+
+The reference's optimizer work (combiner lifting, fusion, GBK
+expansion — SURVEY.md §4) is all Catalyst-built-in; what's left for us
+is *verifying* the plans are the ones we want at 100 TB:
+
+- filters pushed to the parquet scan (``PushedFilters``)
+- column pruning reaching the scan (``ReadSchema``)
+- small dims broadcast, no accidental cartesian products
+- shuffle count = what the query semantically needs
+
+These run in tests (tests/test_plans.py) so a regression in plan shape
+fails CI, not the cluster bill.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _simple_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().simpleString()
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Every fragment must appear inside a PushedFilters[...] clause of
+    the physical scan (predicate pushdown reached parquet)."""
+    plan = executed_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    missing = [f for f in fragments if f not in pushed]
+    assert not missing, f"filters not pushed: {missing}\nPushedFilters found: {pushed}"
+
+
+def assert_read_schema_pruned(df: DataFrame, table_hint: str, max_cols: int) -> None:
+    """The scan's ReadSchema must carry at most max_cols columns —
+    column pruning reached the file source."""
+    plan = executed_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, f"no ReadSchema found in plan:\n{plan}"
+    for s in schemas:
+        ncols = len([c for c in s.split(",") if ":" in c])
+        assert ncols <= max_cols, (
+            f"scan reads {ncols} cols (> {max_cols}) for {table_hint}: struct<{s}>"
+        )
+
+
+def assert_broadcast_join(df: DataFrame, expect: int = 1) -> None:
+    plan = executed_plan(df)
+    n = plan.count("BroadcastHashJoin")
+    assert n >= expect, f"expected ≥{expect} BroadcastHashJoin, found {n}:\n{plan[:2000]}"
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        f"cartesian/nested-loop join in plan:\n{plan[:2000]}"
+    )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Number of exchange operators in the executed plan (AQE may later
+    coalesce them, but each is a full shuffle write)."""
+    return executed_plan(df).count("Exchange")

@@ -479,12 +479,10 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _load_submodule_registries() -> None:
     from cloud_dataflow_batch_processing_spark import queries_text  # noqa: F401
 
-    try:
-        from cloud_dataflow_batch_processing_spark import queries_dedup  # noqa: F401
-        from cloud_dataflow_batch_processing_spark import queries_similarity  # noqa: F401
-        from cloud_dataflow_batch_processing_spark import queries_streaming  # noqa: F401
-    except ImportError:
-        pass
+    from cloud_dataflow_batch_processing_spark import queries_dedup  # noqa: F401
+    from cloud_dataflow_batch_processing_spark import queries_more  # noqa: F401
+    from cloud_dataflow_batch_processing_spark import queries_similarity  # noqa: F401
+    from cloud_dataflow_batch_processing_spark import queries_streaming  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

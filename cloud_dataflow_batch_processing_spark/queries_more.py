@@ -1,0 +1,212 @@
+"""Second-wave operator queries: set ops, global combines, per-key
+samples, join-shape variety — the SURVEY.md §2.2 rows not yet covered
+by queries.py. (Set ops and sort are capability *supersets*: the
+reference lacks them entirely — SURVEY.md §2.2 'notably absent' — so
+Catalyst provides them at zero custom cost.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.queries import _dec, register
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+
+@register(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flatten + RemoveDuplicates = UNION DISTINCT
+    (beam/transforms/core.py:1666 + util.py:189)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .union(t["supplier"].select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+@register(
+    "intersect_except",
+    oracle="""
+    SELECT nationkey, 'both' AS which FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       INTERSECT
+       SELECT s_nationkey AS nationkey FROM supplier)
+    UNION ALL
+    SELECT nationkey, 'customer_only' AS which FROM
+      (SELECT c_nationkey AS nationkey FROM customer
+       EXCEPT
+       SELECT s_nationkey AS nationkey FROM supplier)
+    """,
+)
+def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — absent from Beam 2.5 (SURVEY.md §2.2 set
+    ops); native Catalyst left-semi/anti aggregates here."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select(F.col("c_nationkey").alias("nationkey"))
+    s = t["supplier"].select(F.col("s_nationkey").alias("nationkey"))
+    return (
+        c.intersect(s).withColumn("which", F.lit("both"))
+        .unionByName(c.subtract(s).withColumn("which", F.lit("customer_only")))
+    )
+
+
+@register(
+    "combine_globally",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty,
+           COUNT(DISTINCT l_suppkey) AS n_supp
+    FROM lineitem
+    """,
+)
+def combine_globally_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombineGlobally + TupleCombineFn lockstep combiners
+    (beam/transforms/core.py:1054; combiners.py:448): one global agg,
+    map-side partials, 1-row output."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.min("l_quantity").cast("double").alias("min_qty"),
+        F.max("l_quantity").cast("double").alias("max_qty"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "sample_per_key_deterministic",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey FROM (
+      SELECT o_orderpriority, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
+      FROM orders) t WHERE rn <= 5
+    """,
+)
+def sample_per_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample.FixedSizePerKey's oracle-checkable stand-in (combiners.py:
+    391): bounded per-key selection via window rank (the random-key
+    variant is unit-tested; cross-engine RNG can't hash-match)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    from cloud_dataflow_batch_processing_spark.operators import top_largest_per_key
+
+    return top_largest_per_key(
+        o.select("o_orderpriority", "o_orderkey"),
+        "o_orderpriority",
+        5,
+        F.asc("o_orderkey"),
+    )
+
+
+@register(
+    "multi_table_join_chain",
+    oracle="""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_lineitems,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+    headline=True,
+)
+def multi_table_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star join (TPC-H Q5 shape): fact-to-fact shuffle join +
+    broadcast dims, filter pushed to the orders scan. The reference can
+    only express this as chained CoGroupByKeys (SURVEY.md §2.2 joins) —
+    Catalyst plans it with join reordering + broadcasts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "window_rank_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order
+    FROM orders WHERE o_custkey < 100
+    """,
+)
+def window_rank_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions (rank/lag) — absent from Beam 2.5
+    (SURVEY.md §2.2 'notably absent'), free via Catalyst Window exec."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_custkey") < 100)
+    w_rank = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w_rank).alias("price_rank"),
+        F.lag("o_orderkey").over(w_lag).alias("prev_order"),
+    )
+
+
+@register(
+    "grouping_sets_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+           COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets — another reference-absent capability
+    (SURVEY.md §2.2), single-pass Expand+Aggregate in Spark."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+        )
+    )
+
+
+@register(
+    "approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific by nature; rows-only check
+)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the approximate-aggregate class
+    the reference lacks. No oracle: sketch estimates are engine-
+    specific; the unit test pins the error envelope instead."""
+    t = load_tables(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    )

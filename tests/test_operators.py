@@ -1,0 +1,150 @@
+"""Operator unit tests in the Beam assert_that idiom
+(SURVEY.md §5: beam/testing/util.py patterns)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cloud_dataflow_batch_processing_spark import operators as ops
+from cloud_dataflow_batch_processing_spark.operators.combiners import (
+    CombineFn,
+    combine_per_key_udaf,
+)
+from cloud_dataflow_batch_processing_spark.operators.pardo import DoFn, par_do
+from cloud_dataflow_batch_processing_spark.sources.create import create
+from cloud_dataflow_batch_processing_spark.testing import assert_that, equal_to, is_empty
+
+
+@pytest.fixture()
+def kv(spark):
+    return create(
+        spark,
+        [("a", 1), ("a", 3), ("b", 2), ("c", 5), ("a", 2)],
+        schema=["key", "value"],
+    )
+
+
+def test_group_by_key(spark, kv):
+    out = ops.group_by_key(kv, "key", "value")
+    assert_that(out, equal_to([("a", [1, 2, 3]), ("b", [2]), ("c", [5])]))
+
+
+def test_cogroup_by_key_empty_sides(spark, kv):
+    right = create(spark, [("a", 10), ("d", 40)], schema=["key", "value"])
+    out = ops.cogroup_by_key(kv, right, "key", "value", "value")
+    assert_that(
+        out,
+        equal_to(
+            [
+                ("a", [1, 2, 3], [10]),
+                ("b", [2], []),
+                ("c", [5], []),
+                ("d", [], [40]),  # empty-list semantics, util.py:87-90
+            ]
+        ),
+    )
+
+
+def test_partition_routes_all_rows(spark, kv):
+    parts = ops.partition_by(kv, F.col("value") % 2, 2)
+    assert_that(parts[0], equal_to([("a", 2), ("b", 2)]))
+    assert_that(parts[1], equal_to([("a", 1), ("a", 3), ("c", 5)]))
+
+
+def test_flatten_keys_values_kvswap(spark, kv):
+    doubled = ops.flatten(kv, kv)
+    assert doubled.count() == 10
+    assert_that(ops.keys(kv).distinct(), equal_to([("a",), ("b",), ("c",)]))
+    assert_that(
+        ops.kv_swap(kv).filter("value = 'b'"), equal_to([(2, "b")])
+    )
+
+
+def test_remove_duplicates(spark):
+    df = create(spark, [1, 2, 2, 3, 3, 3], schema=["value"])
+    assert_that(ops.remove_duplicates(df), equal_to([(1,), (2,), (3,)]))
+
+
+def test_with_tags_multi_output(spark, kv):
+    tagged = ops.with_tags(
+        kv, F.when(F.col("value") >= 3, "big").otherwise("small"), ["big", "small"]
+    )
+    assert_that(tagged["big"], equal_to([("a", 3), ("c", 5)]))
+    assert tagged["small"].count() == 3
+
+
+def test_top_and_sample(spark, kv):
+    assert_that(
+        ops.top_largest(kv, 2, F.desc("value")), equal_to([("c", 5), ("a", 3)])
+    )
+    per_key = ops.top_largest_per_key(kv, "key", 1, F.desc("value"))
+    assert_that(per_key, equal_to([("a", 3), ("b", 2), ("c", 5)]))
+    sample = ops.sample_fixed(kv, 2, seed=7)
+    assert sample.count() == 2
+
+
+def test_to_list_to_dict(spark, kv):
+    row = ops.to_list(kv, "value").head()
+    assert row[0] == [1, 2, 2, 3, 5]
+    mapping = ops.to_dict(kv.dropDuplicates(["key"]), "key", "value").head()[0]
+    assert mapping["a"] in (1, 2, 3) and set(mapping) == {"a", "b", "c"}
+
+
+def test_combine_fn_udaf(spark, kv):
+    class SumOfSquares(CombineFn):
+        def create_accumulator(self):
+            return 0
+
+        def add_input(self, acc, v):
+            return acc + v * v
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    out = combine_per_key_udaf(kv, "key", "value", SumOfSquares(), T.LongType(), out="ssq")
+    assert_that(out, equal_to([("a", 14), ("b", 4), ("c", 25)]))
+
+
+def test_par_do_lifecycle(spark, kv):
+    class ExplodeRange(DoFn):
+        def __init__(self):
+            self.bundles = 0
+
+        def start_bundle(self):
+            self.bundles += 1
+
+        def process(self, element):
+            for i in range(element["value"]):
+                yield {"key": element["key"], "i": i}
+
+    schema = T.StructType(
+        [T.StructField("key", T.StringType()), T.StructField("i", T.IntegerType())]
+    )
+    out = par_do(kv, ExplodeRange(), schema)
+    assert out.count() == 1 + 3 + 2 + 5 + 2
+    assert_that(out.filter("key = 'b'"), equal_to([("b", 0), ("b", 1)]))
+
+
+def test_side_inputs(spark, kv):
+    singleton = ops.as_singleton(create(spark, [42], schema=["v"]))
+    assert singleton == 42
+    d = ops.as_dict(create(spark, [("x", 1), ("y", 2)], schema=["k", "v"]))
+    assert d == {"x": 1, "y": 2}
+    with pytest.raises(ValueError):
+        ops.as_singleton(kv)
+
+
+def test_broadcast_join_plan_is_broadcast(spark, kv):
+    dim = create(spark, [("a", "alpha"), ("b", "beta")], schema=["key", "name"])
+    out = ops.broadcast_join(kv, dim, on="key")
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    assert out.count() == 4
+
+
+def test_is_empty(spark, kv):
+    assert_that(kv.filter("value > 99"), is_empty())

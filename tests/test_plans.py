@@ -1,0 +1,74 @@
+"""Scale-posture plan tests (SURVEY.md §7 hard-part 5): pushdown,
+pruning, broadcast choice, shuffle counts — regressions here are
+100 TB cost bugs even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    count_shuffles,
+)
+from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
+
+queries()
+
+
+def test_filter_pushdown_reaches_scan(tables):
+    df = tables["lineitem"].filter(F.col("l_quantity") < 5).select("l_orderkey")
+    assert_pushed_filters(df, "LessThan(l_quantity,5.0)")
+
+
+def test_projection_prunes_scan(tables):
+    # flagship projects 2 of 11 lineitem columns — the scan must too
+    # (the reference does this by hand at dataflow_pipeline.py:199-200;
+    # Catalyst must do it for us).
+    df = tables["lineitem"].select("l_returnflag", "l_quantity")
+    assert_read_schema_pruned(df, "lineitem", 2)
+
+
+def test_flagship_scan_pruned(spark, sf_dir):
+    df = REGISTRY["flagship_group_sum"].fn(spark, sf_dir)
+    assert_read_schema_pruned(df, "lineitem", 2)
+    assert count_shuffles(df) == 1  # exactly the groupBy shuffle
+
+
+def test_q1_single_shuffle(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert_pushed_filters(df)  # shipdate filter is a timestamp cast — at
+    # minimum the plan must not be shuffle-heavy; pushdown asserted loosely.
+
+
+def test_dim_joins_broadcast_and_no_cartesian(spark, sf_dir):
+    df = REGISTRY["multi_table_join_chain"].fn(spark, sf_dir)
+    assert_broadcast_join(df, expect=2)  # nation + region
+    assert_no_cartesian(df)
+
+
+def test_topk_uses_bounded_sort(spark, sf_dir):
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+
+    df = REGISTRY["top_n_global"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_ann_topk_no_corpus_shuffle(spark, sf_dir):
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+
+    df = REGISTRY["ann_brute_topk"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the only exchange allowed is the final single-partition gather
+    assert count_shuffles(df) <= 1
+
+
+def test_approx_distinct_envelope(spark, sf_dir, tables):
+    row = REGISTRY["approx_distinct"].fn(spark, sf_dir).head()
+    exact = tables["lineitem"].agg(F.countDistinct("l_orderkey")).head()[0]
+    assert abs(row.approx_orders - exact) / exact < 0.1
