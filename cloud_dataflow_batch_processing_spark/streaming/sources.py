@@ -1,0 +1,87 @@
+"""Streaming source/sink abstraction — the PubSub-shaped surface.
+
+Reference surface: ReadFromPubSub / ReadStringsFromPubSub /
+WriteStringsToPubSub (beam/io/gcp/pubsub.py:106,158,180) with id_label
+and timestamp_attribute. There is no PubSub connector in OSS Spark;
+the capability maps onto Structured Streaming sources that share the
+same contract (unbounded, replayable, event-timestamped):
+
+- kafka   — the production twin (at-least-once, offsets = ack ids)
+- file    — replayable directory stream (what tests use)
+- rate    — synthetic load
+- socket  — debugging
+
+``read_stream`` normalizes all of them to (ts timestamp, value string)
+— the shape ReadStringsFromPubSub yields (message bytes utf-8 decoded,
+publish-time timestamp). ``write_stream_strings`` is the sink twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+
+def read_stream(
+    spark: SparkSession,
+    kind: str,
+    path_or_topic: str | None = None,
+    schema: T.StructType | str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Normalized unbounded source: returns (ts, value) for string-like
+    sources, or the native schema for file sources with ``schema``."""
+    options = options or {}
+    if kind == "kafka":
+        reader = spark.readStream.format("kafka").option(
+            "subscribe", path_or_topic or ""
+        )
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        try:
+            raw = reader.load()
+        except Exception as e:
+            raise RuntimeError(
+                "kafka source needs the spark-sql-kafka package on the classpath"
+            ) from e
+        return raw.select(
+            F.col("timestamp").alias("ts"), F.col("value").cast("string").alias("value")
+        )
+    if kind == "rate":
+        raw = spark.readStream.format("rate").options(**options).load()
+        return raw.select(
+            F.col("timestamp").alias("ts"), F.col("value").cast("string").alias("value")
+        )
+    if kind == "socket":
+        raw = spark.readStream.format("socket").options(**options).load()
+        return raw.select(
+            F.current_timestamp().alias("ts"), F.col("value").alias("value")
+        )
+    if kind == "file":
+        if schema is None:
+            raise ValueError("file streams need an explicit schema")
+        reader = spark.readStream.schema(schema).options(**options)
+        fmt = options.get("format", "json")
+        return getattr(reader, fmt)(path_or_topic)
+    raise ValueError(f"unknown stream kind: {kind!r}")
+
+
+def write_stream_strings(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    fmt: str = "text",
+    output_mode: str = "append",
+    available_now: bool = True,
+):
+    """Beam twin: WriteStringsToPubSub → file/kafka sink. Returns the
+    started query (caller awaits)."""
+    w = (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -1,0 +1,40 @@
+"""CLI entry test — the reference's run(argv) surface (P11,
+dataflow_pipeline.py:102-148)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cloud_dataflow_batch_processing_spark.cli import run
+from tests.test_schema import NYC_FIELDS
+
+
+def test_cli_runs_reference_pipeline(spark, tmp_path, capsys):
+    schema_path = tmp_path / "schema.json"
+    schema_path.write_text(json.dumps(NYC_FIELDS))
+    csv_path = tmp_path / "in.csv"
+    header = ",".join(f["name"] for f in NYC_FIELDS)
+    lines = [header]
+    for i in range(6):
+        row = ["" for _ in NYC_FIELDS]
+        row[0] = str(i)
+        row[5] = ["A", "B"][i % 2]  # neighbourhood
+        row[14] = str(i)  # calculated_host_listings_count
+        lines.append(",".join(row))
+    csv_path.write_text("\n".join(lines) + "\n")
+    wh = str(tmp_path / "wh")
+
+    run(
+        [
+            "--input", str(csv_path),
+            "--output", "nyc.t",
+            "--schema", str(schema_path),
+            "--warehouse", wh,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert "raw rows written: 6" in out
+    t = spark.read.parquet(os.path.join(wh, "nyc", "t_transform"))
+    got = {r.neighbourhood: r.count_listings for r in t.collect()}
+    assert got == {"A": str(0 + 2 + 4), "B": str(1 + 3 + 5)}

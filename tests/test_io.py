@@ -1,0 +1,99 @@
+"""Source/sink layer tests: textio semantics (skip_header per file,
+shards), CSV parse modes, Create, disposition mapping, local BigQuery
+fallback (SURVEY.md §2.1 P1/P2/P8/P9/P10)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.sources import (
+    CreateDisposition,
+    WriteDisposition,
+    create,
+    disposition_to_mode,
+    read_csv,
+    read_table,
+    read_text,
+    write_table,
+    write_text,
+)
+from cloud_dataflow_batch_processing_spark.sources.text import rows_as_repr_lines
+
+
+def test_read_text_skip_header_per_file(spark, tmp_path):
+    d = tmp_path / "txt"
+    d.mkdir()
+    for i in range(3):
+        (d / f"f{i}.txt").write_text(f"HEADER{i}\nline_a_{i}\nline_b_{i}\n")
+    out = read_text(spark, str(d / "*.txt"), skip_header_lines=1)
+    vals = sorted(r.value for r in out.collect())
+    assert vals == sorted(f"line_{x}_{i}" for i in range(3) for x in "ab")
+    assert not any(v.startswith("HEADER") for v in vals)
+
+
+def test_read_text_plain(spark, tmp_path):
+    p = tmp_path / "a.txt"
+    p.write_text("x\ny\n")
+    assert read_text(spark, str(p)).count() == 2
+
+
+def test_write_text_shards(spark, tmp_path):
+    df = create(spark, [f"row{i}" for i in range(20)]).select(
+        F.col("value").cast("string")
+    )
+    out = str(tmp_path / "out")
+    write_text(df, out, num_shards=2)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 2
+    assert spark.read.text(out).count() == 20
+
+
+def test_rows_as_repr_lines(spark):
+    df = create(spark, [("a", 1)], schema=["k", "v"])
+    line = rows_as_repr_lines(df).head().value
+    assert '"k":"a"' in line and '"v":1' in line
+
+
+def test_read_csv_quoted_multiline(spark, tmp_path):
+    p = tmp_path / "q.csv"
+    p.write_text('k,v\n"with, comma",1\n"multi\nline",2\n')
+    df = read_csv(spark, str(p), multi_line=True)
+    got = {r.k: r.v for r in df.collect()}
+    assert got == {"with, comma": "1", "multi\nline": "2"}
+
+
+def test_disposition_mapping():
+    assert disposition_to_mode(WriteDisposition.WRITE_TRUNCATE) == "overwrite"
+    assert disposition_to_mode(WriteDisposition.WRITE_APPEND) == "append"
+    assert disposition_to_mode(WriteDisposition.WRITE_EMPTY) == "errorifexists"
+    with pytest.raises(ValueError):
+        disposition_to_mode("nope")
+
+
+def test_bigquery_local_fallback_roundtrip(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    df = create(spark, [(1, "a"), (2, "b")], schema=["id", "s"])
+    write_table(df, "ds.t", write_disposition=WriteDisposition.WRITE_TRUNCATE, warehouse=wh)
+    back = read_table(spark, table="ds.t", warehouse=wh)
+    assert {(r.id, r.s) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    # WRITE_EMPTY on existing table must fail (beam dispositions :271-274)
+    with pytest.raises(Exception):
+        write_table(df, "ds.t", write_disposition=WriteDisposition.WRITE_EMPTY, warehouse=wh)
+
+    # CREATE_NEVER on missing table must fail (:255-263)
+    with pytest.raises(RuntimeError):
+        write_table(
+            df,
+            "ds.missing",
+            create_disposition=CreateDisposition.CREATE_NEVER,
+            write_disposition=WriteDisposition.WRITE_TRUNCATE,
+            warehouse=wh + "_none",
+        )
+
+    # query mode over the warehouse views
+    got = read_table(spark, query="SELECT COUNT(*) AS n FROM t", warehouse=wh).head().n
+    assert got == 2
