@@ -70,6 +70,11 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of exchange operators in the executed plan (AQE may later
-    coalesce them, but each is a full shuffle write)."""
-    return executed_plan(df).count("Exchange")
+    """Number of *shuffle* exchange operators in the executed plan (AQE
+    may later coalesce them, but each is a full shuffle write).
+    BroadcastExchange deliberately excluded — broadcasting a dim is the
+    cheap alternative to a shuffle, not a shuffle."""
+    plan = executed_plan(df)
+    return len(
+        re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan)
+    )

@@ -7,6 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+from cloud_dataflow_batch_processing_spark.functions.text import (
+    lang_id_sql,
+    quality_score_sql,
+)
 from cloud_dataflow_batch_processing_spark.queries import register
 from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
 
@@ -79,6 +83,47 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
     return d.select("doc_id", D.token_hashes("text").alias("__th")).select(
         "doc_id", D.simhash_from_token_hashes(F.col("__th")).alias("simhash")
+    )
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle=f"""
+    WITH dropped AS (
+      SELECT DISTINCT doc_b FROM ({D.minhash_pipeline_sql(threshold=0.8)}) p
+    ),
+    kept AS (
+      SELECT * FROM documents
+      WHERE {quality_score_sql('text')} >= 0.5
+        AND doc_id NOT IN (SELECT doc_b FROM dropped)
+    )
+    SELECT {lang_id_sql('text')} AS pred_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY pred_lang
+    """,
+    headline=True,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data cleaning pipeline in one plan: quality
+    scoring → MinHash-LSH near-dup removal (anti-join on the dropped
+    side of each pair) → language-ID corpus stats. Every stage is the
+    same oracle-checked operator used standalone; this query checks
+    their composition."""
+    from cloud_dataflow_batch_processing_spark.functions.text import lang_id, quality_score
+
+    d = load_tables(spark, sf_dir)["documents"]
+    dropped = (
+        D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = d.filter(quality_score("text") >= 0.5).join(
+        dropped, on="doc_id", how="left_anti"
+    )
+    return kept.groupBy(lang_id("text").alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
 
 

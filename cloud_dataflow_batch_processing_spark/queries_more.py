@@ -198,6 +198,27 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentiles_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) — Spark `percentile`
+    and DuckDB `quantile_cont` share the linear-interpolation
+    definition, so the doubles match bit-for-bit (sort-based, no
+    accumulation order)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+    )
+
+
+@register(
     "combine_fn_udaf",
     oracle="""
     SELECT l_returnflag,
