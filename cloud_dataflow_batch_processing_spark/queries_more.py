@@ -198,6 +198,47 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "group_normalize_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_p,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS ssq_p,
+             COUNT(*) OVER w AS n
+      FROM lineitem
+      WINDOW w AS (PARTITION BY l_orderkey)
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN n > 1 AND (ssq_p - sum_p * sum_p / n) > 0
+                THEN (l_extendedprice - sum_p / n)
+                     / sqrt((ssq_p - sum_p * sum_p / n) / (n - 1))
+                ELSE 0.0 END AS zscore
+    FROM s
+    """,
+)
+def group_normalize_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score normalization (feature-engineering shape) via
+    windowed aggregates — no groupBy+rejoin, one shuffle. Variance from
+    decimal-exact sum/ssq so both engines compute identical doubles.
+    The Beam equivalent needs GBK + re-expand (two shuffles + a
+    materialized iterable)."""
+    from pyspark.sql import Window
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = Window.partitionBy("l_orderkey")
+    dec = _dec("l_extendedprice")
+    sum_p = F.sum(dec).over(w).cast("double")
+    ssq_p = F.sum(dec * dec).over(w).cast("double")
+    n = F.count(F.lit(1)).over(w)
+    var = (ssq_p - sum_p * sum_p / n) / (n - 1)
+    z = F.when(
+        (n > 1) & ((ssq_p - sum_p * sum_p / n) > 0),
+        (F.col("l_extendedprice") - sum_p / n) / F.sqrt(var),
+    ).otherwise(0.0)
+    return li.select("l_orderkey", "l_linenumber", z.alias("zscore"))
+
+
+@register(
     "percentiles_exact",
     oracle="""
     SELECT o_orderpriority,

@@ -1,0 +1,46 @@
+"""Generate EXPLAINS.md: formatted physical plans for every headline
+query at sf0.1 — the artifact for reviewing plan quality (pushdown,
+pruning, broadcast choice, shuffle placement) without a cluster.
+
+    python scripts/explain_headlines.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
+from cloud_dataflow_batch_processing_spark.queries import headline_queries
+from cloud_dataflow_batch_processing_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="cdbp-explains")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [
+        "# Headline query physical plans (generated; do not edit)",
+        "",
+        f"Scale: `{sf_dir}`. Review targets: PushedFilters reach the scan,",
+        "ReadSchema is pruned, dims broadcast, shuffle count is the",
+        "semantic minimum. Regenerate: `python scripts/explain_headlines.py`.",
+        "",
+    ]
+    for name, fn in headline_queries().items():
+        df = fn(spark, sf_dir)
+        out.append(f"## {name}")
+        out.append(f"shuffle exchanges: **{count_shuffles(df)}**")
+        out.append("```")
+        out.append(executed_plan(df).strip())
+        out.append("```")
+        out.append("")
+    with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAINS.md"), "w") as f:
+        f.write("\n".join(out))
+    print("wrote EXPLAINS.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,14 +46,20 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            # STRICT bitwise equality — the driver hashes exact values,
+            # so a last-ulp difference is a real failure, not noise.
             bad = 0
+            worst = 0.0
             for x, y in zip(av.astype(float), bv.astype(float)):
-                if x is None or y is None or (math.isnan(x) and math.isnan(y)):
+                if math.isnan(x) and math.isnan(y):
                     continue
-                if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                if x != y:
                     bad += 1
+                    worst = max(worst, abs(x - y))
             if bad:
-                errors.append(f"{name}: column {c}: {bad} float mismatches beyond 1e-9")
+                errors.append(
+                    f"{name}: column {c}: {bad} float bitwise mismatches (worst |Δ|={worst:.3e})"
+                )
         else:
             neq = (av.astype(str) != bv.astype(str))
             if neq.any():

@@ -1,0 +1,64 @@
+"""Property-based tests (hypothesis): codec roundtrips and the
+engine-neutral hash model — random inputs, pinned invariants."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from cloud_dataflow_batch_processing_spark.schema import bq_schema_to_struct
+from cloud_dataflow_batch_processing_spark.sources.tfrecord import (
+    decode_records,
+    encode_records,
+)
+
+
+@given(st.lists(st.binary(max_size=2000), max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_tfrecord_roundtrip_any_bytes(records):
+    assert decode_records(encode_records(records)) == records
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefghij_", min_size=1, max_size=10),
+            st.sampled_from(["INTEGER", "STRING", "FLOAT", "DATE", "TIMESTAMP", "BOOLEAN"]),
+            st.sampled_from(["NULLABLE", "REQUIRED", "REPEATED"]),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_bq_schema_mapper_total(fields):
+    st_fields = [{"name": n, "type": t, "mode": m} for n, t, m in fields]
+    struct = bq_schema_to_struct(st_fields)
+    assert [f.name for f in struct.fields] == [n for n, _, _ in fields]
+    for f, (_, _, mode) in zip(struct.fields, fields):
+        assert f.nullable == (mode != "REQUIRED")
+
+
+def _py_rolling_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % 1_000_000_007
+    return acc
+
+
+def test_rolling_hash_matches_python_model(spark):
+    """One Spark pass over a batch of adversarial strings vs the pure
+    Python model — the invariant the whole oracle strategy rests on."""
+    import random
+
+    random.seed(7)
+    alphabet = "abcXYZ 0123!@#"
+    samples = ["", "a", " ", "ab c"] + [
+        "".join(random.choice(alphabet) for _ in range(random.randint(1, 60)))
+        for _ in range(200)
+    ]
+    from cloud_dataflow_batch_processing_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.h for r in df.select(rolling_hash("s").alias("h")).collect()]
+    assert got == [_py_rolling_hash(s) for s in samples]
