@@ -1,0 +1,85 @@
+"""Trigger-emulation tests: early+final firing pair, AfterCount panes
+(beam/transforms/trigger.py surface, scoped per SURVEY §7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+    early_and_final,
+    fire_after_count,
+)
+from cloud_dataflow_batch_processing_spark.streaming.windows import tumbling, with_watermark
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+    ).coalesce(1).write.mode("append").json(path)
+
+
+def test_early_and_final_firings(spark, tmp_path):
+    src = str(tmp_path / "in")
+    early_rows, final_rows = [], []
+
+    def build():
+        sdf = spark.readStream.schema("ts timestamp, user_id long, value double").json(src)
+        return tumbling(
+            with_watermark(sdf, "ts"), "ts", "1 hour", [],
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def run_both():
+        qe, qf = early_and_final(
+            build,
+            lambda df, _id: early_rows.extend(df.collect()),
+            lambda df, _id: final_rows.extend(df.collect()),
+            str(tmp_path / "cke"),
+            str(tmp_path / "ckf"),
+        )
+        qe.awaitTermination(120)
+        qf.awaitTermination(120)
+
+    h0 = 1704067200  # 2024-01-01 00:00 UTC
+
+    # Batch 1: two rows in the 00:00 window — early pane fires, no final
+    # (watermark still at 00:20).
+    _write(spark, src, [("2024-01-01 00:10:00", 1, 1.0), ("2024-01-01 00:20:00", 2, 1.0)])
+    run_both()
+    assert [(r.w_start, r.n, r.firing) for r in early_rows] == [(h0, 2, "early")]
+    assert final_rows == []
+
+    # Batch 2: one more row in 00:00 (accumulating pane → n=3) plus a
+    # 02:00 row that pushes the watermark past the window end → final.
+    _write(spark, src, [("2024-01-01 00:40:00", 1, 1.0), ("2024-01-01 02:00:00", 9, 1.0)])
+    run_both()
+    earlies = [(r.w_start, r.n) for r in early_rows]
+    assert (h0, 3) in earlies, "accumulating early pane must include all 3 rows"
+    # final for the 00:00 window fires exactly once, with the full count
+    finals_h0 = [(r.w_start, r.n) for r in final_rows if r.w_start == h0]
+    assert finals_h0 == [(h0, 3)]
+
+
+def test_fire_after_count_panes(spark, tmp_path):
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), []
+    spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 8)] + [(2, 10.0), (2, 20.0)],
+        "user_id long, value double",
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_after_count(sdf, "user_id", "value", n=3)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    panes = {(r.key, r.pane): (r.n_elements, r.total) for r in out}
+    # user 1: 7 values → panes at 3 (1+2+3=6) and 6 (sum 1..6=21); 7th buffered unfired
+    assert panes[(1, 1)] == (3, 6.0)
+    assert panes[(1, 2)] == (6, 21.0)
+    # user 2: only 2 values → no pane
+    assert not any(k == 2 for k, _ in panes)
