@@ -97,3 +97,12 @@ def test_bigquery_local_fallback_roundtrip(spark, tmp_path):
     # query mode over the warehouse views
     got = read_table(spark, query="SELECT COUNT(*) AS n FROM t", warehouse=wh).head().n
     assert got == 2
+
+
+def test_read_avro_gated_error(spark, tmp_path):
+    """No spark-avro jar in this container: the wrapper must raise the
+    documented actionable error, not a raw AnalysisException."""
+    from cloud_dataflow_batch_processing_spark.sources import read_avro
+
+    with pytest.raises(RuntimeError, match="spark-avro"):
+        read_avro(spark, str(tmp_path / "nope.avro"))
