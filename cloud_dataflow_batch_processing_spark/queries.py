@@ -438,8 +438,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one shuffle, all codegen."""
     li = load_tables(spark, sf_dir)["lineitem"]
     n = F.count(F.lit(1))
+    # l_shipdate is TimestampNTZ (parquet timestamp[ms]); the literal
+    # must be NTZ too — an LTZ literal would wrap the column in a
+    # timezone cast and block parquet filter pushdown (row-group
+    # skipping at scale). Pinned by test_q1_filter_pushdown.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),

@@ -28,11 +28,17 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver's parquet. Spark
-# can't read nanos natively (PARQUET_TYPE_ILLEGAL); with
-# spark.sql.legacy.parquet.nanosAsLong they surface as int64 nanos and
-# we convert to microsecond timestamps here. DuckDB (the oracle) also
-# truncates nanos → micros, so `DIV 1000` keeps both engines identical.
+# Timestamp storage in the driver's parquet differs per table:
+# - lineitem.l_shipdate / orders.o_orderdate: timestamp[ms] → Spark
+#   reads TimestampNTZ natively; nothing to do (matches DuckDB naive).
+# - events.ts: TIMESTAMP(NANOS) → vanilla Spark rejects it
+#   (PARQUET_TYPE_ILLEGAL); with spark.sql.legacy.parquet.nanosAsLong
+#   it surfaces as int64 nanos and we convert to microsecond
+#   timestamps here. DuckDB (the oracle) also truncates nanos → micros,
+#   so `DIV 1000` keeps both engines identical.
+# The conversion below is conditional on LongType, so listing a column
+# that reads natively is a no-op (robust to the driver regenerating
+# data with different units).
 _NANO_TS_COLS = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
@@ -47,7 +53,15 @@ def table_path(sf_dir: str, name: str) -> str:
 def _restore_timestamps(df: DataFrame, name: str) -> DataFrame:
     for c in _NANO_TS_COLS.get(name, []):
         if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+            # Keep the raw int64 nanos as {c}__ns: predicates on the
+            # *converted* timestamp cannot reach the parquet scan
+            # (pushdown doesn't traverse timestamp_micros), but a
+            # redundant filter on the raw column can — see
+            # ns_cutoff()/q1 for the pattern. At 100 TB that's the
+            # difference between row-group skipping and a full scan.
+            df = df.withColumn(f"{c}__ns", F.col(c)).withColumn(
+                c, F.timestamp_micros(F.expr(f"{c} DIV 1000"))
+            )
     return df
 
 

@@ -41,8 +41,14 @@ def test_flagship_scan_pruned(spark, sf_dir):
 def test_q1_single_shuffle(spark, sf_dir):
     df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
     assert count_shuffles(df) == 1
-    assert_pushed_filters(df)  # shipdate filter is a timestamp cast — at
-    # minimum the plan must not be shuffle-heavy; pushdown asserted loosely.
+
+
+def test_q1_filter_pushdown(spark, sf_dir):
+    """The shipdate filter must reach the parquet scan: the column is
+    TimestampNTZ, so the comparison literal must be NTZ as well (an LTZ
+    literal inserts a tz cast above the scan and kills pushdown)."""
+    df = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    assert_pushed_filters(df, "LessThanOrEqual(l_shipdate,")
 
 
 def test_dim_joins_broadcast_and_no_cartesian(spark, sf_dir):
