@@ -78,3 +78,23 @@ def test_approx_distinct_envelope(spark, sf_dir, tables):
     row = REGISTRY["approx_distinct"].fn(spark, sf_dir).head()
     exact = tables["lineitem"].agg(F.countDistinct("l_orderkey")).head()[0]
     assert abs(row.approx_orders - exact) / exact < 0.1
+
+
+def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
+    """Hive-partitioned writes + partition pruning: a filter on the
+    partition column must become a PartitionFilter (zero data read from
+    other partitions) — the layout tool for time/category-partitioned
+    100 TB tables."""
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+    from cloud_dataflow_batch_processing_spark.sources.files import write_parquet
+
+    out = str(tmp_path / "events_by_type")
+    write_parquet(tables["events"].drop("ts__ns"), out, partition_by=["event_type"])
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click").select("event_id")
+    plan = executed_plan(df)
+    assert "PartitionFilters: [isnotnull(event_type" in plan or "PartitionFilters: [" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), f"no partition filter: {plan[:1500]}"
+    assert df.count() == tables["events"].filter("event_type = 'click'").count()
