@@ -148,3 +148,25 @@ def test_broadcast_join_plan_is_broadcast(spark, kv):
 
 def test_is_empty(spark, kv):
     assert_that(kv.filter("value > 99"), is_empty())
+
+
+def test_simhash_near_dup_pairs(spark):
+    """Pigeonhole banding: identical docs are found; a doc pair differing
+    in most tokens is not (hamming > threshold)."""
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        simhash_near_dup_pairs,
+    )
+
+    docs = create(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        schema=["doc_id", "text"],
+    )
+    pairs = simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got
