@@ -66,6 +66,31 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_profile_single_pass",
+    oracle=f"""
+    SELECT doc_id,
+           {X.token_count_sql('text')} AS n_tokens,
+           {X.lang_id_sql('text')} AS pred_lang,
+           {X.quality_score_sql('text')} AS quality,
+           {X.doc_fingerprint_sql('text')} AS fp
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def text_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text profile (tokens, language, quality,
+    fingerprint) in ONE scan — the shape a corpus-profiling job takes:
+    no shuffle, every signal from the same pass over the bytes."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        X.lang_id("text").alias("pred_lang"),
+        X.quality_score("text").alias("quality"),
+        X.doc_fingerprint("text").alias("fp"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id, {X.doc_fingerprint_sql('text')} AS fp

@@ -170,3 +170,27 @@ def test_simhash_near_dup_pairs(spark):
     got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_combine_fn_with_side_input_closure(spark, kv):
+    """CombineFn parameterized by a side input (SURVEY §7 hard-part 3:
+    the common closure case of Beam's _CurriedFn / side-input args,
+    beam/transforms/combiners.py:544) — the parameter rides into the
+    UDAF as a captured broadcast value."""
+    threshold = spark.sparkContext.broadcast(2)
+
+    class CountAbove(CombineFn):
+        def create_accumulator(self):
+            return 0
+
+        def add_input(self, acc, v):
+            return acc + (1 if v > threshold.value else 0)
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    out = combine_per_key_udaf(kv, "key", "value", CountAbove(), T.LongType(), out="n_above")
+    assert_that(out, equal_to([("a", 1), ("b", 0), ("c", 1)]))
