@@ -327,8 +327,15 @@ def band_hash_sql(band: int) -> str:
     return acc
 
 
-def minhash_pipeline_sql(threshold: float = 0.8, source: str = "documents") -> str:
-    """The full oracle: identical pipeline in DuckDB SQL."""
+def minhash_pipeline_sql(
+    threshold: float = 0.8, source: str = "documents", max_bucket_size: int = 1000
+) -> str:
+    """The full oracle: identical pipeline in DuckDB SQL.
+
+    Mirrors ``minhash_near_dup_pairs`` exactly — including the
+    ``max_bucket_size`` bucket guard, so that if an LSH bucket ever
+    exceeds the cap at driver scale both engines drop it identically.
+    """
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, sh, {b} AS band_id, {band_hash_sql(b)} AS bh FROM sig"
         for b in range(NUM_BANDS)
@@ -343,7 +350,15 @@ def minhash_pipeline_sql(threshold: float = 0.8, source: str = "documents") -> s
     sig AS (
       SELECT doc_id, sh, {minhash_signature_sql()} AS sig FROM sh_t
     ),
-    bands AS ({band_rows}),
+    bands_all AS ({band_rows}),
+    bucket_sizes AS (
+      SELECT band_id, bh, COUNT(*) AS n FROM bands_all GROUP BY band_id, bh
+    ),
+    bands AS (
+      SELECT ba.* FROM bands_all ba
+      JOIN bucket_sizes bs ON ba.band_id = bs.band_id AND ba.bh = bs.bh
+      WHERE bs.n <= {max_bucket_size}
+    ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sh AS sh_a, b.sh AS sh_b
@@ -362,9 +377,15 @@ def minhash_pipeline_sql(threshold: float = 0.8, source: str = "documents") -> s
 
 
 def simhash_sql(col: str) -> str:
-    """SimHash twin over a CTE column ``th`` (token hash list)."""
+    """SimHash twin over a CTE column ``th`` (token hash list).
+
+    The outer CAST matters: DuckDB's ``list_sum`` over BIGINT returns
+    HUGEINT, while the Spark side is LONG — the driver hashes exact
+    typed values, so without the cast the hash check fails even though
+    every value is identical.
+    """
     return (
-        f"list_sum(list_transform(range(0, {SIMHASH_BITS}), b -> "
+        f"CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), b -> "
         f"CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th) "
-        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))"
+        f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
     )

@@ -45,6 +45,16 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Dtype-kind drift (int on one side, float on the other) means the
+        # engines disagree on the column TYPE — the driver hashes typed
+        # values, so this fails there even when the values coerce equal
+        # (e.g. DuckDB list_sum returning HUGEINT → pandas float64).
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv):
+            errors.append(
+                f"{name}: column {c}: dtype kind mismatch spark={av.dtype} "
+                f"oracle={bv.dtype} (driver hashes typed values — fix the oracle cast)"
+            )
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             # STRICT bitwise equality — the driver hashes exact values,
             # so a last-ulp difference is a real failure, not noise.
