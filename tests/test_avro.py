@@ -1,0 +1,152 @@
+"""Avro OCF codec tests: binary primitives, container roundtrip, codec
+support, corruption detection, Spark read/write happy path
+(beam/io/avroio.py:66,380 parity — ReadFromAvro / WriteToAvro)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from cloud_dataflow_batch_processing_spark.sources import avro_codec as A
+from cloud_dataflow_batch_processing_spark.sources.files import read_avro, write_avro
+
+
+def test_varint_zigzag_roundtrip():
+    for n in [0, 1, -1, 63, -64, 64, 2**31 - 1, -(2**31), 2**62, -(2**62)]:
+        buf = bytearray()
+        A.write_long(buf, n)
+        assert A.read_long(io.BytesIO(bytes(buf))) == n
+
+
+def test_varint_known_encodings():
+    # Avro spec examples: zigzag+varint of 0,-1,1,-2,2 → 00,01,02,03,04
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"), (-2, b"\x03"), (2, b"\x04")]:
+        buf = bytearray()
+        A.write_long(buf, n)
+        assert bytes(buf) == want
+
+
+SCHEMA = {
+    "type": "record",
+    "name": "doc",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": ["null", "string"]},
+        {"name": "score", "type": "double"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "raw", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {
+            "name": "nested",
+            "type": {
+                "type": "record",
+                "name": "inner",
+                "fields": [{"name": "x", "type": "int"}],
+            },
+        },
+        {"name": "when", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+    ],
+}
+
+RECORDS = [
+    {
+        "id": i,
+        "name": None if i % 3 == 0 else f"doc-{i}",
+        "score": i * 0.5,
+        "flag": i % 2 == 0,
+        "raw": bytes([i % 256, 0xFF]),
+        "tags": [f"t{j}" for j in range(i % 4)],
+        "attrs": {"a": i, "b": -i},
+        "nested": {"x": i * 7},
+        "when": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i, microseconds=i),
+        "day": dt.date(2024, 1, 1) + dt.timedelta(days=i),
+    }
+    for i in range(20)
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip(codec):
+    blob = A.write_container(RECORDS, SCHEMA, codec=codec, block_records=7)
+    schema, back = A.read_container(blob)
+    assert schema == SCHEMA
+    assert back == RECORDS
+
+
+def test_container_deterministic():
+    assert A.write_container(RECORDS, SCHEMA) == A.write_container(RECORDS, SCHEMA)
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(ValueError, match="bad magic"):
+        A.read_container(b"PAR1" + b"\x00" * 64)
+
+
+def test_sync_marker_corruption_detected():
+    blob = bytearray(A.write_container(RECORDS, SCHEMA, codec="null"))
+    blob[-1] ^= 0xFF  # trailing sync byte
+    with pytest.raises(ValueError, match="sync marker mismatch"):
+        A.read_container(bytes(blob))
+
+
+def test_schema_mapping_roundtrip():
+    st = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("score", T.DoubleType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType(), False), True),
+            T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), False), True),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.IntegerType(), True)]),
+                True,
+            ),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("when", T.TimestampNTZType(), True),
+        ]
+    )
+    assert A.avro_schema_to_struct(A.struct_to_avro_schema(st)) == st
+
+
+def test_spark_write_read_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "avro_rt")
+    df = spark.createDataFrame(
+        [
+            (i, None if i % 5 == 0 else f"n{i}", float(i) / 3.0, [f"t{i}", "x"])
+            for i in range(100)
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("name", T.StringType(), True),
+                T.StructField("v", T.DoubleType(), False),
+                T.StructField("tags", T.ArrayType(T.StringType(), False), False),
+            ]
+        ),
+    ).repartition(4)
+    write_avro(df, out, codec="deflate")
+    back = read_avro(spark, out + "/*.avro")
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert a == b
+
+
+def test_spark_roundtrip_from_testdata(spark, sf_dir, tmp_path):
+    """Write a real parquet table out as Avro, read it back, and compare
+    an aggregate — the end-to-end path the registered oracle query uses."""
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    nation = load_tables(spark, sf_dir)["nation"]
+    out = str(tmp_path / "nation_avro")
+    write_avro(nation, out)
+    back = read_avro(spark, out + "/*.avro")
+    want = nation.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    got = back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    assert sorted(want) == sorted(got)

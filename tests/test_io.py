@@ -99,10 +99,27 @@ def test_bigquery_local_fallback_roundtrip(spark, tmp_path):
     assert got == 2
 
 
-def test_read_avro_gated_error(spark, tmp_path):
-    """No spark-avro jar in this container: the wrapper must raise the
-    documented actionable error, not a raw AnalysisException."""
-    from cloud_dataflow_batch_processing_spark.sources import read_avro
+def test_read_avro_falls_back_without_jar(spark, tmp_path):
+    """No spark-avro jar in this container: read_avro must fall back to
+    the pure-Python OCF codec (not raise), and surface a clear error for
+    an empty glob rather than a raw AnalysisException."""
+    from cloud_dataflow_batch_processing_spark.sources.files import read_avro, write_avro
 
-    with pytest.raises(RuntimeError, match="spark-avro"):
-        read_avro(spark, str(tmp_path / "nope.avro"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    out = str(tmp_path / "fallback")
+    write_avro(df, out)  # jar attempt fails -> python codec writes OCF
+    assert read_avro(spark, out + "/*.avro").count() == 10
+
+    bad = str(tmp_path / "bad")
+    import os
+
+    os.makedirs(bad)
+    with open(os.path.join(bad, "nope.avro"), "wb") as f:
+        f.write(b"not an avro file")
+    with pytest.raises(ValueError, match="bad magic"):
+        read_avro(spark, bad + "/*.avro")
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
+        read_avro(spark, str(tmp_path / "missing") + "/*.avro")
