@@ -3,9 +3,11 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes twice and reports the better run (steady state:
-codegen/JIT warm, file listing cached) after a session warm-up touches
-every table so JVM startup isn't attributed to the first query.
+Each query executes twice: "queries"/"value" report the better run
+(steady state: codegen/JIT warm, file listing cached) after a session
+warm-up touches every table so JVM startup isn't attributed to the
+first query; "queries_cold"/"value_cold" report the first run so
+round-over-round comparisons can't hide warm-up shifts.
 """
 
 from __future__ import annotations
@@ -34,13 +36,22 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name, fn in headline_queries().items():
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        # Release operator-managed caches after each query's runs so the
+        # bench session's storage footprint stays flat across queries
+        # (within a query, run 2 may legitimately reuse run 1's cache —
+        # that's the steady-state number).
+        release_managed_caches()
+        cold[name] = round(runs[0], 4)
         timings[name] = round(min(runs), 4)
 
     print(
@@ -50,6 +61,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
+                "value_cold": round(sum(cold.values()), 4),
                 "sf": float(sf),
             }
         )

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from cloud_dataflow_batch_processing_spark.caching import managed_cache
 from cloud_dataflow_batch_processing_spark.functions.text import (
     HASH_MOD as M,
     HASH_MULT,
@@ -160,11 +161,13 @@ def minhash_near_dup_pairs(
     sh_df = th_df.select(
         "__id", shingles_from_token_hashes(F.col("__th")).alias("__shl")
     )
-    base = sh_df.select(
-        "__id",
-        F.array_distinct("__shl").alias("__sh"),
-        *minhash_from_shingles(F.col("__shl")),
-    ).cache()
+    base = managed_cache(
+        sh_df.select(
+            "__id",
+            F.array_distinct("__shl").alias("__sh"),
+            *minhash_from_shingles(F.col("__shl")),
+        )
+    )
     sig_cols = [f"mh{j}" for j in range(NUM_HASHES)]
     bands = None
     for b in range(NUM_BANDS):
@@ -254,10 +257,9 @@ def simhash_near_dup_pairs(
     one exact chunk — join per chunk, verify true distance."""
     chunks = max_hamming + 1
     width = SIMHASH_BITS // chunks
-    base = (
+    base = managed_cache(
         df.select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
         .select("__id", simhash_from_token_hashes(F.col("__th")).alias("__sim"))
-        .cache()
     )
     bands = None
     for c in range(chunks):

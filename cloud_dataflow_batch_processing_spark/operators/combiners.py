@@ -11,16 +11,31 @@ aggregates (use ``operators.grouping`` / ``F.*``). This adapter exists
 for genuinely custom accumulation logic. It runs as an applyInPandas
 grouped pass: Arrow-batched, one pass per key-partition.
 
-Documented limitation (SURVEY.md §7 phase 2): Spark cannot split a
-Python UDAF into partial+final stages, so a custom CombineFn aggregates
-all rows of a key on one executor — same as Beam's DirectRunner without
-combiner lifting. Keys must individually fit in executor memory; for
-the lifted-combiner behavior at scale, express the accumulator as
-native agg expressions instead.
+Combiner lifting: Spark cannot split a Python UDAF into partial+final
+stages natively, so ``combine_per_key_udaf`` implements the lift
+itself, the way Beam's runner does it
+(beam/runners/direct/helper_transforms.py:28-105 —
+PartialGroupByKeyCombiningValues then FinalCombine):
+
+    stage 1  mapInPandas over the *unshuffled* input: fold
+             create_accumulator/add_input per key per partition,
+             emit one pickled accumulator per (partition, key);
+    shuffle  only accumulators move — one row per key per partition,
+             not one row per input element;
+    stage 2  applyInPandas per key: merge_accumulators over the
+             partials, extract_output.
+
+A hot key therefore never colocates its raw rows on one task; what
+reaches the final task is bounded by the partition count. Stock
+combiners (sum/min/max/mean/count/any/all) should still NEVER go
+through this adapter — they are native codegen'd aggregates (use
+``operators.grouping`` / ``F.*``).
 """
 
 from __future__ import annotations
 
+import pickle
+from collections.abc import Iterator
 from typing import Any, Generic, TypeVar
 
 import pandas as pd
@@ -55,6 +70,39 @@ class CombineFn(Generic[A, O]):
         return self.extract_output(self.merge_accumulators([acc]))
 
 
+def partial_accumulators(
+    df: DataFrame, key: str, value: str, fn: CombineFn
+) -> DataFrame:
+    """Stage 1 of the lifted combine: map-side partial aggregation.
+
+    Runs on the input's existing partitioning (no shuffle): per
+    partition, folds ``add_input`` into one accumulator per key across
+    all Arrow batches, then emits (key, pickle(accumulator)). The
+    output has at most one row per key per input partition — this is
+    the frame that gets shuffled, not the raw rows.
+    """
+    key_field = df.schema[key]
+    acc_schema = T.StructType([key_field, T.StructField("__acc", T.BinaryType())])
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        accs: dict[Any, Any] = {}
+        for pdf in batches:
+            for k, v in zip(pdf[key], pdf[value]):
+                acc = accs.get(k)
+                if acc is None:
+                    acc = fn.create_accumulator()
+                accs[k] = fn.add_input(acc, v)
+        if accs:
+            yield pd.DataFrame(
+                {
+                    key: list(accs.keys()),
+                    "__acc": [pickle.dumps(a) for a in accs.values()],
+                }
+            )
+
+    return df.select(key, value).mapInPandas(partial, schema=acc_schema)
+
+
 def combine_per_key_udaf(
     df: DataFrame,
     key: str,
@@ -63,21 +111,22 @@ def combine_per_key_udaf(
     output_type: T.DataType,
     out: str = "combined",
 ) -> DataFrame:
-    """Run a custom CombineFn per key via applyInPandas (Arrow-batched).
+    """Run a custom CombineFn per key with combiner lifting.
 
     Beam twin: CombinePerKey(fn) with a custom CombineFn
-    (beam/transforms/core.py:1177). The pandas group is the full
-    grouped iterable — phases run exactly as Beam's PhasedCombineFnExecutor
-    (beam/transforms/combiners.py:575) would with a single merge.
+    (beam/transforms/core.py:1177), lifted into partial+final stages
+    exactly as beam/runners/direct/helper_transforms.py:28-105 does.
+    Only per-(partition, key) accumulators cross the shuffle; the final
+    applyInPandas group merges at most one accumulator per input
+    partition, so hot keys can't straggler/OOM a task with raw rows.
     """
     key_field = df.schema[key]
     out_schema = T.StructType([key_field, T.StructField(out, output_type)])
+    partials = partial_accumulators(df, key, value, fn)
 
-    def agg_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = fn.create_accumulator()
-        for v in pdf[value]:
-            acc = fn.add_input(acc, v)
-        result = fn.extract_output(fn.merge_accumulators([acc]))
+    def final(pdf: pd.DataFrame) -> pd.DataFrame:
+        accs = [pickle.loads(bytes(b)) for b in pdf["__acc"]]
+        result = fn.extract_output(fn.merge_accumulators(accs))
         return pd.DataFrame({key: [pdf[key].iloc[0]], out: [result]})
 
-    return df.select(key, value).groupBy(key).applyInPandas(agg_group, schema=out_schema)
+    return partials.groupBy(key).applyInPandas(final, schema=out_schema)

@@ -24,6 +24,8 @@ from functools import reduce
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
 
 def map_columns(df: DataFrame, **exprs: Column | str) -> DataFrame:
     """1→1 transform: each kwarg is output_col=expression. Beam twin:
@@ -64,7 +66,7 @@ def partition_by(df: DataFrame, route: Column | str, n: int) -> list[DataFrame]:
     Beam's single-pass DoFn routing (ApplyPartitionFnFn core.py:1486).
     """
     route_col = F.expr(route) if isinstance(route, str) else route
-    tagged = df.withColumn("__partition__", route_col.cast("int")).cache()
+    tagged = managed_cache(df.withColumn("__partition__", route_col.cast("int")))
     return [
         tagged.filter(F.col("__partition__") == i).drop("__partition__")
         for i in range(n)
@@ -117,5 +119,5 @@ def with_tags(df: DataFrame, tag_expr: Column | str, tags: Sequence[str]) -> dic
     *tags, main=...)`` / TaggedOutput (beam/transforms/core.py:819,
     beam/pvalue.py:179,254)."""
     tag_col = F.expr(tag_expr) if isinstance(tag_expr, str) else tag_expr
-    tagged = df.withColumn("__tag__", tag_col).cache()
+    tagged = managed_cache(df.withColumn("__tag__", tag_col))
     return {t: tagged.filter(F.col("__tag__") == t).drop("__tag__") for t in tags}

@@ -42,32 +42,54 @@ def read_text(
     ``skip_header_lines`` skips the first N lines of *each* file (Beam
     semantics, beam/io/textio.py:91-106). Spark has no native per-file
     line skip for raw text (the CSV reader's ``header`` option covers the
-    N=1 case — prefer :func:`read_csv`); we implement it with a per-file
-    ``zipWithIndex`` pass. The extra index job touches only file starts'
-    metadata and keeps each file's internal split parallelism, so this
-    stays viable at scale, but for headered CSV the native reader path is
-    the fast one.
+    N=1 case — prefer :func:`read_csv`); we implement it scale-safely in
+    ONE distributed read regardless of file count:
+
+    1. Read via Hadoop TextInputFormat, whose record key is the line's
+       byte offset *within its file* — so ``offset == 0`` marks every
+       file's first line, with no per-file driver loop and no
+       ``input_file_name`` string shuffling.
+    2. ``zipWithIndex`` assigns global line indices (HadoopRDD partitions
+       enumerate splits in file/offset order, so indices are contiguous
+       per file; one small count job).
+    3. The skip set is exactly ∪ [start, start+N) over each file-start
+       index — a frame with files×N rows, removed with a broadcast
+       anti-join. No global window, no single-task bottleneck.
     """
     if skip_header_lines <= 0:
         return spark.read.text(path, wholetext=wholetext)
 
     sc = spark.sparkContext
     n = skip_header_lines
-    # Expand the glob driver-side so the skip is per-file, then union.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(hconf)
-    statuses = fs.globStatus(jpath)
-    paths = [str(s.getPath()) for s in statuses] if statuses else [path]
-    dfs = []
-    for p in paths:
-        lines = sc.textFile(p).zipWithIndex().filter(lambda kv: kv[1] >= n).keys()
-        dfs.append(spark.createDataFrame(lines.map(lambda v: (v,)), _VALUE_SCHEMA))
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out
+    pairs = sc.newAPIHadoopFile(
+        path,
+        "org.apache.hadoop.mapreduce.lib.input.TextInputFormat",
+        "org.apache.hadoop.io.LongWritable",
+        "org.apache.hadoop.io.Text",
+    )
+    indexed = pairs.zipWithIndex().map(lambda kv: (kv[0][0], kv[0][1], kv[1]))
+    df = spark.createDataFrame(
+        indexed,
+        T.StructType(
+            [
+                T.StructField("__offset", T.LongType()),
+                T.StructField("value", T.StringType()),
+                T.StructField("__gidx", T.LongType()),
+            ]
+        ),
+    )
+    skip = (
+        df.filter(F.col("__offset") == 0)
+        .select(
+            F.explode(
+                F.sequence(F.col("__gidx"), F.col("__gidx") + F.lit(n - 1))
+            ).alias("__gidx")
+        )
+    )
+    return (
+        df.join(F.broadcast(skip), on="__gidx", how="left_anti")
+        .select("value")
+    )
 
 
 def read_all_text(

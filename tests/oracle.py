@@ -86,6 +86,8 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
 
     queries()  # populate submodule registries
 
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+
     con = duckdb_con(sf_dir)
     failures: dict[str, list[str]] = {}
     for name, q in REGISTRY.items():
@@ -94,6 +96,7 @@ def run_parity(spark, sf_dir: str, names: list[str] | None = None) -> dict[str, 
         if not q.oracle:
             continue
         spark_pdf = q.fn(spark, sf_dir).toPandas()
+        release_managed_caches()  # keep session storage flat across queries
         oracle_pdf = con.execute(q.oracle).df()
         errs = compare_frames(spark_pdf, oracle_pdf, name)
         if errs:

@@ -34,6 +34,23 @@ def test_read_text_skip_header_per_file(spark, tmp_path):
     assert not any(v.startswith("HEADER") for v in vals)
 
 
+def test_read_text_skip_multiline_header_uneven_files(spark, tmp_path):
+    """Scale-safe multi-line skip (VERDICT r1 #5): one distributed read,
+    N>1 header lines, files of very different sizes (exercises the
+    per-file-contiguity assumption of the global index), and a file
+    shorter than the header."""
+    d = tmp_path / "txt2"
+    d.mkdir()
+    sizes = {0: 50, 1: 3, 2: 0}  # body lines per file; file 2 is header-only
+    for i, body in sizes.items():
+        lines = [f"H{i}_1", f"H{i}_2"] + [f"body_{i}_{j}" for j in range(body)]
+        (d / f"g{i}.txt").write_text("\n".join(lines) + "\n")
+    out = read_text(spark, str(d / "*.txt"), skip_header_lines=2)
+    vals = sorted(r.value for r in out.collect())
+    want = sorted(f"body_{i}_{j}" for i, body in sizes.items() for j in range(body))
+    assert vals == want
+
+
 def test_read_text_plain(spark, tmp_path):
     p = tmp_path / "a.txt"
     p.write_text("x\ny\n")

@@ -62,3 +62,36 @@ def test_rolling_hash_matches_python_model(spark):
     df = spark.createDataFrame([(s,) for s in samples], "s string")
     got = [r.h for r in df.select(rolling_hash("s").alias("h")).collect()]
     assert got == [_py_rolling_hash(s) for s in samples]
+
+
+def test_rolling_hash_code_points_non_bmp(spark):
+    """Code-point semantics beyond the BMP: Spark's split('')+ascii must
+    iterate full code points (one 128512 for an emoji, never a surrogate
+    pair), matching both the Python model (ord) and the DuckDB twin
+    (unicode(substring(...))). Pins the behavior so a Spark upgrade that
+    regressed to UTF-16 code-unit iteration would fail here, not in the
+    driver's dedup hash checks."""
+    import duckdb
+
+    from cloud_dataflow_batch_processing_spark.functions.text import (
+        rolling_hash,
+        rolling_hash_sql,
+    )
+
+    samples = [
+        "a\U0001F600b",            # astral emoji between ASCII
+        "\U0001F600\U0001F680",    # consecutive astral
+        "héllo wörld",   # latin-1 supplement
+        "日本語",      # CJK (BMP)
+        "\U0001D518\U0001D52B",    # mathematical alphanumerics (astral)
+        "text \U0001F389 done",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = [r.h for r in df.select(rolling_hash("s").alias("h")).collect()]
+    assert got == [_py_rolling_hash(s) for s in samples]
+    con = duckdb.connect()
+    duck = [
+        con.execute(f"SELECT {rolling_hash_sql('s')} FROM (SELECT ? AS s)", [s]).fetchone()[0]
+        for s in samples
+    ]
+    assert got == duck
