@@ -140,6 +140,7 @@ def minhash_near_dup_pairs(
     text_col: str,
     threshold: float = 0.8,
     max_bucket_size: int = 1000,
+    fast_hashing: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
 
@@ -150,6 +151,10 @@ def minhash_near_dup_pairs(
     ``max_bucket_size`` drops degenerate buckets (all-identical
     boilerplate) before the join — at 100 TB a single mega-bucket would
     otherwise produce a quadratic pair blowup.
+
+    ``fast_hashing`` swaps the HOF token-hash stage for the Arrow-
+    batched pandas_udf twin (``functions/text_fast.py``) — identical
+    values, so the same oracle verifies both paths; bench carries both.
     """
     # Staged plan — each expensive array is computed once per row:
     #   stage 1: char-fold token hashes   (the dominant cost)
@@ -157,7 +162,15 @@ def minhash_near_dup_pairs(
     #   stage 3: 16 minhash lanes + distinct shingle set
     # then cache: the band explosion, bucket sizing, and the pair join
     # all reuse the signature frame instead of recomputing it 6x.
-    th_df = df.select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
+    if fast_hashing:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            token_hashes_fast,
+        )
+
+        th_expr = token_hashes_fast(F.col(text_col))
+    else:
+        th_expr = token_hashes(text_col)
+    th_df = df.select(F.col(id_col).alias("__id"), th_expr.alias("__th"))
     sh_df = th_df.select(
         "__id", shingles_from_token_hashes(F.col("__th")).alias("__shl")
     )

@@ -70,6 +70,21 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_pairs_fast",
+    oracle=D.minhash_pipeline_sql(threshold=0.8),
+    headline=True,
+)
+def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same MinHash-LSH pipeline with the Arrow-batched pandas_udf
+    token-hash stage (functions/text_fast.py) instead of the
+    interpreted HOF fold. Values are bit-identical, so the SAME DuckDB
+    oracle verifies this path; bench reports both so the HOF-vs-Arrow
+    trade is measured at sf0.1, not guessed (VERDICT r1 #5)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8, fast_hashing=True)
+
+
+@register(
     "dedup_simhash",
     oracle=f"""
     WITH th_t AS (

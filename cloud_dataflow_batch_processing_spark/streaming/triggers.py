@@ -20,6 +20,13 @@ module provides is the *useful subset*, built from Spark primitives:
 - ``AfterCount(n)`` per key ≡ ``fire_after_count``: keyed state
   buffers n elements, emits one accumulated pane per n (Repeatedly-
   wrapped count trigger, ACCUMULATING).
+- ``AfterAny(AfterCount(n), AfterProcessingTime(d))`` ≡
+  ``fire_after_any``: keyed state + a processing-time timeout — the
+  count leg fires inline as elements arrive; the time leg fires via
+  ``GroupStateTimeout.ProcessingTimeTimeout`` when a partial pane has
+  been pending for ``d`` (the most common remaining Beam combinator,
+  trigger.py:592 — "emit every n records or every d seconds,
+  whichever comes first").
 
 Late firings (``late=``) are unreachable with allowed_lateness
 hardcoded to 0 in the reference (beam/transforms/core.py:1571), so
@@ -119,4 +126,80 @@ def fire_after_count(
         state_schema="buffered long, total double, panes long",
         output_schema="key long, pane long, n_elements long, total double",
         output_mode="append",
+    )
+
+
+def fire_after_any(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n: int,
+    processing_time_ms: int,
+) -> DataFrame:
+    """AfterAny(AfterCount(n), AfterProcessingTime(d)), Repeatedly,
+    ACCUMULATING (beam/transforms/trigger.py:592 AfterAny, :272
+    AfterProcessingTime, :430 AfterCount).
+
+    Per key, a pane fires when EITHER n new elements have arrived since
+    the last firing (cause='count', emitted inline) OR a partial pane
+    has been pending for ``processing_time_ms`` (cause='time', emitted
+    through the state timeout — Beam's processing-time timer). Panes
+    are accumulating: each carries the lifetime element count and sum.
+    Output: (key, pane, cause, n_elements, total).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        rows = {"key": [], "pane": [], "cause": [], "n_elements": [], "total": []}
+
+        def fire(cause: str, panes: int, count_all: int, total: float) -> None:
+            rows["key"].append(key[0])
+            rows["pane"].append(panes)
+            rows["cause"].append(cause)
+            rows["n_elements"].append(count_all)
+            rows["total"].append(total)
+
+        import time as _time
+
+        if state.hasTimedOut:
+            pending, total, count_all, panes, _pane_start = state.get
+            if pending > 0:
+                panes += 1
+                fire("time", panes, count_all, total)
+            state.update((0, total, count_all, panes, 0))
+            # No new timer until the next element starts a new pane.
+        else:
+            pending, total, count_all, panes, pane_start = (
+                state.get if state.exists else (0, 0.0, 0, 0, 0)
+            )
+            for pdf in pdfs:
+                for v in pdf[value_col]:
+                    if pending == 0:
+                        pane_start = int(_time.time() * 1000)
+                    pending += 1
+                    count_all += 1
+                    total += float(v)
+                    if pending >= n:
+                        panes += 1
+                        fire("count", panes, count_all, total)
+                        pending = 0
+                        pane_start = 0
+            state.update((pending, total, count_all, panes, pane_start))
+            if pending > 0:
+                # Arm the time leg relative to the pane's FIRST element
+                # (AfterProcessingTime semantics) — a trickle of later
+                # elements must not push the deadline back.
+                remaining = pane_start + processing_time_ms - int(_time.time() * 1000)
+                state.setTimeoutDuration(max(1, remaining))
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return stateful_transform(
+        df,
+        [key_col],
+        update,
+        state_schema="pending long, total double, count_all long, panes long, pane_start long",
+        output_schema="key long, pane long, cause string, n_elements long, total double",
+        output_mode="append",
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
     )

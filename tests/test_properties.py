@@ -95,3 +95,32 @@ def test_rolling_hash_code_points_non_bmp(spark):
         for s in samples
     ]
     assert got == duck
+
+
+def test_fast_hash_twins_value_identical(spark):
+    """The Arrow-batched pandas_udf twins must be bit-identical to the
+    HOF expressions — that identity is what lets the same DuckDB oracle
+    verify both the slow and fast dedup paths."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import token_hashes
+    from cloud_dataflow_batch_processing_spark.functions.text import rolling_hash
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        rolling_hash_fast,
+        token_hashes_fast,
+    )
+
+    samples = [
+        "", "a", "  spaced   out  ", "the quick brown fox", "emoji \U0001F600 here",
+        "repeat repeat repeat repeat", "tabs\tand\nnewlines mixed",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        rolling_hash("s").alias("slow_h"),
+        rolling_hash_fast(F.col("s")).alias("fast_h"),
+        token_hashes("s").alias("slow_th"),
+        token_hashes_fast(F.col("s")).alias("fast_th"),
+    ).collect()
+    for r in rows:
+        assert r.slow_h == r.fast_h
+        assert list(r.slow_th) == list(r.fast_th)
