@@ -95,3 +95,39 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     within hyperplane buckets (the candidate set), threshold 0.2."""
     emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 200)
     return S.lsh_bucketed_pairs(emb, min_cosine=0.2)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND({S.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.9
+    ),
+    dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT d.lang, COUNT(*) AS n_kept, CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    GROUP BY d.lang
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal — the semantic-dedup
+    flavor (vs the lexical MinHash/SimHash paths): LSH hyperplane
+    buckets prune candidates, exact cosine >= 0.9 marks near-dups, the
+    higher vec_id of each pair is dropped, and the kept corpus is
+    profiled per language. embeddings.vec_id aligns 1:1 with
+    documents.doc_id in the test data. Scale posture: bucket-key join
+    only (no all-pairs), anti-join on the dropped side."""
+    t = load_tables(spark, sf_dir)
+    pairs = S.lsh_bucketed_pairs(t["embeddings"], min_cosine=0.9)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = t["documents"].join(dropped, on="doc_id", how="left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars")
+    )

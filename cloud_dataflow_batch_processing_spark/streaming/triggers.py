@@ -27,6 +27,17 @@ module provides is the *useful subset*, built from Spark primitives:
   been pending for ``d`` (the most common remaining Beam combinator,
   trigger.py:592 — "emit every n records or every d seconds,
   whichever comes first").
+- ``AfterAll(AfterCount(n), AfterProcessingTime(d))`` ≡
+  ``fire_after_all`` (trigger.py:608): a pane fires only once BOTH
+  legs are satisfied — n elements buffered AND d elapsed since the
+  pane opened.
+- ``Repeatedly(AfterEach(AfterCount(n1), AfterCount(n2), ...))`` ≡
+  ``fire_after_each_counts`` (trigger.py:571): sub-triggers govern
+  panes in sequence, cycling.
+- ``AfterCount(n).or_finally(AfterCount(m))`` ≡ ``fire_or_finally``
+  (trigger.py:676): repeated n-panes until the finally leg (lifetime
+  count m) fires one closing pane, after which the trigger is
+  finished and later elements never fire again.
 
 Late firings (``late=``) are unreachable with allowed_lateness
 hardcoded to 0 in the reference (beam/transforms/core.py:1571), so
@@ -202,4 +213,182 @@ def fire_after_any(
         output_schema="key long, pane long, cause string, n_elements long, total double",
         output_mode="append",
         timeout=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def fire_after_all(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n: int,
+    processing_time_ms: int,
+) -> DataFrame:
+    """AfterAll(AfterCount(n), AfterProcessingTime(d)), Repeatedly,
+    ACCUMULATING (beam/transforms/trigger.py:608): a pane fires only
+    when BOTH legs are satisfied — at least n elements buffered AND d
+    elapsed since the pane's first element. Whichever leg completes
+    last delivers the firing: the count leg fires inline if the clock
+    already expired; otherwise the armed timeout fires once the count
+    is already there. Output: (key, pane, n_elements, total).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        import time as _time
+
+        rows = {"key": [], "pane": [], "n_elements": [], "total": []}
+
+        def fire(panes: int, count_all: int, total: float) -> None:
+            rows["key"].append(key[0])
+            rows["pane"].append(panes)
+            rows["n_elements"].append(count_all)
+            rows["total"].append(total)
+
+        now_ms = int(_time.time() * 1000)
+        if state.hasTimedOut:
+            pending, total, count_all, panes, pane_start = state.get
+            if pending >= n:  # count leg already satisfied → fire now
+                panes += 1
+                fire(panes, count_all, total)
+                pending, pane_start = 0, 0
+            elif pending > 0:
+                # Time leg satisfied first; record it by zeroing
+                # pane_start — the count leg will fire inline later.
+                pane_start = -1
+            state.update((pending, total, count_all, panes, pane_start))
+        else:
+            pending, total, count_all, panes, pane_start = (
+                state.get if state.exists else (0, 0.0, 0, 0, 0)
+            )
+            for pdf in pdfs:
+                for v in pdf[value_col]:
+                    if pending == 0:
+                        pane_start = now_ms
+                    pending += 1
+                    count_all += 1
+                    total += float(v)
+                    time_ok = pane_start == -1 or now_ms >= pane_start + processing_time_ms
+                    if pending >= n and time_ok:
+                        panes += 1
+                        fire(panes, count_all, total)
+                        pending, pane_start = 0, 0
+            state.update((pending, total, count_all, panes, pane_start))
+            if pending > 0 and pane_start > 0:
+                remaining = pane_start + processing_time_ms - now_ms
+                state.setTimeoutDuration(max(1, remaining))
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return stateful_transform(
+        df,
+        [key_col],
+        update,
+        state_schema="pending long, total double, count_all long, panes long, pane_start long",
+        output_schema="key long, pane long, n_elements long, total double",
+        output_mode="append",
+        timeout=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def fire_after_each_counts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    counts: list[int],
+) -> DataFrame:
+    """Repeatedly(AfterEach(AfterCount(n1), AfterCount(n2), ...)),
+    ACCUMULATING (beam/transforms/trigger.py:571): the sub-triggers
+    govern successive panes in order, cycling — pane 1 after n1
+    elements, pane 2 after n2 more, ... Output:
+    (key, pane, sub_trigger, n_elements, total).
+    """
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        pending, total, count_all, panes = (
+            state.get if state.exists else (0, 0.0, 0, 0)
+        )
+        rows = {"key": [], "pane": [], "sub_trigger": [], "n_elements": [], "total": []}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                pending += 1
+                count_all += 1
+                total += float(v)
+                sub = panes % len(counts)
+                if pending >= counts[sub]:
+                    panes += 1
+                    rows["key"].append(key[0])
+                    rows["pane"].append(panes)
+                    rows["sub_trigger"].append(sub)
+                    rows["n_elements"].append(count_all)
+                    rows["total"].append(total)
+                    pending = 0
+        state.update((pending, total, count_all, panes))
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return stateful_transform(
+        df,
+        [key_col],
+        update,
+        state_schema="pending long, total double, count_all long, panes long",
+        output_schema="key long, pane long, sub_trigger int, n_elements long, total double",
+        output_mode="append",
+    )
+
+
+def fire_or_finally(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n: int,
+    final_count: int,
+) -> DataFrame:
+    """AfterCount(n).or_finally(AfterCount(final_count)), ACCUMULATING
+    (beam/transforms/trigger.py:676 OrFinally): the repeated trigger
+    fires an accumulated pane every n elements until the finally leg's
+    lifetime count is reached — that firing (cause='finally') closes
+    the trigger; later elements update nothing and never fire.
+    Output: (key, pane, cause, n_elements, total).
+    """
+
+    def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        pending, total, count_all, panes, finished = (
+            state.get if state.exists else (0, 0.0, 0, 0, False)
+        )
+        rows = {"key": [], "pane": [], "cause": [], "n_elements": [], "total": []}
+
+        def fire(cause: str) -> None:
+            rows["key"].append(key[0])
+            rows["pane"].append(panes)
+            rows["cause"].append(cause)
+            rows["n_elements"].append(count_all)
+            rows["total"].append(total)
+
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if finished:
+                    continue
+                pending += 1
+                count_all += 1
+                total += float(v)
+                if count_all >= final_count:
+                    panes += 1
+                    fire("finally")
+                    finished = True
+                    pending = 0
+                elif pending >= n:
+                    panes += 1
+                    fire("count")
+                    pending = 0
+        state.update((pending, total, count_all, panes, finished))
+        if rows["key"]:
+            yield pd.DataFrame(rows)
+
+    return stateful_transform(
+        df,
+        [key_col],
+        update,
+        state_schema="pending long, total double, count_all long, panes long, finished boolean",
+        output_schema="key long, pane long, cause string, n_elements long, total double",
+        output_mode="append",
     )

@@ -126,3 +126,100 @@ def test_fire_after_any_both_causes(spark, tmp_path):
         assert rows.get((2, "time")) == (4, 10.0)
     finally:
         q.stop()
+
+
+def test_fire_after_all_waits_for_both_legs(spark, tmp_path):
+    """AfterAll(AfterCount(3), AfterProcessingTime(2s)): the count leg
+    is satisfied immediately by a 4-element burst, but the pane must
+    NOT fire until the 2s clock has also run — the firing arrives via
+    the state timeout carrying all 4 elements."""
+    import time
+
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import fire_after_all
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, 1.0), (1, 2.0), (1, 3.0), (1, 4.0)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_after_all(sdf, "user_id", "value", n=3, processing_time_ms=2000)
+        .writeStream.format("memory")
+        .queryName("after_all")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        t0 = time.time()
+        first_seen = None
+        while time.time() - t0 < 60 and first_seen is None:
+            if spark.sql("SELECT COUNT(*) FROM after_all").head()[0] > 0:
+                first_seen = time.time()
+            time.sleep(0.2)
+        assert first_seen is not None, "pane never fired"
+        rows = [
+            (r.pane, r.n_elements, r.total)
+            for r in spark.sql("SELECT * FROM after_all").collect()
+        ]
+        assert rows == [(1, 4, 10.0)]  # one pane, all 4 elements, after the clock
+    finally:
+        q.stop()
+
+
+def test_fire_after_each_counts_sequence(spark, tmp_path):
+    """Repeatedly(AfterEach(AfterCount(2), AfterCount(3))): panes fire
+    after 2, then 3 more, then 2 again — cycling through the
+    sub-trigger sequence."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        fire_after_each_counts,
+    )
+
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), []
+    spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 9)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_after_each_counts(sdf, "user_id", "value", counts=[2, 3])
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.pane, r.sub_trigger, r.n_elements, r.total) for r in sorted(out, key=lambda r: r.pane)]
+    # 8 elements: pane1 after 2 (sub 0), pane2 after 3 more (sub 1, 5 seen),
+    # pane3 after 2 more (sub 0, 7 seen); the 8th stays pending.
+    assert got == [(1, 0, 2, 3.0), (2, 1, 5, 15.0), (3, 0, 7, 28.0)]
+
+
+def test_fire_or_finally_closes_trigger(spark, tmp_path):
+    """AfterCount(2).or_finally(AfterCount(5)): repeated 2-panes until
+    the finally leg at 5 lifetime elements fires the closing pane; the
+    remaining elements never fire anything."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import fire_or_finally
+
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), []
+    spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 10)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_or_finally(sdf, "user_id", "value", n=2, final_count=5)
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.pane, r.cause, r.n_elements, r.total) for r in sorted(out, key=lambda r: r.pane)]
+    # panes at 2 and 4 elements (count), closing pane at 5 (finally);
+    # elements 6..9 arrive after the trigger finished -> nothing.
+    assert got == [(1, "count", 2, 3.0), (2, "count", 4, 10.0), (3, "finally", 5, 15.0)]
