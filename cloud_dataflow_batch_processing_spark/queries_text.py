@@ -105,3 +105,100 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("doc_id") < 100).select(
         "doc_id", X.doc_fingerprint("text").alias("fp")
     )
+
+
+@register(
+    "text_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {X.tokens_sql('text')} AS t FROM documents WHERE doc_id < 200
+    ),
+    unnested AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, 24)) AS s FROM toks
+    ),
+    starts AS (
+      SELECT doc_id, t, CAST(s AS BIGINT) AS start,
+             CAST((s - 1) / 24 AS BIGINT) AS chunk_id
+      FROM unnested
+    )
+    SELECT doc_id, chunk_id,
+           len(list_slice(t, start, LEAST(start + 31, len(t)))) AS n_chunk_tokens,
+           array_to_string(list_slice(t, start, LEAST(start + 31, len(t))), ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking — the LLM-training split step: each
+    document becomes overlapping 32-token chunks on a 24-token stride
+    (8 tokens of overlap). Pure per-row codegen (tokens → sequence of
+    starts → posexplode → slice + join); no shuffle, embarrassingly
+    parallel at any corpus size. The oracle regenerates every chunk
+    string, so a hash match pins tokenization, stride arithmetic, and
+    slice truncation."""
+    chunk, stride = 32, 24
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", X.tokens("text").alias("t")).filter(F.size("t") > 0)
+    starts = toks.select(
+        "doc_id",
+        "t",
+        F.posexplode(F.sequence(F.lit(1), F.size("t"), F.lit(stride))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    sliced = F.slice(F.col("t"), F.col("start"), chunk)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sliced).alias("n_chunk_tokens"),
+        F.array_join(sliced, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id,
+             CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+                      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    binned AS (
+      SELECT source, doc_id, n_tok,
+             CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+               AS bin_id
+      FROM sized
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY source, bin_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the LLM-training batch-assembly step: within
+    each source shard, documents are packed in doc_id order into
+    512-token bins by the streaming rule "a document belongs to the bin
+    its running-token offset falls in" (the standard one-pass packer;
+    exact bin packing is NP-hard and order-destroying). Scale posture:
+    the running sum is windowed PER SOURCE SHARD — shards process in
+    parallel and a 100 TB corpus packs shard-by-shard with no global
+    ordering bottleneck."""
+    from pyspark.sql import Window
+
+    budget = 512
+    d = load_tables(spark, sf_dir)["documents"]
+    sized = d.select("source", "doc_id", X.token_count("text").cast("long").alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = sized.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / budget).cast("long"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )

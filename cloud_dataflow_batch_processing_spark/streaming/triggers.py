@@ -107,11 +107,21 @@ def fire_after_count(
     key_col: str,
     value_col: str,
     n: int,
+    accumulation_mode: str = "accumulating",
 ) -> DataFrame:
-    """AfterCount(n), Repeatedly, ACCUMULATING: per key, emit the
-    accumulated (count, sum) pane each time n new elements arrive.
+    """AfterCount(n), Repeatedly (beam/transforms/trigger.py:430,475)
+    with both accumulation modes (trigger.py:62 AccumulationMode):
+
+    - ``accumulating``: each pane carries the key's lifetime
+      (count, sum) — Beam's ACCUMULATING panes;
+    - ``discarding``: each pane carries only the n elements since the
+      previous firing — pane state resets after every fire.
+
     Output: (key, pane, n_elements, total) — one row per fired pane.
     """
+    if accumulation_mode not in ("accumulating", "discarding"):
+        raise ValueError(f"unknown accumulation_mode {accumulation_mode!r}")
+    discarding = accumulation_mode == "discarding"
 
     def update(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         buffered, total, panes = state.get if state.exists else (0, 0.0, 0)
@@ -120,12 +130,16 @@ def fire_after_count(
             for v in pdf[value_col]:
                 buffered += 1
                 total += float(v)
+                # In discarding mode `buffered` resets per pane, so both
+                # modes fire on the same condition.
                 if buffered % n == 0:
                     panes += 1
                     rows["key"].append(key[0])
                     rows["pane"].append(panes)
                     rows["n_elements"].append(buffered)
                     rows["total"].append(total)
+                    if discarding:
+                        buffered, total = 0, 0.0
         state.update((buffered, total, panes))
         if rows["key"]:
             yield pd.DataFrame(rows)

@@ -223,3 +223,32 @@ def test_fire_or_finally_closes_trigger(spark, tmp_path):
     # panes at 2 and 4 elements (count), closing pane at 5 (finally);
     # elements 6..9 arrive after the trigger finished -> nothing.
     assert got == [(1, "count", 2, 3.0), (2, "count", 4, 10.0), (3, "finally", 5, 15.0)]
+
+
+def test_fire_after_count_discarding_mode(spark, tmp_path):
+    """DISCARDING accumulation (beam/transforms/trigger.py:62): each
+    pane carries only the elements since the last firing, unlike the
+    ACCUMULATING lifetime totals asserted above."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        fire_after_count,
+    )
+
+    src, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), []
+    spark.createDataFrame(
+        [(1, float(v)) for v in range(1, 8)], "user_id long, value double"
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_after_count(sdf, "user_id", "value", n=3, accumulation_mode="discarding")
+        .writeStream.foreachBatch(lambda df, _id: out.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r.pane, r.n_elements, r.total) for r in sorted(out, key=lambda r: r.pane)]
+    # 7 values 1..7: pane1 = {1,2,3} (sum 6), pane2 = {4,5,6} (sum 15);
+    # the 7th stays pending. Each pane is a DELTA, not a lifetime total.
+    assert got == [(1, 3, 6.0), (2, 3, 15.0)]
