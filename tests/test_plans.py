@@ -99,3 +99,77 @@ def test_partitioned_write_prunes_partitions(spark, tables, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_type" in m.group(1), f"no partition filter: {plan[:1500]}"
     assert df.count() == tables["events"].filter("event_type = 'click'").count()
+
+
+def test_text_chunks_no_shuffle(spark, sf_dir):
+    """Context-window chunking must stay embarrassingly parallel:
+    per-row explode + slice, ZERO exchanges — at 100 TB this operator
+    must never shuffle the corpus."""
+    from cloud_dataflow_batch_processing_spark.plans import count_shuffles
+
+    df = REGISTRY["text_chunks"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    assert df.count() > 0
+
+
+def test_pack_sequences_shuffle_budget(spark, sf_dir):
+    """Sequence packing: one exchange for the per-shard running-sum
+    window, one for the final (source, bin) aggregate — nothing else.
+    A global (unpartitioned) window here would be the 100 TB
+    bottleneck; the partitionBy(source) keeps shards parallel."""
+    from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
+
+    df = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    assert count_shuffles(df) <= 2
+    # The window must be partitioned, not global: its exchange hashes
+    # on source, never a SinglePartition gather.
+    assert "SinglePartition" not in executed_plan(df)
+
+
+def test_avro_fallback_read_plan(spark, tmp_path):
+    """The pure-Python avro path must be Arrow-batched (MapInPandas
+    over a binaryFile scan), never a row-at-a-time Python UDF."""
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+    from cloud_dataflow_batch_processing_spark.sources.files import read_avro, write_avro
+
+    out = str(tmp_path / "plan_avro")
+    write_avro(spark.range(20).withColumnRenamed("id", "v"), out)
+    back = read_avro(spark, out + "/*.avro")
+    plan = executed_plan(back)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time UDF
+
+
+def test_lifted_combiner_plan_single_exchange(spark):
+    """The lifted CombineFn plan: MapInPandas (partial, pre-shuffle) ->
+    ONE hash exchange on the key carrying accumulators only ->
+    FlatMapGroupsInPandas (final merge)."""
+    from pyspark.sql import types as T
+
+    from cloud_dataflow_batch_processing_spark.operators.combiners import (
+        CombineFn,
+        combine_per_key_udaf,
+    )
+    from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
+
+    class SumFn(CombineFn):
+        def create_accumulator(self):
+            return 0
+
+        def add_input(self, acc, v):
+            return acc + int(v)
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    df = spark.range(100).selectExpr("CAST(id % 5 AS LONG) AS k", "id AS v")
+    out = combine_per_key_udaf(df, "k", "v", SumFn(), T.LongType())
+    plan = executed_plan(out)
+    assert count_shuffles(out) == 1
+    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas"), (
+        "partial MapInPandas must sit BELOW (after in toString order) the final "
+        "FlatMapGroupsInPandas, i.e. on the scan side of the exchange"
+    )
