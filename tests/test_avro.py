@@ -150,3 +150,46 @@ def test_spark_roundtrip_from_testdata(spark, sf_dir, tmp_path):
     want = nation.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()
     got = back.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n")).collect()
     assert sorted(want) == sorted(got)
+
+
+def test_container_roundtrip_property():
+    """Property test: random records over a mixed-type schema must
+    roundtrip exactly through the OCF codec, both codecs, any block
+    size."""
+    from hypothesis import given, settings, strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "i", "type": "long"},
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "bytes"},
+            {"name": "l", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+
+    rec = st.fixed_dictionaries(
+        {
+            "i": st.integers(min_value=-(2**62), max_value=2**62),
+            "s": st.one_of(st.none(), st.text(max_size=40)),
+            "d": st.floats(allow_nan=False, width=64),
+            "b": st.binary(max_size=30),
+            "l": st.lists(st.integers(min_value=-(2**31), max_value=2**31), max_size=8),
+        }
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        recs=st.lists(rec, max_size=25),
+        codec=st.sampled_from(["null", "deflate"]),
+        block=st.integers(min_value=1, max_value=7),
+    )
+    def check(recs, codec, block):
+        blob = A.write_container(recs, schema, codec=codec, block_records=block)
+        got_schema, got = A.read_container(blob)
+        assert got_schema == schema
+        assert got == recs
+
+    check()
