@@ -102,6 +102,46 @@ def early_and_final(
     return q_early, q_final
 
 
+def discarding_early_sink(sink, key_cols: list[str], value_cols: list[str]):
+    """Adapter turning an ACCUMULATING early-pane sink into a
+    DISCARDING one (beam/transforms/trigger.py:62 AccumulationMode.
+    DISCARDING): each delivered pane carries only the DELTA since the
+    key's previous pane — valid for additive aggregates (count/sum;
+    not min/max/mean), which is exactly the class Beam's discarding
+    mode recombines safely downstream.
+
+    Wrap the ``sink_early`` passed to :func:`early_and_final`::
+
+        early_and_final(build,
+                        discarding_early_sink(my_sink, ["w_start"], ["n"]),
+                        my_final_sink, ...)
+
+    State is held in the adapter (per query run — matches a trigger's
+    pane lineage, which is also per-run state in Beam's driver).
+    """
+    prev: dict[tuple, tuple] = {}
+
+    def wrapped(df, batch_id):
+        rows = df.collect()
+        if not rows:
+            return sink(df, batch_id)
+        out = []
+        for r in rows:
+            d = r.asDict()
+            k = tuple(d[c] for c in key_cols)
+            cur = tuple(d[c] for c in value_cols)
+            last = prev.get(k, tuple(0 for _ in value_cols))
+            prev[k] = cur
+            for c, cv, lv in zip(value_cols, cur, last):
+                d[c] = cv - lv
+            out.append(d)
+        spark = df.sparkSession
+        yield_df = spark.createDataFrame(out, schema=df.schema)
+        return sink(yield_df, batch_id)
+
+    return wrapped
+
+
 def fire_after_count(
     df: DataFrame,
     key_col: str,

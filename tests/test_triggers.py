@@ -252,3 +252,51 @@ def test_fire_after_count_discarding_mode(spark, tmp_path):
     # 7 values 1..7: pane1 = {1,2,3} (sum 6), pane2 = {4,5,6} (sum 15);
     # the 7th stays pending. Each pane is a DELTA, not a lifetime total.
     assert got == [(1, 3, 6.0), (2, 3, 15.0)]
+
+
+def test_discarding_early_panes(spark, tmp_path):
+    """DISCARDING early firings: each early pane carries only the delta
+    since the previous pane of the same window (additive aggregates),
+    while the final pane still reports the full on-time result."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        discarding_early_sink,
+    )
+
+    src = str(tmp_path / "in")
+    early_rows, final_rows = [], []
+
+    def build():
+        sdf = spark.readStream.schema("ts timestamp, user_id long, value double").json(src)
+        return tumbling(
+            with_watermark(sdf, "ts"), "ts", "1 hour", [],
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    sink = discarding_early_sink(
+        lambda df, _id: early_rows.extend(df.collect()), ["w_start"], ["n"]
+    )
+
+    def run_both():
+        qe, qf = early_and_final(
+            build,
+            sink,
+            lambda df, _id: final_rows.extend(df.collect()),
+            str(tmp_path / "cke"),
+            str(tmp_path / "ckf"),
+        )
+        qe.awaitTermination(120)
+        qf.awaitTermination(120)
+
+    h0 = 1704067200
+
+    _write(spark, src, [("2024-01-01 00:10:00", 1, 1.0), ("2024-01-01 00:20:00", 2, 1.0)])
+    run_both()
+    assert [(r.w_start, r.n) for r in early_rows] == [(h0, 2)]  # first pane: delta == total
+
+    _write(spark, src, [("2024-01-01 00:40:00", 1, 1.0), ("2024-01-01 02:00:00", 9, 1.0)])
+    run_both()
+    # Discarding: the second early pane for h0 carries ONLY the 1 new row.
+    h0_panes = [r.n for r in early_rows if r.w_start == h0]
+    assert h0_panes[0] == 2 and 1 in h0_panes[1:], f"expected delta pane, got {h0_panes}"
+    # The final pane is unaffected: full on-time count.
+    assert [(r.w_start, r.n) for r in final_rows if r.w_start == h0] == [(h0, 3)]
