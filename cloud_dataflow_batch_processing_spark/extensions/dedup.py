@@ -182,12 +182,18 @@ def minhash_near_dup_pairs(
         )
     )
     sig_cols = [f"mh{j}" for j in range(NUM_HASHES)]
-    bands = None
-    for b in range(NUM_BANDS):
-        part = base.select(
-            "__id", "__sh", F.lit(b).alias("band_id"), band_hash(sig_cols, b).alias("bh")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # ONE scan of the cached signature frame: explode an inline array of
+    # (band_id, band_hash) structs — the 4-way union formulation scans
+    # the cache once per band (4x the read at 100 TB) for the same rows.
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), band_hash(sig_cols, b).alias("bh"))
+            for b in range(NUM_BANDS)
+        ]
+    )
+    bands = base.select("__id", "__sh", F.explode(band_structs).alias("__b")).select(
+        "__id", "__sh", "__b.band_id", "__b.bh"
+    )
 
     # Guard degenerate buckets before the pair join.
     sizes = bands.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("__n"))
@@ -274,16 +280,21 @@ def simhash_near_dup_pairs(
         df.select(F.col(id_col).alias("__id"), token_hashes(text_col).alias("__th"))
         .select("__id", simhash_from_token_hashes(F.col("__th")).alias("__sim"))
     )
-    bands = None
-    for c in range(chunks):
-        mask = ((1 << width) - 1) << (c * width)
-        part = base.select(
-            "__id",
-            "__sim",
-            F.lit(c).alias("chunk_id"),
-            F.col("__sim").bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # Single-scan chunk explosion (same rationale as the minhash bands).
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk_id"),
+                F.col("__sim")
+                .bitwiseAND(F.lit(((1 << width) - 1) << (c * width)))
+                .alias("chunk_val"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    bands = base.select("__id", "__sim", F.explode(chunk_structs).alias("__c")).select(
+        "__id", "__sim", "__c.chunk_id", "__c.chunk_val"
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(
