@@ -202,3 +202,45 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("source", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )
+
+
+# Per-language keep-rates (per mille) for the mixing query: downsample
+# the dominant language, keep the tail — the standard LLM data-mixing
+# rebalance. Deterministic hash sampling so both engines agree exactly.
+_MIX_RATES = {"en": 400, "de": 800, "fr": 800, "es": 800, "zh": 1000}
+_MIX_A, _MIX_B, _MIX_M = 1103515245, 12345, 1_000_000_007
+
+
+@register(
+    "corpus_mix_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT * FROM documents
+      WHERE ((doc_id * {_MIX_A} + {_MIX_B}) % {_MIX_M}) % 1000 <
+            CASE lang {' '.join(f"WHEN '{l}' THEN {r}" for l, r in _MIX_RATES.items())}
+                 ELSE 0 END
+    )
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang
+    """,
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing — the data-rebalancing step of an LLM pipeline:
+    each language is kept at a configured rate (en downsampled to 40%,
+    tail languages boosted) via DETERMINISTIC hash sampling
+    ((doc_id·a+b) mod p mod 1000 < rate‰): reproducible across runs and
+    engines (no RNG), embarrassingly parallel, no shuffle before the
+    final small aggregate. Weighted-mixing twin of the random
+    Sample transforms (beam/transforms/combiners.py Sample)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    rate = F.create_map(
+        *[F.lit(x) for pair in _MIX_RATES.items() for x in pair]
+    )[F.col("lang")]
+    keep = ((F.col("doc_id") * _MIX_A + _MIX_B) % _MIX_M) % 1000 < F.coalesce(
+        rate, F.lit(0)
+    )
+    return (
+        d.filter(keep)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
