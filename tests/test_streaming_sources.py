@@ -126,3 +126,13 @@ def test_socket_stream_happy_path(spark):
         stop_evt.set()
         q.stop()
         server.close()
+
+
+def test_kafka_gated_error(spark):
+    """No spark-sql-kafka jar in this container: the kafka branch must
+    surface the documented actionable error (the socket test above
+    covers the normalized-contract happy path)."""
+    import pytest
+
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        read_stream(spark, "kafka", "some-topic")
