@@ -43,6 +43,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            {D.minhash_signature_sql()}[8] AS mh7
     FROM (SELECT doc_id, sh FROM sh_t) s
     """,
+    # All 16 lanes are driver-verified end-to-end by the pairs
+    # pipeline; the lane spot-check registers late.
+    late=True,
 )
 def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature values (spot-checking 3 of 16 hash lanes
@@ -59,14 +62,21 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_minhash_pairs",
     oracle=D.minhash_pipeline_sql(threshold=0.8),
     headline=True,
+    # The HOF oracle-reference twin of dedup_minhash_pairs_fast (same
+    # oracle, bit-identical values); the production-default fast path
+    # holds the primary driver row, this one registers late.
+    late=True,
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-duplicate detection: shingles → 16-lane
-    signature → 4 LSH bands → bucket self-join → exact Jaccard ≥ 0.8.
-    The driver's planted near-dup docs (shingle-Jaccard ≈ 0.99) surface
-    here; the oracle recomputes the identical pipeline in SQL."""
+    """MinHash-LSH near-duplicate detection with the pure-Column HOF
+    token-hash fold (fast_hashing=False) — the oracle-reference
+    variant: shingles → 16-lane signature → 4 LSH bands → bucket
+    self-join → exact Jaccard ≥ 0.8. The driver's planted near-dup
+    docs (shingle-Jaccard ≈ 0.99) surface here; the oracle recomputes
+    the identical pipeline in SQL. Kept in bench so the HOF-vs-Arrow
+    trade stays measured at sf0.1 (VERDICT r1 #5 / r2 #4)."""
     d = load_tables(spark, sf_dir)["documents"]
-    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8, fast_hashing=False)
 
 
 @register(
@@ -75,11 +85,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     headline=True,
 )
 def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same MinHash-LSH pipeline with the Arrow-batched pandas_udf
-    token-hash stage (functions/text_fast.py) instead of the
-    interpreted HOF fold. Values are bit-identical, so the SAME DuckDB
-    oracle verifies this path; bench reports both so the HOF-vs-Arrow
-    trade is measured at sf0.1, not guessed (VERDICT r1 #5)."""
+    """The production-default MinHash-LSH pipeline: the token-hash
+    stage runs as the Arrow-batched pandas_udf twin
+    (functions/text_fast.py) — the ``minhash_near_dup_pairs`` default
+    since round 3. Values are bit-identical to the HOF fold, so the
+    SAME DuckDB oracle verifies this path."""
     d = load_tables(spark, sf_dir)["documents"]
     return D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8, fast_hashing=True)
 
@@ -124,7 +134,8 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring → MinHash-LSH near-dup removal (anti-join on the dropped
     side of each pair) → language-ID corpus stats. Every stage is the
     same oracle-checked operator used standalone; this query checks
-    their composition."""
+    their composition. Runs the production default (Arrow-batched
+    fast_hashing) since round 3."""
     from cloud_dataflow_batch_processing_spark.functions.text import lang_id, quality_score
 
     d = load_tables(spark, sf_dir)["documents"]

@@ -19,6 +19,9 @@ from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
     UNION
     SELECT s_nationkey AS nationkey FROM supplier
     """,
+    # Flatten and RemoveDuplicates each have primary driver rows
+    # (union_all, distinct_values); their composition registers late.
+    late=True,
 )
 def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flatten + RemoveDuplicates = UNION DISTINCT
@@ -91,6 +94,9 @@ def combine_globally_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn
       FROM orders) t WHERE rn <= 5
     """,
+    # Sample has a primary driver row (sample_deterministic); the
+    # per-key variant registers late.
+    late=True,
 )
 def sample_per_key_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample.FixedSizePerKey's oracle-checkable stand-in (combiners.py:
@@ -328,4 +334,40 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("a_prt") - F.col("x_prt")) / F.col("x_prt") <= bound).alias(
             "parts_in_bound"
         ),
+    )
+
+
+@register(
+    "approx_percentile",
+    oracle="SELECT o_orderpriority, true AS p50_in_bound, true AS p90_in_bound "
+    "FROM orders GROUP BY o_orderpriority",
+)
+def approx_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — completes the
+    approximate-aggregate class alongside approx_count_distinct
+    (VERDICT r2 #9). Sketch outputs are engine- and merge-order-
+    specific, so like ``approx_distinct`` the oracle-checkable
+    formulation is the error envelope: with accuracy parameter a, the
+    estimate's RANK must be within n/a of the target rank. The same
+    plan computes the exact rank of the approximate answer via
+    windowless counting (count of rows <= estimate), so a driver hash
+    match certifies the sketch honors its published bound per group."""
+    acc = 1000  # rank error <= n / acc
+    o = load_tables(spark, sf_dir)["orders"]
+    est = o.groupBy("o_orderpriority").agg(
+        F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("e50"),
+        F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("e90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j = o.join(est, on="o_orderpriority")
+    ranked = j.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_totalprice") <= F.col("e50"), 1).otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("e90"), 1).otherwise(0)).alias("r90"),
+        F.first("n").alias("n"),
+    )
+    err = F.col("n") / acc + 1  # +1: estimate is an actual element, rank is inclusive
+    return ranked.select(
+        "o_orderpriority",
+        (F.abs(F.col("r50") - 0.5 * F.col("n")) <= err).alias("p50_in_bound"),
+        (F.abs(F.col("r90") - 0.9 * F.col("n")) <= err).alias("p90_in_bound"),
     )

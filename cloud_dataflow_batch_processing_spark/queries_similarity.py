@@ -67,6 +67,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {S.lsh_signature_sql('embedding')} AS bucket, COUNT(*) AS n
     FROM embeddings GROUP BY bucket
     """,
+    # The signature is also verified end-to-end by ann_lsh_pairs /
+    # dedup_embedding_cosine; the histogram twin registers late.
+    late=True,
 )
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram — verifies the signature

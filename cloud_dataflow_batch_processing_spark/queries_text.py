@@ -96,6 +96,9 @@ def text_profile_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, {X.doc_fingerprint_sql('text')} AS fp
     FROM documents WHERE doc_id < 100
     """,
+    # The fingerprint column is also oracle-checked inside
+    # text_profile_single_pass; this standalone twin registers late.
+    late=True,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-polynomial document fingerprint (engine-neutral hash;
