@@ -113,17 +113,49 @@ def test_text_chunks_no_shuffle(spark, sf_dir):
 
 
 def test_pack_sequences_shuffle_budget(spark, sf_dir):
-    """Sequence packing: one exchange for the per-shard running-sum
-    window, one for the final (source, bin) aggregate — nothing else.
-    A global (unpartitioned) window here would be the 100 TB
-    bottleneck; the partitionBy(source) keeps shards parallel."""
+    """Sequence packing: one exchange for the per-(source, shard)
+    running-sum window; the final aggregate's keys are a superset of
+    the window's partitioning, so it reuses the exchange. A
+    per-whole-source window would put a dominant source through one
+    task at 100 TB (VERDICT r2 #2) — the window's hash keys must
+    include the bounded shard_id."""
+    import re
+
     from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
 
     df = REGISTRY["pack_sequences"].fn(spark, sf_dir)
     assert count_shuffles(df) <= 2
-    # The window must be partitioned, not global: its exchange hashes
-    # on source, never a SinglePartition gather.
-    assert "SinglePartition" not in executed_plan(df)
+    plan = executed_plan(df)
+    # The window must be partitioned, never a SinglePartition gather.
+    assert "SinglePartition" not in plan
+    # And its exchange must hash on the bounded shard, not source alone.
+    hashes = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("shard_id" in h and "source" in h for h in hashes), hashes
+    # Window partitions are bounded: no partition exceeds the shard size.
+    from pyspark.sql import functions as F
+
+    sized = REGISTRY["pack_sequences"].fn(spark, sf_dir)
+    per_shard_docs = sized.groupBy("source", "shard_id").agg(
+        F.sum("n_docs").alias("docs")
+    )
+    assert per_shard_docs.agg(F.max("docs")).head()[0] <= 128
+
+
+def test_lsh_pairs_signature_cached_both_sides(spark, sf_dir):
+    """lsh_bucketed_pairs self-joins its signature frame; the 8-plane ×
+    64-dim fold must be computed ONCE per row and served from cache on
+    BOTH join sides (InMemoryTableScan ×2), not recomputed per side —
+    at 100 TB the fold dominates the query (VERDICT r2 #3)."""
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+
+    df = REGISTRY["ann_lsh_pairs"].fn(spark, sf_dir)
+    try:
+        df.count()  # populate the cache so the executed plan resolves it
+        plan = executed_plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    finally:
+        release_managed_caches()
 
 
 def test_avro_fallback_read_plan(spark, tmp_path):
