@@ -31,6 +31,21 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def _avro_source_missing(exc: Exception) -> bool:
+    """True only for the 'spark-avro jar not deployed' AnalysisException
+    (error condition _LEGACY_ERROR_TEMP_1139 / message 'Failed to find
+    data source: avro'). Any other failure from the JVM path — corrupt
+    file, schema mismatch, permissions, partial write — must propagate:
+    silently falling back would mask it (ADVICE r2 #1)."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # very old pyspark layout
+        return "Failed to find data source: avro" in str(exc)
+    if not isinstance(exc, AnalysisException):
+        return False
+    return "Failed to find data source: avro" in str(exc)
+
+
 def read_avro(spark: SparkSession, path: str, use_jvm: bool = True) -> DataFrame:
     """Beam twin: ReadFromAvro (beam/io/avroio.py:66).
 
@@ -39,12 +54,15 @@ def read_avro(spark: SparkSession, path: str, use_jvm: bool = True) -> DataFrame
     (this container) falls back to the self-contained pure-Python OCF
     codec (``avro_codec.py``): whole files via binaryFile, parsed in an
     Arrow-batched mapInPandas — the same shape as the TFRecord reader.
+    Only the jar-missing AnalysisException triggers the fallback; real
+    read errors propagate.
     """
     if use_jvm:
         try:
             return spark.read.format("avro").load(path)
-        except Exception:  # AnalysisException: failed to find data source
-            pass
+        except Exception as exc:
+            if not _avro_source_missing(exc):
+                raise
 
     from collections.abc import Iterator
 
@@ -78,19 +96,41 @@ def write_avro(
 ) -> None:
     """Beam twin: WriteToAvro (beam/io/avroio.py:380). One .avro OCF per
     partition (Beam writes one per bundle/shard). JVM writer when the
-    spark-avro jar is present, pure-Python codec otherwise."""
+    spark-avro jar is present, pure-Python codec otherwise.
+
+    Fallback discipline (ADVICE r2 #1/#2): only the jar-missing
+    AnalysisException falls through — a genuine JVM write failure
+    (schema mismatch, permissions, partial commit) re-raises. The
+    fallback clears ``out_dir`` first so leftover JVM part files can't
+    mix with python part files under the ``*.avro`` read glob, and it
+    refuses to run on a non-local master: its executor-side ``open()``
+    is only correct when executors share the driver filesystem — on a
+    real cluster it would silently scatter partitions across
+    executor-local disks. Deploy the spark-avro jar there instead.
+    """
     if use_jvm:
         try:
             df.write.mode("overwrite").format("avro").save(out_dir)
             return
-        except Exception:
-            pass
+        except Exception as exc:
+            if not _avro_source_missing(exc):
+                raise
 
     import os
+    import shutil
 
     from cloud_dataflow_batch_processing_spark.sources import avro_codec as A
 
+    master = df.sparkSession.sparkContext.master or ""
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "write_avro python fallback requires a shared driver/executor "
+            f"filesystem (local master); got master={master!r}. Deploy the "
+            "spark-avro jar for cluster writes."
+        )
+
     schema = A.struct_to_avro_schema(df.schema)
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(idx: int, it):

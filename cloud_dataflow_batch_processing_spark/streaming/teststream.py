@@ -122,7 +122,16 @@ class TestStream:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            # availableNow must drain within the timeout; on a hang,
+            # stop the query and fail loudly — leaving it running would
+            # let the next step reuse a live source/checkpoint and the
+            # restored watermark policy would apply mid-query
+            # (ADVICE r2 #5).
+            if not q.awaitTermination(120):
+                q.stop()
+                raise TimeoutError(
+                    "TestStream step did not drain within 120s; query stopped"
+                )
         finally:
             spark.conf.set(policy_key, prev)
         return out

@@ -118,10 +118,28 @@ def discarding_early_sink(sink, key_cols: list[str], value_cols: list[str]):
 
     State is held in the adapter (per query run — matches a trigger's
     pane lineage, which is also per-run state in Beam's driver).
+
+    At-least-once discipline (ADVICE r2 #3): foreachBatch may redeliver
+    a batch (task retry, or restart from checkpoint re-running the last
+    uncommitted batch). A redelivered batch_id rolls the baseline back
+    to its pre-batch snapshot before recomputing, so the deltas come
+    out identical instead of being double-subtracted against an
+    already-advanced baseline. Caveat: the snapshot lives in driver
+    memory — a full PROCESS restart that replays the last batch from
+    the checkpoint starts with an empty baseline; panes delivered
+    before the restart are then re-emitted as full values, matching
+    Beam's own at-least-once pane delivery contract.
     """
     prev: dict[tuple, tuple] = {}
+    # Snapshot of the baseline before the most recent batch, for replay.
+    replay: dict = {"batch_id": None, "snapshot": None}
 
     def wrapped(df, batch_id):
+        if replay["batch_id"] == batch_id and replay["snapshot"] is not None:
+            prev.clear()
+            prev.update(replay["snapshot"])
+        replay["batch_id"] = batch_id
+        replay["snapshot"] = dict(prev)
         rows = df.collect()
         if not rows:
             return sink(df, batch_id)
@@ -211,6 +229,17 @@ def fire_after_any(
     through the state timeout — Beam's processing-time timer). Panes
     are accumulating: each carries the lifetime element count and sum.
     Output: (key, pane, cause, n_elements, total).
+
+    Clock approximation (ADVICE r2 #4, accepted): ``pane_start`` is
+    executor wall-clock at the pane's first element, while the timeout
+    itself fires on Spark's batch processing-time clock — and after a
+    state rebalance the ``remaining`` computation may run on a
+    different executor than the one that stamped ``pane_start``. Under
+    clock skew the time pane can fire early or late by that skew. This
+    matches Beam's own AfterProcessingTime contract ("fire after at
+    least d" — trigger.py:272, a lower bound not a deadline); PySpark's
+    GroupState exposes no batch-stable clock to do better
+    (getCurrentProcessingTimeMs is JVM-only).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -284,6 +313,10 @@ def fire_after_all(
     last delivers the firing: the count leg fires inline if the clock
     already expired; otherwise the armed timeout fires once the count
     is already there. Output: (key, pane, n_elements, total).
+
+    Same executor-wall-clock approximation as :func:`fire_after_any`
+    (see its docstring) — "at least d elapsed" is a lower bound, not a
+    deadline, matching Beam's AfterProcessingTime contract.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime as dt
 import io
+import os
 
 import pytest
 from pyspark.sql import functions as F, types as T
@@ -193,3 +194,48 @@ def test_container_roundtrip_property():
         assert got == recs
 
     check()
+
+
+def test_jvm_fallback_only_on_missing_source(spark, tmp_path):
+    """Only the 'spark-avro jar not deployed' AnalysisException may
+    trigger the pure-Python fallback; every other error must propagate
+    (ADVICE r2 #1 — a masked JVM failure would silently switch codecs)."""
+    from pyspark.errors import AnalysisException
+
+    from cloud_dataflow_batch_processing_spark.sources.files import (
+        _avro_source_missing,
+    )
+
+    try:
+        spark.read.format("avro").load(str(tmp_path / "nope"))
+        jar_present = True
+    except Exception as exc:
+        jar_present = False
+        assert _avro_source_missing(exc)  # this container: jar absent
+    if jar_present:  # with a jar, a missing path is a REAL error
+        return
+
+    # A genuine AnalysisException (path not found on a working source)
+    # must NOT be classified as jar-missing.
+    try:
+        spark.read.parquet(str(tmp_path / "missing"))
+    except AnalysisException as exc:
+        assert not _avro_source_missing(exc)
+    assert not _avro_source_missing(RuntimeError("Failed to find data source: avro"))
+
+
+def test_write_avro_fallback_clears_stale_output(spark, tmp_path):
+    """The python fallback wipes out_dir before writing so stale part
+    files (e.g. from a previous larger run or a partial JVM commit)
+    can't mix into the *.avro read glob (ADVICE r2 #1)."""
+    from cloud_dataflow_batch_processing_spark.sources.files import read_avro, write_avro
+
+    out = str(tmp_path / "avro_out")
+    os.makedirs(out)
+    stale = os.path.join(out, "part-99999.avro")
+    with open(stale, "wb") as f:
+        f.write(b"stale bytes not an OCF")
+
+    write_avro(spark.range(10).withColumnRenamed("id", "v"), out)
+    assert not os.path.exists(stale)
+    assert read_avro(spark, out + "/*.avro").count() == 10

@@ -300,3 +300,27 @@ def test_discarding_early_panes(spark, tmp_path):
     assert h0_panes[0] == 2 and 1 in h0_panes[1:], f"expected delta pane, got {h0_panes}"
     # The final pane is unaffected: full on-time count.
     assert [(r.w_start, r.n) for r in final_rows if r.w_start == h0] == [(h0, 3)]
+
+
+def test_discarding_sink_idempotent_on_batch_replay(spark):
+    """foreachBatch is at-least-once: a redelivered batch_id must
+    produce the SAME deltas, not re-subtract against the baseline the
+    first delivery already advanced (ADVICE r2 #3)."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        discarding_early_sink,
+    )
+
+    seen: list[tuple] = []
+    sink = discarding_early_sink(
+        lambda df, _id: seen.extend((r.k, r.n) for r in df.collect()), ["k"], ["n"]
+    )
+
+    def batch(n):
+        return spark.createDataFrame([("a", n)], "k string, n long")
+
+    sink(batch(5), 0)
+    assert seen == [("a", 5)]
+    sink(batch(5), 0)  # retry of batch 0 → identical delta, not 0
+    assert seen == [("a", 5), ("a", 5)]
+    sink(batch(8), 1)  # next batch: delta against post-batch-0 baseline
+    assert seen[-1] == ("a", 3)
