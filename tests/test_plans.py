@@ -141,6 +141,35 @@ def test_pack_sequences_shuffle_budget(spark, sf_dir):
     assert per_shard_docs.agg(F.max("docs")).head()[0] <= 128
 
 
+def test_ivf_partition_pruning(spark, tables, tmp_path):
+    """IVF's probe must prune at the FILE level: on a label-partitioned
+    layout, the corpus scan's PartitionFilters carry label IN (probe),
+    so the other (1 - nprobe/nlist) of the files are never read
+    (VERDICT r2 #5). Results must match the broadcast-era semantics."""
+    import re
+
+    from cloud_dataflow_batch_processing_spark.extensions.similarity import ivf_topk
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+    from cloud_dataflow_batch_processing_spark.sources.files import write_parquet
+
+    out = str(tmp_path / "emb_by_label")
+    write_parquet(tables["embeddings"], out, partition_by=["label"])
+    part = spark.read.parquet(out)
+    qv = [float(x) for x in tables["embeddings"].filter("vec_id = 0").head()["embedding"]]
+
+    df = ivf_topk(part, qv, 10, nprobe=3)
+    plan = executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "label" in m.group(1) and " IN " in m.group(1).upper(), (
+        m.group(1) if m else plan[:1500]
+    )
+    # Same answer as running IVF over the unpartitioned frame.
+    base = ivf_topk(tables["embeddings"], qv, 10, nprobe=3)
+    assert [(r.vec_id, r.cos_sim) for r in df.collect()] == [
+        (r.vec_id, r.cos_sim) for r in base.collect()
+    ]
+
+
 def test_lsh_pairs_signature_cached_both_sides(spark, sf_dir):
     """lsh_bucketed_pairs self-joins its signature frame; the 8-plane ×
     64-dim fold must be computed ONCE per row and served from cache on
