@@ -53,7 +53,19 @@ def read_stream(
             F.col("timestamp").alias("ts"), F.col("value").cast("string").alias("value")
         )
     if kind == "socket":
-        raw = spark.readStream.format("socket").options(**options).load()
+        # reconnect=true upgrades to the Python-data-source variant with
+        # durable offsets: survives broker disconnects AND query restarts
+        # from checkpoint (the built-in socket source supports neither —
+        # recovery dies with 'Offsets committed out of order'). See
+        # streaming/pysource.py for the offset/replay contract.
+        if options.get("reconnect", "").lower() == "true":
+            from cloud_dataflow_batch_processing_spark.streaming import pysource
+
+            pysource.register(spark)
+            opts = {k: v for k, v in options.items() if k != "reconnect"}
+            raw = spark.readStream.format("replayable_socket").options(**opts).load()
+        else:
+            raw = spark.readStream.format("socket").options(**options).load()
         return raw.select(
             F.current_timestamp().alias("ts"), F.col("value").alias("value")
         )

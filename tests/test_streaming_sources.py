@@ -128,6 +128,196 @@ def test_socket_stream_happy_path(spark):
         server.close()
 
 
+def test_socket_e2e_window_watermark_trigger(spark, tmp_path):
+    """Streaming END-TO-END (VERDICT r2 #8): socket source → event-time
+    parse → watermark → tumbling window → ``early_and_final`` trigger
+    pair, across a mid-stream disconnect + reconnect.
+
+    Uses the ``reconnect=true`` socket variant (streaming/pysource.py):
+    the BUILT-IN socket source cannot run this scenario at all — it
+    has no durable offsets (restart from checkpoint dies with 'Offsets
+    committed out of order') and never reconnects after EOF. The
+    in-test server is *replayable*: every new connection streams the
+    full transcript from line 0 (like a broker replaying a partition),
+    and the source's committed offset skips the prefix it already
+    delivered — this test would catch double-counting if it didn't.
+    Sequence:
+
+    1. phase 1: rows a@1s a@2s b@3s → early (update-mode) panes
+       accumulate to {a: 2, b: 1} for window [0, 10); no final pane.
+    2. the server drops every live connection mid-stream (EOF on the
+       source's read thread); both queries must stay alive.
+    3. queries stop and restart from the same checkpoints (the
+       reconnect); server replays + new rows a@4s then c@30s (watermark
+       → 25s, closes the window) → final on-time pane {a: 3, b: 1},
+       exactly once each, and the early pane reaches a: 3 — proof the
+       window state and watermark survived the restart and the replayed
+       prefix was not re-counted.
+    """
+    import socket as pysocket
+    import threading
+    import time
+
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import early_and_final
+    from cloud_dataflow_batch_processing_spark.streaming.windows import (
+        tumbling,
+        with_watermark,
+    )
+
+    transcript: list[str] = []
+    cond = threading.Condition()
+    stop_evt = threading.Event()
+    live: list[pysocket.socket] = []
+
+    srv = pysocket.socket(pysocket.AF_INET, pysocket.SOCK_STREAM)
+    srv.setsockopt(pysocket.SOL_SOCKET, pysocket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(8)
+
+    def feed(conn: pysocket.socket) -> None:
+        i = 0
+        try:
+            with conn:
+                while not stop_evt.is_set():
+                    with cond:
+                        while i >= len(transcript) and not stop_evt.is_set():
+                            cond.wait(0.2)
+                        chunk = transcript[i:]
+                    if chunk:
+                        conn.sendall("".join(f"{l}\n" for l in chunk).encode())
+                        i += len(chunk)
+        except OSError:
+            pass  # dropped mid-stream — that's the test
+
+    def accept_loop() -> None:
+        while not stop_evt.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            live.append(conn)
+            threading.Thread(target=feed, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=accept_loop, daemon=True).start()
+
+    def push(*lines: str) -> None:
+        with cond:
+            transcript.extend(lines)
+            cond.notify_all()
+
+    def drop_connections() -> None:
+        for c in live:
+            try:
+                c.shutdown(pysocket.SHUT_RDWR)
+                c.close()
+            except OSError:
+                pass
+        live.clear()
+
+    def build():
+        sdf = read_stream(
+            spark,
+            "socket",
+            options={"host": "127.0.0.1", "port": str(port), "reconnect": "true"},
+        )
+        parsed = sdf.select(
+            F.split("value", ",").getItem(0).alias("key"),
+            F.timestamp_seconds(F.split("value", ",").getItem(1).cast("long")).alias(
+                "ev"
+            ),
+        )
+        return tumbling(
+            with_watermark(parsed, "ev", "5 seconds"),
+            "ev",
+            "10 seconds",
+            ["key"],
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    early: list = []
+    final: list = []
+
+    def mk_sink(dest: list):
+        def sink(df, _bid):
+            rows = df.collect()
+            if rows:
+                dest.extend(rows)
+
+        return sink
+
+    cke, ckf = str(tmp_path / "cke"), str(tmp_path / "ckf")
+
+    def latest_early():
+        out = {}
+        for r in early:
+            out[(r.w_start, r.key)] = r.n
+        return out
+
+    def wait_for(pred, timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.25)
+        return False
+
+    qe = qf = None
+    try:
+        # ---- phase 1 --------------------------------------------------
+        qe, qf = early_and_final(
+            build, mk_sink(early), mk_sink(final), cke, ckf, available_now=False
+        )
+        push("a,1", "a,2", "b,3")
+        assert wait_for(
+            lambda: latest_early().get((0, "a")) == 2
+            and latest_early().get((0, "b")) == 1
+        ), f"early panes never accumulated: {latest_early()}"
+        assert final == [], "no final pane may fire before the watermark passes"
+
+        # ---- mid-stream disconnect ------------------------------------
+        drop_connections()
+        time.sleep(1.0)
+        assert qe.isActive and qf.isActive, "EOF on the socket must not kill the query"
+        qe.stop()
+        qf.stop()
+        qe.awaitTermination(30)
+        qf.awaitTermination(30)
+
+        # ---- reconnect: restart from the same checkpoints -------------
+        qe, qf = early_and_final(
+            build, mk_sink(early), mk_sink(final), cke, ckf, available_now=False
+        )
+        push("a,4")  # same window, post-restart row
+        assert wait_for(lambda: latest_early().get((0, "a")) == 3), (
+            "early pane must resume from checkpointed state (2+1), got "
+            f"{latest_early()}"
+        )
+        # Advance the watermark past the window end; keep nudging so the
+        # append-mode flush batch runs (final panes emit one batch after
+        # the watermark-advancing batch).
+        nudge = 30
+        while not wait_for(
+            lambda: {(r.w_start, r.key): r.n for r in final}.get((0, "a")) is not None,
+            timeout=5.0,
+        ):
+            nudge += 1
+            push(f"c,{nudge}")
+            assert nudge < 60, f"final pane never fired; final={final}"
+
+        finals_w0 = [(r.key, r.n) for r in final if r.w_start == 0]
+        # exactly once each, and NOT double-counted from the replayed
+        # prefix (a: 6 would mean the restarted query re-read lines).
+        assert sorted(finals_w0) == [("a", 3), ("b", 1)], finals_w0
+    finally:
+        stop_evt.set()
+        for q in (qe, qf):
+            if q is not None and q.isActive:
+                q.stop()
+        drop_connections()
+        srv.close()
+
+
 def test_kafka_gated_error(spark):
     """No spark-sql-kafka jar in this container: the kafka branch must
     surface the documented actionable error (the socket test above
