@@ -3,11 +3,14 @@
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query executes twice: "queries"/"value" report the better run
+Each query executes three times: "queries"/"value" report the best run
 (steady state: codegen/JIT warm, file listing cached) after a session
 warm-up touches every table so JVM startup isn't attributed to the
 first query; "queries_cold"/"value_cold" report the first run so
-round-over-round comparisons can't hide warm-up shifts.
+round-over-round comparisons can't hide warm-up shifts. Three runs,
+not two: run 2 often lands in the cold run's wake (python-worker
+spin-up, GC) and min-of-2 then reports that noise as steady state —
+observed ±60 % on the pandas-udf pipeline at sf0.1.
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name, fn in headline_queries().items():
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)

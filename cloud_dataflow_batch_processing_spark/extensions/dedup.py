@@ -164,20 +164,18 @@ def minhash_near_dup_pairs(
     the same DuckDB oracle verifies either path and bench carries both.
 
     ``materialize`` picks how the guarded bands frame is held for its
-    self-join (results identical; plan shape differs):
+    self-join (results identical; plan shape differs). In every mode
+    the self-join plans fresh (band_id, bh) exchanges on both sides —
+    the shape AQE's OptimizeSkewedJoin can split:
 
     - ``"cache"`` (default, right at bench/iterative scale): executor
-      cache; the window guard's (band_id, bh) partitioning is REUSED
-      by the self-join — zero extra exchanges, but for that same
-      reason AQE's skew-join split is never eligible (no shuffle to
-      re-read), so a dominant bucket stays on one task. The
-      ``max_bucket_size`` cap bounds that task's work.
-    - ``"checkpoint"`` (the 100 TB posture): write the guarded bands
-      to ``scratch_dir`` parquet and re-read — a corpus-scale frame
-      won't fit in cache, the lineage cut survives executor loss, and
-      the self-join now plans fresh exchanges on both sides, which is
-      exactly the shape AQE's OptimizeSkewedJoin splits
-      (test_dedup_lsh_adversarial_skew pins skew=true).
+      cache — repeated invocations in one session scan the cache
+      instead of recomputing the hash pipeline.
+    - ``"checkpoint"`` (the 100 TB fault-isolation posture): write the
+      guarded bands to ``scratch_dir`` parquet and re-read — a
+      corpus-scale frame won't fit in cache, and the lineage cut
+      survives executor loss (test_dedup_lsh_adversarial_skew drives
+      this mode and pins the AQE skew split).
       ``checkpoint_files`` round-robins the write into that many files:
       skew-splitting a reduce partition works by regrouping MAP-side
       blocks, so every band bucket must span multiple checkpoint files
@@ -185,8 +183,11 @@ def minhash_near_dup_pairs(
       ONE file and make its reduce partition unsplittable). It also
       bounds file count/size, which is how you'd size a 100 TB scratch
       dataset anyway.
-    - ``None``: no materialization — recompute per side (only sane
-      when the source scan is cheap).
+    - ``None``: no explicit materialization — the two self-join sides
+      are identical subplans, so ReuseExchange serves both from ONE
+      shuffle write (the shuffle itself is the materialization point).
+      The fastest one-shot plan at sf0.1; right whenever the job runs
+      the pipeline once and executor loss can rerun the stage.
     """
     # Staged plan — each expensive array is computed once per row:
     #   stage 1: char-fold token hashes   (the dominant cost)
@@ -227,20 +228,25 @@ def minhash_near_dup_pairs(
         "__id", "__sh", "__b.band_id", "__b.bh"
     )
 
-    # Guard degenerate buckets before the pair join — as a window count
-    # over the bucket key (ONE shuffle, no agg+join branch), then cache
-    # the filtered frame. Two scale effects (r3, after the r2 judge's
-    # skew probe): (a) the guard computes ONCE instead of once per
-    # self-join side; (b) each join side now reads the cache through
-    # its own fresh exchange, which is exactly the plan shape AQE's
-    # OptimizeSkewedJoin can split — with the old exchange-reuse plan
-    # the skew rule was never eligible, so a dominant-but-legal bucket
-    # pinned one task. Pinned by test_dedup_lsh_adversarial_skew.
-    from pyspark.sql import Window
-
-    wcount = F.count(F.lit(1)).over(Window.partitionBy("band_id", "bh"))
-    guarded = (
-        bands.withColumn("__n", wcount).filter(F.col("__n") <= max_bucket_size).drop("__n")
+    # Guard degenerate buckets before the pair join: count per bucket
+    # key (a NARROW shuffle — (band_id, bh) only, ~20x fewer bytes than
+    # the wide bands rows), keep the OVERSIZED set (pathological, tiny
+    # by construction) and broadcast it as a left-anti filter. Measured
+    # against a window-count guard at sf0.1: the window variant sorts
+    # and shuffles the full wide frame (shingle arrays included) and
+    # was ~25% slower end-to-end in every composition. The anti-join
+    # formulation also leaves the guarded frame's partitioning
+    # unconstrained, so the self-join below plans FRESH exchanges on
+    # both sides — the shape AQE's OptimizeSkewedJoin can split
+    # (pinned by test_dedup_lsh_adversarial_skew).
+    oversized = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket_size)
+        .select("band_id", "bh")
+    )
+    guarded = bands.join(
+        F.broadcast(oversized), on=["band_id", "bh"], how="left_anti"
     )
     if materialize == "cache":
         bands = managed_cache(guarded)
