@@ -279,6 +279,10 @@ def group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "count_per_element",
     oracle="SELECT event_type, COUNT(*) AS count FROM events GROUP BY event_type",
+    # Count class stays driver-checked via group_count_distinct; this
+    # variant registers late to keep the 50-entry window for distinct
+    # operator classes.
+    late=True,
 )
 def count_per_element_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count.PerElement (beam/transforms/combiners.py:122)."""
@@ -313,6 +317,9 @@ def top_n_global(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY l_extendedprice DESC, l_linenumber) AS rn
       FROM lineitem) t WHERE rn <= 2
     """,
+    # Top class stays driver-checked via top_n_global (which also
+    # carries the TakeOrderedAndProject plan pin); registers late.
+    late=True,
 )
 def top_n_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top.PerKey (beam/transforms/combiners.py:189) via window

@@ -205,6 +205,10 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_normalize_zscore",
+    # Window-function class stays driver-checked via
+    # window_rank_analytics; this 60k-row variant registers late (it
+    # was also the slowest driver compare).
+    late=True,
     oracle="""
     WITH s AS (
       SELECT l_orderkey, l_linenumber, l_extendedprice,

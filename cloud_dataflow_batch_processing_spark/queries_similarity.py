@@ -134,3 +134,51 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("kept_chars")
     )
+
+
+@register(
+    "embedding_normalize_quantize",
+    oracle=f"""
+    WITH vd AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < 50
+    ),
+    normed AS (
+      SELECT vec_id, e,
+             SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                  list_transform(e, x -> x * x)), (a, b) -> a + b)) AS nrm
+      FROM vd
+    )
+    SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+           array_to_string(list_transform(e, x -> CAST(ROUND(127 * x / nrm) AS BIGINT)), ',')
+             AS q_int8
+    FROM normed WHERE nrm > 0
+    """,
+    # Embedding-preprocessing variant (the ANN queries drive the same
+    # vector math); registers late.
+    late=True,
+)
+def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization + symmetric int8 quantization — the
+    vector-preprocessing step before ANN indexing or shipping
+    embeddings to training: L2 norm per vector, then each component
+    scaled to round(127 * x / ||v||). Pure per-row higher-order-function
+    arithmetic in double precision (identical on both engines); zero
+    shuffle."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 50)
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    staged = emb.select("vec_id", e.alias("e")).select(
+        "vec_id",
+        "e",
+        F.sqrt(F.aggregate("e", F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+    )
+    return staged.filter(F.col("nrm") > 0).select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.array_join(
+            F.transform(
+                "e", lambda x: F.round(F.lit(127) * x / F.col("nrm")).cast("long")
+            ),
+            ",",
+        ).alias("q_int8"),
+    )

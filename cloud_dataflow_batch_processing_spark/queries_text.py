@@ -14,6 +14,9 @@ from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
 
 @register(
     "text_token_stats",
+    # Token counting stays driver-checked via text_profile_single_pass
+    # (same token_count expression); registers late.
+    late=True,
     oracle=f"""
     SELECT doc_id,
            length(text) AS n_chars_obs,
@@ -224,6 +227,168 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return binned.groupBy("source", "shard_id", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
+    )
+
+
+from cloud_dataflow_batch_processing_spark.extensions.dedup import (  # noqa: E402
+    shingle_hashes_sql as _shingle_hashes_sql,
+    token_hashes_sql as _token_hashes_sql,
+)
+
+_D_TOKEN_HASHES_SQL = _token_hashes_sql("text")
+_D_SHINGLE_HASHES_SQL = _shingle_hashes_sql("text")
+
+# Deterministic hash split: (doc_id*a+b) mod p mod 100 → 0-79 train,
+# 80-89 val, 90-99 test. Engine-neutral (pure integer arithmetic).
+_SPLIT_A, _SPLIT_B, _SPLIT_M = 2654435761, 40503, 1_000_000_007
+
+
+@register(
+    "corpus_split_train_val",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_M}) % 100 < 80
+                  THEN 'train'
+                  WHEN ((doc_id * {_SPLIT_A} + {_SPLIT_B}) % {_SPLIT_M}) % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def corpus_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified train/val/test split — the dataset-assembly step every
+    training pipeline needs: DETERMINISTIC hash assignment (no RNG, so
+    membership is reproducible across runs, engines, and reshuffles —
+    a document can never leak between splits when the corpus is
+    re-partitioned). Reported per (lang, split) so the oracle certifies
+    the stratification proportions hold within every language, not just
+    globally. Zero shuffle before the final small aggregate."""
+    d = load_tables(spark, sf_dir)["documents"]
+    h = ((F.col("doc_id") * _SPLIT_A + _SPLIT_B) % _SPLIT_M) % 100
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {_D_TOKEN_HASHES_SQL} AS th FROM documents WHERE doc_id < 500
+    ),
+    sh_t AS (
+      SELECT doc_id, th, {_D_SHINGLE_HASHES_SQL} AS sh FROM th_t
+    )
+    SELECT doc_id,
+           CAST(len(th) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - CAST(len(list_distinct(th)) AS DOUBLE) / len(th), 4)
+             AS dup_token_frac,
+           ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 4)
+             AS dup_shingle_frac
+    FROM sh_t WHERE len(sh) > 0
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signals (the Gopher-rule family):
+    duplicate-token fraction and duplicate-3-gram fraction per document
+    — high values flag boilerplate/spam for removal before training.
+    Reuses the engine-neutral token/shingle hash builders, so both
+    fractions are pure per-row column expressions: zero shuffle, and
+    the SAME numbers on both engines by construction."""
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        shingles_from_token_hashes,
+    )
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        token_hashes as th_col,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    staged = d.select("doc_id", th_col("text").alias("th")).select(
+        "doc_id", "th", shingles_from_token_hashes(F.col("th")).alias("sh")
+    )
+    dup = lambda c: F.round(  # noqa: E731
+        1.0 - F.size(F.array_distinct(c)).cast("double") / F.size(c), 4
+    )
+    return staged.filter(F.size("sh") > 0).select(
+        "doc_id",
+        F.size("th").cast("long").alias("n_tokens"),
+        dup("th").alias("dup_token_frac"),
+        dup("sh").alias("dup_shingle_frac"),
+    )
+
+
+# PII patterns — written to mean the same thing in Java regex (Spark)
+# and RE2 (DuckDB): explicit classes, no \\d / lookarounds.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_DIGITRUN = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+@register(
+    "pii_scrub_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_DIGITRUN}')) AS BIGINT) AS n_digit_runs,
+           length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                                 '{_PII_DIGITRUN}', '<NUM>', 'g')) AS clean_len
+    FROM documents WHERE doc_id < 500
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — redact emails and long digit runs (account/phone
+    shaped), reporting per-document match counts and the redacted
+    length. The corpus is synthetic so counts are typically zero — the
+    hash compare still certifies that BOTH engines find the same
+    matches and produce byte-identical redacted lengths, i.e. the regex
+    dialect subset is truly portable. Pure per-row codegen."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"), _PII_DIGITRUN, "<NUM>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_PII_DIGITRUN))
+        .cast("long")
+        .alias("n_digit_runs"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH sized AS (
+      SELECT LEAST(CAST({X.token_count_sql('text')} // 16 AS BIGINT), 15) AS bucket,
+             CAST({X.token_count_sql('text')} AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM sized GROUP BY bucket
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (16-token buckets, top-coded at bucket
+    15) — the length-distribution profile used to pick packing budgets
+    and truncation limits. One narrow shuffle to ≤16 rows; the
+    map-side partial aggregation does all the work."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tok = X.token_count("text").cast("long")
+    bucket = F.least(F.floor(n_tok / 16).cast("long"), F.lit(15))
+    return (
+        d.select(bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
     )
 
 
