@@ -234,3 +234,42 @@ def test_lifted_combiner_plan_single_exchange(spark):
         "partial MapInPandas must sit BELOW (after in toString order) the final "
         "FlatMapGroupsInPandas, i.e. on the scan side of the exchange"
     )
+
+
+def test_per_row_quality_queries_zero_shuffle(spark, sf_dir):
+    """The per-row quality/preprocessing family (repetition ratios, PII
+    scrub, embedding quantize) must stay embarrassingly parallel: pure
+    column expressions over one scan, ZERO exchanges, and the row
+    filter pushed into the parquet scan — at 100 TB these run as a
+    single map stage or they don't run at all."""
+    from cloud_dataflow_batch_processing_spark.plans import (
+        assert_pushed_filters,
+        count_shuffles,
+    )
+
+    for name, pushed in [
+        ("text_repetition_ratio", "LessThan(doc_id,500)"),
+        ("pii_scrub_stats", "LessThan(doc_id,500)"),
+        ("embedding_normalize_quantize", "LessThan(vec_id,50)"),
+    ]:
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert count_shuffles(df) == 0, name
+        assert_pushed_filters(df, pushed)
+
+
+def test_corpus_profile_aggs_single_narrow_shuffle(spark, sf_dir):
+    """Split assignment and the token-length histogram aggregate to a
+    handful of rows: exactly ONE exchange (the final hash agg, carrying
+    map-side partials), with the scan pruned to the columns used."""
+    from cloud_dataflow_batch_processing_spark.plans import (
+        assert_read_schema_pruned,
+        count_shuffles,
+    )
+
+    df = REGISTRY["corpus_split_train_val"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert_read_schema_pruned(df, "documents", 3)  # doc_id, lang, n_chars
+
+    df = REGISTRY["token_length_histogram"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 1
+    assert_read_schema_pruned(df, "documents", 1)  # text only
