@@ -189,3 +189,70 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
     )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({D.shingle_hashes_sql('text')}) AS sh FROM th_t
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS h FROM sh_t WHERE doc_id % 97 = 0
+    ),
+    ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS h
+      FROM sh_t WHERE doc_id % 97 <> 0 AND len(sh) > 0
+    ),
+    hits AS (
+      SELECT doc_id, MAX(n) AS n_shingles, COUNT(*) AS n_overlap
+      FROM ex JOIN ev USING (h) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE) / n_shingles, 4) AS contamination
+    FROM hits
+    """,
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the train-set hygiene step every LLM
+    pipeline needs (and the reference has no analog for): docs whose
+    ``doc_id % 97 == 0`` stand in for a held-out eval set; every other
+    document is scored by the fraction of its distinct 3-token shingles
+    that appear anywhere in the eval set.
+
+    Scale posture: the eval side of the join is a benchmark suite — a
+    few thousand documents against a 100 TB corpus — so its distinct
+    shingle set is BROADCAST and the corpus-side explode never
+    shuffles; the only exchange is the per-doc overlap count, whose
+    map-side partial collapses each doc's hits before the wire. The
+    corpus is never self-joined and never leaves its scan partitioning."""
+    d = load_tables(spark, sf_dir)["documents"]
+    staged = (
+        d.select("doc_id", D.token_hashes("text").alias("__th"))
+        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select("doc_id", F.array_distinct("__shl").alias("sh"))
+    )
+    ev = (
+        staged.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    ex = staged.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0)).select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h")
+    )
+    hits = ex.join(F.broadcast(ev), "h").groupBy("doc_id").agg(
+        F.max("n").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_overlap"),
+    )
+    return hits.select(
+        "doc_id",
+        "n_shingles",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_shingles"), 4).alias(
+            "contamination"
+        ),
+    )

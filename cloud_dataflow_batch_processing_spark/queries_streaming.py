@@ -113,6 +113,11 @@ def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_global",
+    # GlobalWindows ≡ whole-frame CombineGlobally, whose class is
+    # driver-checked by combine_globally; the three bounded window
+    # shapes (tumbling/sliding/session) keep primary slots. Registers
+    # late.
+    late=True,
     oracle="""
     SELECT COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,

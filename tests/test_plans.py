@@ -273,3 +273,22 @@ def test_corpus_profile_aggs_single_narrow_shuffle(spark, sf_dir):
     df = REGISTRY["token_length_histogram"].fn(spark, sf_dir)
     assert count_shuffles(df) == 1
     assert_read_schema_pruned(df, "documents", 1)  # text only
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Decontamination must broadcast the (small) eval shingle set: the
+    100 TB corpus side is exploded map-side and hits the wire only as
+    per-doc partial counts. A shuffled (sort-merge) join on the shingle
+    hash would move the exploded corpus — the classic scale killer."""
+    from cloud_dataflow_batch_processing_spark.plans import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+        count_shuffles,
+    )
+
+    df = REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir)
+    assert_broadcast_join(df, expect=1)
+    assert_no_cartesian(df)
+    # eval-side distinct (2: partial+final reuse) + final per-doc count;
+    # the corpus side itself must not add an exchange.
+    assert count_shuffles(df) <= 3
