@@ -259,6 +259,10 @@ def group_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_mean",
+    # Mean.PerKey's decimal-exact mean pattern is driver-checked via
+    # q1_pricing_summary's avg_qty/avg_disc columns; this single-agg
+    # variant registers late.
+    late=True,
     oracle="""
     SELECT c_mktsegment,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,

@@ -182,3 +182,18 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("q_int8"),
     )
+
+
+@register(
+    "semantic_kmeans_assign",
+    oracle=S.kmeans_assign_sql(k=8, iters=2),
+)
+def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means over the embeddings table (k=8, two
+    assign→update rounds + final assignment) — the clustering stage of
+    SemDeDup-style semantic dedup and of IVF index training. The oracle
+    unrolls the SAME iterations in SQL, so the entire iterative
+    trajectory (seeded centroids, decimal-exact updates, tie-broken
+    argmin) is certified per-row, not just the final counts."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.kmeans_assign(emb, k=8, iters=2)

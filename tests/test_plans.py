@@ -292,3 +292,17 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     # eval-side distinct (2: partial+final reuse) + final per-doc count;
     # the corpus side itself must not add an exchange.
     assert count_shuffles(df) <= 3
+
+
+def test_kmeans_final_plan_scan_only(spark, sf_dir):
+    """k-means assignment must be the MLlib shape: centroids
+    materialized driver-side, assignment a pure per-row argmin over
+    literal centroids — the returned plan is scan → project with ZERO
+    exchanges and no join of any kind. A plan that joins or shuffles
+    the corpus per iteration is the 100 TB cost bug."""
+    from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
+
+    df = REGISTRY["semantic_kmeans_assign"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 0
+    plan = executed_plan(df)
+    assert "Join" not in plan and "CartesianProduct" not in plan
