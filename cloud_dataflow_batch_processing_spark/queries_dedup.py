@@ -229,9 +229,19 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle set is BROADCAST and the corpus-side explode never
     shuffles; the only exchange is the per-doc overlap count, whose
     map-side partial collapses each doc's hits before the wire. The
-    corpus is never self-joined and never leaves its scan partitioning."""
+    corpus is never self-joined and never leaves its scan partitioning.
+
+    The shingle frame MUST be materialized (managed_cache, same as the
+    minhash/simhash pipelines): with a lazy projection, CollapseProject
+    re-embeds the whole interpreted hash tree into both ``size(sh)``
+    and the explode — and since the size projection lands ABOVE the
+    Generate, it re-evaluates per generated shingle, turning a linear
+    scan into an O(shingles²/doc) plan (measured 117 s vs 1.5 s at
+    sf0.1)."""
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
     d = load_tables(spark, sf_dir)["documents"]
-    staged = (
+    staged = managed_cache(
         d.select("doc_id", D.token_hashes("text").alias("__th"))
         .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
         .select("doc_id", F.array_distinct("__shl").alias("sh"))

