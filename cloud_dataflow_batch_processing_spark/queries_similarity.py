@@ -197,3 +197,18 @@ def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin) is certified per-row, not just the final counts."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.kmeans_assign(emb, k=8, iters=2)
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=S.semantic_dedup_sql(k=8, iters=2, min_cosine=0.9),
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster with deterministic
+    k-means, then drop the higher id of every within-cluster pair with
+    cosine ≥ 0.9; reported per cluster as (n_members, n_dropped,
+    n_kept). Candidate generation is bucketed by cluster id — the same
+    bounded-bucket self-join shape as the LSH pipelines, never
+    all-pairs."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.semantic_dedup_stats(emb, k=8, iters=2, min_cosine=0.9)

@@ -40,6 +40,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_lang_id",
+    # lang_id's expression is driver-checked inside
+    # text_profile_single_pass; the histogram twin registers late.
+    late=True,
     oracle=f"""
     SELECT {X.lang_id_sql('text')} AS pred_lang, COUNT(*) AS n
     FROM documents GROUP BY pred_lang
