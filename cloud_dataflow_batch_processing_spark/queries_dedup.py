@@ -193,6 +193,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "decontaminate_eval_overlap",
+    headline=True,
     oracle=f"""
     WITH th_t AS (
       SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents
