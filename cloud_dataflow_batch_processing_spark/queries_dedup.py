@@ -233,12 +233,13 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never self-joined and never leaves its scan partitioning.
 
     The shingle frame MUST be materialized (managed_cache, same as the
-    minhash/simhash pipelines): with a lazy projection, CollapseProject
-    re-embeds the whole interpreted hash tree into both ``size(sh)``
-    and the explode — and since the size projection lands ABOVE the
-    Generate, it re-evaluates per generated shingle, turning a linear
-    scan into an O(shingles²/doc) plan (measured 117 s vs 1.5 s at
-    sf0.1)."""
+    minhash/simhash pipelines). With a lazy projection, the pushed-down
+    ``size(sh) > 0`` / split filters re-embed the whole hash chain into
+    the predicate, and inside ``shingles_from_token_hashes``'s lambda
+    every ``element_at(th, i)`` then carries the FULL token-hash tree —
+    re-evaluated once per shingle per reference, i.e. O(tokens ×
+    shingles) per document instead of O(tokens). Measured 117 s vs
+    1.2 s at sf0.1 (see NOTES.md round 3)."""
     from cloud_dataflow_batch_processing_spark.caching import managed_cache
 
     d = load_tables(spark, sf_dir)["documents"]

@@ -311,10 +311,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The token-hash stage runs as the Arrow-batched fast twin
     (value-identical polynomial): a Python UDF is extracted into its
-    own plan node, so the expensive char fold is computed ONCE however
-    many downstream expressions reference it — the HOF form re-embeds
-    the whole tree into each of the four size()/array_distinct()
-    consumers (measured 5.6 s → 1.1 s at sf0.1 on 500 docs)."""
+    own plan node — a hard optimizer barrier — so the char fold is
+    computed ONCE however many downstream expressions reference it.
+    The HOF form gets re-embedded into every consumer (four size()/
+    array_distinct() references plus the pushed-down ``size(sh) > 0``
+    predicate, whose inlined shingle lambda re-evaluates the full
+    token-hash tree per shingle — the quadratic trap documented in
+    NOTES.md round 3). Measured 5.6 s → 0.55 s at sf0.1 on 500 docs."""
     from cloud_dataflow_batch_processing_spark.extensions.dedup import (
         shingles_from_token_hashes,
     )

@@ -306,3 +306,22 @@ def test_kmeans_final_plan_scan_only(spark, sf_dir):
     assert count_shuffles(df) == 0
     plan = executed_plan(df)
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_hash_chain_not_reembedded(spark, sf_dir):
+    """Regression pin for the quadratic HOF-inlining trap (NOTES.md
+    round 3): when the interpreted token-hash chain is consumed lazily,
+    pushed-down predicates and shingle lambdas re-embed the FULL char
+    fold — ``element_at(<whole th tree>, i)`` evaluated once per
+    shingle turns a linear scan into O(tokens × shingles) per doc
+    (measured 100× at sf0.1). The char fold (``ascii(`` in the plan)
+    must appear at most twice (the one cached computation, echoed by
+    InMemoryTableScan) in decontamination, and never in the
+    repetition-ratio plan (Arrow fast twin)."""
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+
+    plan = executed_plan(REGISTRY["decontaminate_eval_overlap"].fn(spark, sf_dir))
+    assert plan.count("ascii(") <= 2, plan.count("ascii(")
+
+    plan = executed_plan(REGISTRY["text_repetition_ratio"].fn(spark, sf_dir))
+    assert plan.count("ascii(") == 0, plan.count("ascii(")
