@@ -55,3 +55,42 @@ def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "orc_roundtrip_agg",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) AS price_floor,
+           MIN(l_orderkey) AS min_key,
+           MAX(l_orderkey) AS max_key
+    FROM lineitem GROUP BY l_linestatus
+    """,
+    # Same roundtrip-through-exact-aggregate class as
+    # avro_roundtrip_agg, which keeps the primary slot (the avro path
+    # exercises our own codec; ORC is Spark-native). Registers late.
+    late=True,
+)
+def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read roundtrip through the Spark-native reader/writer,
+    certified by the same exact-integer-aggregate pattern as the avro
+    roundtrip (any codec corruption shifts the sums/extrema and fails
+    the oracle hash)."""
+    from cloud_dataflow_batch_processing_spark.sources.files import read_orc, write_orc
+
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_orderkey", "l_linestatus", "l_extendedprice"
+    )
+    scratch = os.path.join(
+        _REPO_ROOT, "spark-warehouse", f"orc_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_orc(li, scratch, compression="zlib")
+    back = read_orc(spark, scratch)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor("l_extendedprice").cast("long")).alias("price_floor"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )

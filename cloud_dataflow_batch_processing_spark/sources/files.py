@@ -24,6 +24,28 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_b
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan (Spark-native reader: predicate pushdown, column
+    pruning, and vectorized decode all apply exactly as for parquet)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "zlib",
+) -> None:
+    """ORC sink via the native committer; ``compression`` in
+    {none, snappy, zlib, lzo, zstd, lz4}."""
+    w = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
     reader = spark.read
     if schema is not None:

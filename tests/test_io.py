@@ -140,3 +140,28 @@ def test_read_avro_falls_back_without_jar(spark, tmp_path):
 
     with pytest.raises(AnalysisException, match="PATH_NOT_FOUND"):
         read_avro(spark, str(tmp_path / "missing") + "/*.avro")
+
+
+def test_orc_roundtrip_and_pushdown(spark, tables, tmp_path):
+    """ORC write→read preserves values, and the ORC scan takes pushed
+    filters + pruned columns exactly like parquet (Spark-native
+    vectorized reader)."""
+    from cloud_dataflow_batch_processing_spark.plans import (
+        assert_pushed_filters,
+        assert_read_schema_pruned,
+    )
+    from cloud_dataflow_batch_processing_spark.sources.files import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    src = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    out = str(tmp_path / "orc_rt")
+    write_orc(src, out, compression="zlib")
+    back = read_orc(spark, out)
+    assert sorted(r["n_name"] for r in back.collect()) == sorted(
+        r["n_name"] for r in src.collect()
+    )
+    scan = read_orc(spark, out, columns=["n_nationkey", "n_name"]).filter(
+        F.col("n_nationkey") < 5
+    )
+    assert_pushed_filters(scan, "LessThan(n_nationkey,5)")
+    assert_read_schema_pruned(scan, "nation", 2)
