@@ -142,3 +142,45 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # 00:10 row must not have produced a 00:00 window.
     assert got.get(h3) == 2
     assert 1704067200 not in got, "late row leaked past the watermark"
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """RemoveDuplicates on an unbounded stream: a re-delivered row
+    (same key, within the watermark window) must be dropped across
+    checkpointed runs, and state is watermark-bounded (the production
+    posture for at-least-once sources)."""
+    from cloud_dataflow_batch_processing_spark.streaming.dedup import (
+        remove_duplicates_stream,
+    )
+
+    src = str(tmp_path / "dedup_src")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    def write_batch(rows, n):
+        spark.createDataFrame(rows, "ts_s string, ev_id long").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "ev_id"
+        ).coalesce(1).write.mode("append").json(src)
+
+    def run_once():
+        sdf = spark.readStream.schema("ts timestamp, ev_id long").json(src)
+        deduped = remove_duplicates_stream(sdf, ["ev_id"], ts_col="ts", delay="2 hours")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    write_batch([("2024-01-01 00:10:00", 1), ("2024-01-01 00:20:00", 2)], 1)
+    run_once()
+    # Batch 2: ev_id=1 re-delivered (same key, inside the 2h window) +
+    # one genuinely new event.
+    write_batch([("2024-01-01 00:10:00", 1), ("2024-01-01 00:40:00", 3)], 2)
+    run_once()
+
+    got = sorted(r.ev_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3], got
