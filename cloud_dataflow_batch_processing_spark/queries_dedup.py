@@ -268,3 +268,47 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination"
         ),
     )
+
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({D.shingle_hashes_sql('text')}) AS sh FROM th_t
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS h FROM sh_t)
+    SELECT h, COUNT(*) AS n_docs
+    FROM ex GROUP BY h ORDER BY n_docs DESC, h LIMIT 20
+    """,
+    # Shares the explode+count+top-k classes with
+    # decontaminate_eval_overlap / top_n_global; registers late.
+    late=True,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram mining (the RefinedWeb/CCNet prefilter): the
+    20 most document-frequent 3-token shingles across the corpus —
+    shingles appearing in a large fraction of documents are templates/
+    navigation chrome to strip before training.
+
+    Plan: per-doc distinct shingles (map-side, one pass), explode, one
+    hash-agg shuffle on the shingle key with map-side partials, then
+    TakeOrderedAndProject for the bounded top-k — no per-doc state, no
+    self-join, order fully deterministic via the (count DESC, h) key.
+    No cache needed: unlike the decontamination plan there is no second
+    consumer and no size() predicate, so the hash chain is evaluated
+    exactly once per row."""
+    d = load_tables(spark, sf_dir)["documents"]
+    staged = (
+        d.select("doc_id", D.token_hashes("text").alias("__th"))
+        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select("doc_id", F.array_distinct("__shl").alias("sh"))
+    )
+    counts = (
+        staged.select(F.explode("sh").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return counts.orderBy(F.desc("n_docs"), F.asc("h")).limit(20)
