@@ -477,3 +477,151 @@ def simhash_sql(col: str) -> str:
         f"CASE WHEN 2 * len(list_filter(th, h -> ((h >> b) & 1) = 1)) > len(th) "
         f"THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster resolution: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected edge list — the cluster-
+    resolution step every fuzzy-dedup pipeline needs between PAIRS and
+    SURVIVORS: near-dup similarity is not transitive as a relation
+    (A~B and B~C with A!~C), so dropping "the higher id of each pair"
+    over-drops; the correct semantics is one canonical survivor per
+    *transitive closure* (what the reference's pipeline would express
+    as a self-joined GroupByKey fixpoint; cf. beam GroupByKey,
+    beam/transforms/core.py:1199 — no closed-form Beam operator exists
+    either, it is an iterative composition there too).
+
+    Algorithm: iterative min-label propagation with one pointer-jump
+    per round (the MapReduce-CC shape of Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond" — same two-phase
+    min-neighbor / path-halving idea as large-star/small-star). Each
+    round every node adopts the minimum label in its closed
+    neighborhood, then compresses one hop (label := label's label), so
+    chains collapse in O(log diameter) rounds, not O(diameter).
+
+    Scale posture: per-round state is a TWO-COLUMN (node, label) frame
+    — the document payload never enters the loop. One round = one
+    neighbor-min aggregate + two hash joins, all keyed shuffles on node
+    ids; the loop is a driver loop exactly like Lloyd k-means
+    (kmeans_centroids): each round's labels are cached, materialized by
+    the convergence count, and the previous round's cache is released,
+    so lineage never deepens past one round. Dedup graphs (dense small
+    cliques) converge in 2-4 rounds; ``max_iter`` is a pathological-
+    chain backstop.
+
+    Returns (node, comp) with comp = min node id in the component.
+    """
+    sym = (
+        edges.select(F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d"))
+        .union(
+            edges.select(
+                F.col(dst).cast("long").alias("s"), F.col(src).cast("long").alias("d")
+            )
+        )
+        .distinct()
+    )
+    sym = managed_cache(sym)
+    cur = managed_cache(
+        sym.select(F.col("s").alias("node")).distinct().withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(cur, sym["d"] == cur["node"])
+            .groupBy("s")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            cur.join(nbr_min, cur["node"] == nbr_min["s"], "left")
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        # Pointer jump through the freshly stepped mapping: comp values
+        # are always live node ids, so the inner mapping join hits.
+        m = stepped.select(
+            F.col("node").alias("m_node"), F.col("comp").alias("m_comp")
+        )
+        nxt = managed_cache(
+            stepped.join(m, stepped["comp"] == m["m_node"], "left").select(
+                "node", "old", F.coalesce("m_comp", "comp").alias("comp")
+            )
+        )
+        changed = nxt.filter(F.col("comp") != F.col("old")).count()
+        cur.unpersist()
+        cur = nxt
+        if changed == 0:
+            break
+    return cur.select("node", "comp")
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **pair_kwargs,
+) -> DataFrame:
+    """MinHash-LSH pairs → transitive closure → per-document cluster
+    assignment: (doc_id, component_id, cluster_size, is_canonical).
+    The canonical survivor is the minimum doc id of each component —
+    deterministic, engine-neutral. Only documents that belong to some
+    duplicate cluster appear; unique documents need no row (the
+    anti-join composition in ``corpus_clean_pipeline`` shows the
+    keep-side handling)."""
+    pairs = minhash_near_dup_pairs(df, id_col, text_col, threshold=threshold, **pair_kwargs)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("component_id"),
+            "cluster_size",
+            (F.col("node") == F.col("comp")).alias("is_canonical"),
+        )
+    )
+
+
+def duplicate_clusters_sql(
+    threshold: float = 0.8, source: str = "documents", max_bucket_size: int = 1000
+) -> str:
+    """Oracle twin of ``duplicate_clusters``: the minhash pair pipeline
+    as a nested CTE, then the transitive closure as a recursive CTE —
+    reach(node, comp) saturates (comp reaches node) pairs, and
+    MIN(comp) per node is exactly the component minimum the iterative
+    Spark loop converges to."""
+    pairs_sql = minhash_pipeline_sql(
+        threshold=threshold, source=source, max_bucket_size=max_bucket_size
+    )
+    return f"""
+    WITH RECURSIVE dup_pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT doc_a AS s, doc_b AS d FROM dup_pairs
+      UNION
+      SELECT doc_b AS s, doc_a AS d FROM dup_pairs
+    ),
+    reach(node, comp) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.comp FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    comp AS (
+      SELECT node, MIN(comp) AS component_id FROM reach GROUP BY node
+    ),
+    sized AS (
+      SELECT component_id, COUNT(*) AS cluster_size FROM comp GROUP BY component_id
+    )
+    SELECT c.node AS doc_id, c.component_id, s.cluster_size,
+           c.node = c.component_id AS is_canonical
+    FROM comp c JOIN sized s USING (component_id)
+    """

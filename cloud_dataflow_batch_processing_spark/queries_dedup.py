@@ -154,6 +154,24 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_duplicate_clusters",
+    oracle=D.duplicate_clusters_sql(threshold=0.8),
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: MinHash-LSH near-dup pairs closed
+    transitively via iterative connected components (min-label
+    propagation + pointer jumping, the MapReduce-CC shape), then one
+    canonical survivor per cluster. This is the step between PAIRS and
+    SURVIVORS that pair-wise dropping gets wrong (A~B, B~C with A!~C
+    must still collapse to one survivor). The oracle replays the
+    closure as a recursive CTE over the identical pair pipeline, so
+    every per-document component assignment — not just counts — is
+    hash-checked."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.duplicate_clusters(d, "doc_id", "text", threshold=0.8)
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH th_t AS (

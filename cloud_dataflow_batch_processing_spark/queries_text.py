@@ -262,6 +262,11 @@ _SPLIT_A, _SPLIT_B, _SPLIT_M = 2654435761, 40503, 1_000_000_007
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM assigned GROUP BY lang, split
     """,
+    # Deterministic-hash-routing class is driver-covered by
+    # corpus_mix_sample (same keyed-hash-threshold mechanics, per-lang
+    # rates); the split variant registers late to free a primary slot
+    # for dedup_duplicate_clusters' new operator class.
+    late=True,
 )
 def corpus_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified train/val/test split — the dataset-assembly step every

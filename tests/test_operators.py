@@ -264,3 +264,65 @@ def test_managed_caches_released(spark, kv):
     assert released == 6
     assert managed_cache_count() == 0
     assert sc._jsc.getPersistentRDDs().size() <= base_persisted
+
+
+# ---------------------------------------------------------------------------
+# Connected components (duplicate-cluster resolution)
+# ---------------------------------------------------------------------------
+
+
+def _cc(spark, edges, max_iter=25):
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        connected_components,
+    )
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    out = connected_components(df, "a", "b", max_iter=max_iter)
+    return {r["node"]: r["comp"] for r in out.collect()}
+
+
+def test_connected_components_path_chain(spark):
+    # A 16-node path is the pointer-jumping stress case: plain min-label
+    # propagation needs 15 rounds; with path compression it must finish
+    # well inside max_iter=8.
+    edges = [(i, i + 1) for i in range(1, 16)]
+    got = _cc(spark, edges, max_iter=8)
+    assert got == {i: 1 for i in range(1, 17)}
+
+
+def test_connected_components_disjoint_and_triangle(spark):
+    # Two disjoint clusters: a triangle {2,5,9} and a pair {30,40}; the
+    # component id is the minimum member, regardless of edge direction.
+    edges = [(5, 2), (9, 5), (2, 9), (40, 30)]
+    got = _cc(spark, edges)
+    assert got == {2: 2, 5: 2, 9: 2, 30: 30, 40: 30}
+
+
+def test_connected_components_empty_edges(spark):
+    got = _cc(spark, [], max_iter=3)
+    assert got == {}
+
+
+def test_duplicate_clusters_transitive_closure(spark):
+    # Three documents where A~B and B~C overlap above threshold but the
+    # pairwise A,C Jaccard may be anything: all three must land in ONE
+    # cluster with exactly one canonical survivor (the pair-wise
+    # "drop doc_b" shortcut would over- or under-drop here).
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        duplicate_clusters,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base + " alpha beta gamma delta"),
+        (2, base + " alpha beta gamma"),
+        (3, base + " alpha beta"),
+        (10, "completely unrelated text about spark catalyst optimizer plans"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_clusters(df, "doc_id", "text", threshold=0.6).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert set(by_doc) == {1, 2, 3}
+    assert {r["component_id"] for r in by_doc.values()} == {1}
+    assert [d for d, r in by_doc.items() if r["is_canonical"]] == [1]
+    assert all(r["cluster_size"] == 3 for r in by_doc.values())
