@@ -625,3 +625,96 @@ def duplicate_clusters_sql(
            c.node = c.component_id AS is_canonical
     FROM comp c JOIN sized s USING (component_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Segment-level (line-level) exact dedup
+# ---------------------------------------------------------------------------
+
+SEGMENT_TOKENS = 8
+
+
+def segment_dup_stats(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = SEGMENT_TOKENS
+) -> DataFrame:
+    """Sub-document exact dedup — the line/paragraph-dedup stage of
+    corpus cleaning (CCNet / C4 / RefinedWeb remove boilerplate lines
+    repeated across pages before whole-document dedup). The driver's
+    synthetic corpus has no newlines, so the segment unit is a fixed
+    ``seg_tokens``-token window (stated honestly: the line-dedup analog
+    for a newline-free corpus; with real text the split expression is
+    the only thing that changes).
+
+    Per document: how many of its non-overlapping segments also occur
+    elsewhere in the corpus (or twice in the same document).
+
+    Scale posture: tokenize + segment is per-row (one explode, no
+    Python); the global segment frequency is a window count partitioned
+    by segment text — ONE hash shuffle on the segment key, no join-back
+    needed — then one per-doc aggregate. Boilerplate-heavy corpora skew
+    the segment key; that shuffle is AQE-splittable and the segment
+    strings could be pre-hashed to longs at 100 TB to shrink shuffle
+    bytes (here they stay strings so the oracle is directly readable).
+
+    Returns (doc_id, n_segments, n_dup_segments, dup_fraction).
+    """
+    from pyspark.sql import Window
+
+    t = tokens(text_col)
+    toks = df.select(F.col(id_col).alias("__id"), t.alias("__t")).filter(
+        F.size("__t") > 0
+    )
+    starts = toks.select(
+        "__id",
+        "__t",
+        F.explode(F.sequence(F.lit(1), F.size("__t"), F.lit(seg_tokens))).alias("__s"),
+    )
+    segs = starts.select(
+        "__id", F.array_join(F.slice("__t", F.col("__s"), seg_tokens), " ").alias("__seg")
+    )
+    counted = segs.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("__seg"))
+    )
+    n_dup = F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)).cast("long")
+    return (
+        counted.groupBy(F.col("__id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            n_dup.alias("n_dup_segments"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_segments").cast("double") / F.col("n_segments"), 4),
+        )
+    )
+
+
+def segment_dup_stats_sql(
+    source: str = "documents", seg_tokens: int = SEGMENT_TOKENS
+) -> str:
+    """Oracle twin of ``segment_dup_stats`` (same tokenizer as
+    functions/text.py's tokens_sql; list_slice end is inclusive, hence
+    the LEAST(s + k - 1, len))."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM {source}
+    ),
+    segs AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(t, s, LEAST(s + {seg_tokens - 1}, len(t))), ' ') AS seg
+      FROM (
+        SELECT doc_id, t, unnest(range(1, len(t) + 1, {seg_tokens})) AS s
+        FROM toks WHERE len(t) > 0
+      )
+    ),
+    counted AS (
+      SELECT doc_id, seg, COUNT(*) OVER (PARTITION BY seg) AS n FROM segs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           ROUND(CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*),
+                 4) AS dup_fraction
+    FROM counted GROUP BY doc_id
+    """

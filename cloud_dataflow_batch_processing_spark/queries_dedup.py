@@ -154,6 +154,21 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_segments",
+    oracle=D.segment_dup_stats_sql(),
+)
+def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level (line-level) exact dedup: per-document fraction of
+    fixed 8-token segments that repeat anywhere in the corpus — the
+    CCNet/C4-style boilerplate-line removal signal, computed with ONE
+    segment-key shuffle (window count, no join-back). The synthetic
+    corpus has no newlines, so token windows stand in for lines (the
+    split expression is the only real-text difference)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.segment_dup_stats(d, "doc_id", "text")
+
+
+@register(
     "dedup_duplicate_clusters",
     oracle=D.duplicate_clusters_sql(threshold=0.8),
 )

@@ -62,6 +62,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     WHERE {X.quality_score_sql('text')} >= 0.5
     """,
+    # Quality-scoring class is driver-covered by text_profile_single_pass
+    # (same score expression) and corpus_clean_pipeline (the threshold
+    # filter in composition); the standalone filter registers late to
+    # free a primary slot for dedup_segments' new operator class.
+    late=True,
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + threshold filter — the standard pretraining

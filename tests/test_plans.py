@@ -325,3 +325,13 @@ def test_hash_chain_not_reembedded(spark, sf_dir):
 
     plan = executed_plan(REGISTRY["text_repetition_ratio"].fn(spark, sf_dir))
     assert plan.count("ascii(") == 0, plan.count("ascii(")
+
+
+def test_dedup_segments_two_shuffles(spark, sf_dir):
+    """Segment-level dedup must be exactly two shuffles: the window
+    count partitioned by segment text and the per-doc aggregate — no
+    join-back of the frequency table (a third shuffle + a join at
+    100 TB for nothing)."""
+    df = REGISTRY["dedup_segments"].fn(spark, sf_dir)
+    assert count_shuffles(df) == 2
+    assert_no_cartesian(df)
