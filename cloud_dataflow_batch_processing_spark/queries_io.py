@@ -94,3 +94,43 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").alias("min_key"),
         F.max("l_orderkey").alias("max_key"),
     )
+
+
+@register(
+    "json_roundtrip_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS BIGINT) AS bal_floor,
+           MIN(c_custkey) AS min_key,
+           MAX(c_custkey) AS max_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+    # Same roundtrip-through-exact-aggregate class as avro_roundtrip_agg
+    # (which keeps the primary slot: it exercises our own codec; JSONL
+    # is Spark-native). Registers late.
+    late=True,
+)
+def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzip'd JSON-lines write→read roundtrip — the interchange layout
+    most corpus releases ship — certified by the exact-integer-
+    aggregate pattern shared with the avro/orc roundtrips. The read
+    passes an explicit schema (production posture: schema inference is
+    a full extra pass over the data at 100 TB)."""
+    from cloud_dataflow_batch_processing_spark.sources.files import read_json, write_json
+
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    scratch = os.path.join(
+        _REPO_ROOT, "spark-warehouse", f"json_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_json(cust, scratch, compression="gzip")
+    back = read_json(spark, scratch, schema=cust.schema)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.floor("c_acctbal").cast("long")).alias("bal_floor"),
+        F.min("c_custkey").alias("min_key"),
+        F.max("c_custkey").alias("max_key"),
+    )

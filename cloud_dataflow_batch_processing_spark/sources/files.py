@@ -53,6 +53,27 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType | None = None
     return reader.json(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink (one JSON object per line, the interchange
+    format most text-corpus releases use). ``compression`` in
+    {None, gzip, bzip2, snappy, zstd, ...} — gzip'd JSONL is the
+    common corpus-drop layout; note gzip files are NOT splittable on
+    read, so at 100 TB keep individual files bounded (repartition
+    before writing) or prefer zstd."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.json(path)
+
+
 def _avro_source_missing(exc: Exception) -> bool:
     """True only for the 'spark-avro jar not deployed' AnalysisException
     (error condition _LEGACY_ERROR_TEMP_1139 / message 'Failed to find

@@ -165,3 +165,30 @@ def test_orc_roundtrip_and_pushdown(spark, tables, tmp_path):
     )
     assert_pushed_filters(scan, "LessThan(n_nationkey,5)")
     assert_read_schema_pruned(scan, "nation", 2)
+
+
+def test_json_roundtrip_gzip_and_partitioned(spark, tables, tmp_path):
+    """JSONL sink: gzip'd files carry the .gz suffix (codec actually
+    applied), a partitioned write lays out partition directories, and
+    the schema'd read restores typed values exactly."""
+    import os
+
+    from cloud_dataflow_batch_processing_spark.sources.files import read_json, write_json
+
+    src = tables["nation"].select("n_nationkey", "n_name", "n_regionkey")
+    out = str(tmp_path / "json_gz")
+    write_json(src, out, compression="gzip")
+    assert any(f.endswith(".json.gz") for f in os.listdir(out))
+    back = read_json(spark, out, schema=src.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    part_out = str(tmp_path / "json_part")
+    write_json(src, part_out, partition_by=["n_regionkey"])
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(part_out))
+    back2 = read_json(
+        spark, part_out, schema=src.select("n_nationkey", "n_name").schema
+    )
+    assert back2.count() == src.count()
+    # Partition-pruned read: only one directory's files are listed.
+    pruned = spark.read.schema(src.schema).json(part_out).filter("n_regionkey = 1")
+    assert pruned.count() == src.filter("n_regionkey = 1").count()
