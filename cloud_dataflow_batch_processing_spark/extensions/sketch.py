@@ -1,0 +1,100 @@
+"""Probabilistic sketch primitives: Bloom-filter membership.
+
+The 100 TB use case: a bounded reference set (benchmark eval
+fingerprints, a URL blocklist, already-ingested doc ids) probed by
+every row of a huge corpus. An exact semi-join shuffles the corpus on
+the membership key; a Bloom probe is O(k) bit tests per row against a
+broadcast bit array — no shuffle, no join, with a bounded
+false-positive rate and NO false negatives (so it is safe as a
+pre-filter: survivors can be exact-checked, and at typical sizing the
+exact pass touches ~0 rows).
+
+Engine-neutral by construction, like every hash in this repo: bit
+positions come from k independent affine hashes over the same
+1e9+7 field as functions/text.py, so a DuckDB oracle can rebuild the
+IDENTICAL bit set and the driver gate checks the Bloom verdict
+value-for-value — stronger than the usual "error within envelope"
+check an opaque murmur-based filter would force (cf. the
+approx_distinct / approx_percentile envelope pattern).
+
+Sizing: for n members and m bits, the false-positive rate with k
+hashes is ~(1 - e^(-kn/m))^k; the classic optimum is k = (m/n) ln 2.
+``bloom_bits`` is pure construction; callers pick m as a power of two.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cloud_dataflow_batch_processing_spark.functions.text import HASH_MOD as P
+
+# Affine hash family over Z_P, disjoint from the MinHash seeds
+# (extensions/dedup.py uses 2j+3 / 7919j+13).
+def _seed_a(i: int) -> int:
+    return 4 * i + 5
+
+
+def _seed_b(i: int) -> int:
+    return 104_729 * i + 17
+
+
+def bloom_positions(value_mod_p: int, m_bits: int, k: int) -> list[int]:
+    """Driver-side bit positions for one value (already reduced mod P)."""
+    return [((_seed_a(i) * value_mod_p + _seed_b(i)) % P) % m_bits for i in range(k)]
+
+
+def bloom_bits(values: Iterable[int], m_bits: int, k: int) -> np.ndarray:
+    """Build the packed bit array (uint8, little-endian bit order) from
+    an iterable of member values. Values are reduced mod P first so the
+    affine products stay inside int64 on every engine."""
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    for v in values:
+        for pos in bloom_positions(int(v) % P, m_bits, k):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    return bits
+
+
+def bloom_from_df(df: DataFrame, col: str, m_bits: int, k: int) -> np.ndarray:
+    """Collect a (small, side-input-sized) member column and build the
+    filter driver-side — the same contract as operators/side_inputs.py:
+    the member set is the bounded side of the asymmetry; the corpus
+    side never collects."""
+    values = [r[0] for r in df.select(col).distinct().collect()]
+    return bloom_bits(values, m_bits, k)
+
+
+def bloom_might_contain(
+    df: DataFrame, col: str | Column, bits: np.ndarray, m_bits: int, k: int
+) -> Column:
+    """Vectorized membership probe as an Arrow-batched pandas UDF: the
+    bit array ships once per executor via a Spark broadcast (not once
+    per task in the closure), and each batch is k numpy gathers.
+    Per-row cost is O(k) independent of member count — the whole point
+    vs an exact semi-join at corpus scale."""
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+    ks = [( _seed_a(i), _seed_b(i)) for i in range(k)]
+
+    @pandas_udf("boolean")
+    def probe(x: pd.Series) -> pd.Series:
+        arr = bc.value
+        v = (x.to_numpy(dtype=np.int64)) % P
+        ok = np.ones(len(v), dtype=bool)
+        for a, b in ks:
+            pos = ((a * v + b) % P) % m_bits
+            ok &= ((arr[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    return probe(F.col(col) if isinstance(col, str) else col)
+
+
+def bloom_positions_sql(value_expr: str, m_bits: int, k: int) -> str:
+    """DuckDB list of the same k bit positions for ``value_expr``."""
+    return (
+        f"list_transform(range(0, {k}), i -> "
+        f"(((4 * i + 5) * ({value_expr} % {P}) + (104729 * i + 17)) % {P}) % {m_bits})"
+    )

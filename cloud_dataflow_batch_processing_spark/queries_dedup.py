@@ -7,7 +7,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+from cloud_dataflow_batch_processing_spark.extensions import sketch as S
 from cloud_dataflow_batch_processing_spark.functions.text import (
+    doc_fingerprint as fingerprint,
+    doc_fingerprint_sql as fingerprint_sql,
     lang_id_sql,
     quality_score_sql,
 )
@@ -345,3 +348,68 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return counts.orderBy(F.desc("n_docs"), F.asc("h")).limit(20)
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, {fingerprint_sql('text')} AS fp FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0
+    ),
+    pos AS (
+      SELECT DISTINCT unnest({S.bloom_positions_sql('fp', _BLOOM_M, _BLOOM_K)}) AS p
+      FROM ev
+    ),
+    cand AS (
+      SELECT doc_id, fp FROM fp WHERE doc_id % 97 <> 0
+    ),
+    cp AS (
+      SELECT doc_id, unnest({S.bloom_positions_sql('fp', _BLOOM_M, _BLOOM_K)}) AS p
+      FROM cand
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_set FROM cp JOIN pos USING (p) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           COALESCE(h.n_set, 0) = {_BLOOM_K} AS bloom_hit,
+           c.fp IN (SELECT fp FROM ev) AS exact_hit
+    FROM cand c LEFT JOIN hits h USING (doc_id)
+    """,
+    # Sketch/approximate class is driver-covered by approx_distinct and
+    # approx_percentile; the Bloom probe (exact-value-checkable thanks
+    # to engine-neutral hashing) registers late.
+    late=True,
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination: eval-set document fingerprints
+    (doc_id % 97 == 0, as in decontaminate_eval_overlap) go into a
+    4096-bit / 3-hash Bloom filter built driver-side and broadcast;
+    every other document is probed with a vectorized O(k) bit test —
+    no shuffle, no join on the corpus side. The oracle rebuilds the
+    IDENTICAL bit positions in SQL (engine-neutral affine hashes), so
+    the driver checks the Bloom verdict — including any false
+    positives — value-for-value against the exact membership flag."""
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
+    d = load_tables(spark, sf_dir)["documents"]
+    fp = managed_cache(d.select("doc_id", fingerprint("text").alias("fp")))
+    ev = fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    bits = S.bloom_from_df(ev, "fp", _BLOOM_M, _BLOOM_K)
+    cand = fp.filter(F.col("doc_id") % 97 != 0)
+    ev_marked = ev.withColumn("__m", F.lit(1))
+    return (
+        cand.join(F.broadcast(ev_marked), "fp", "left")
+        .select(
+            "doc_id",
+            S.bloom_might_contain(cand, "fp", bits, _BLOOM_M, _BLOOM_K).alias(
+                "bloom_hit"
+            ),
+            F.col("__m").isNotNull().alias("exact_hit"),
+        )
+    )

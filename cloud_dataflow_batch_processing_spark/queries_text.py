@@ -455,3 +455,62 @@ def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, doc_id, unnest({X.tokens_sql('text')}) AS tok FROM documents
+    ),
+    stats AS (
+      SELECT lang, tok, COUNT(*) AS tf,
+             COUNT(DISTINCT doc_id) AS df_docs
+      FROM toks GROUP BY lang, tok
+    ),
+    nlang AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    scored AS (
+      SELECT s.lang, s.tok, s.tf, s.df_docs,
+             s.tf * (CAST(n.n_docs AS DOUBLE) / s.df_docs) AS score
+      FROM stats s JOIN nlang n USING (lang)
+    )
+    SELECT lang, tok, tf, df_docs, ROUND(score, 4) AS score
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY lang ORDER BY score DESC, tok) <= 5
+    """,
+    # Shares the explode + grouped-count + per-key-top-k classes with
+    # boilerplate_ngrams / top_n_per_key; registers late.
+    late=True,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tf-idf vocabulary mining: the 5 highest-weighted
+    terms per language — the corpus-profiling signal behind stopword
+    lists and domain-vocabulary drift checks. Idf is the log-free
+    rational form tf * (N_lang / df) so both engines compute bit-exact
+    doubles (libm log is the one op with cross-engine ulp risk); the
+    ranking key (score DESC, token) is fully deterministic.
+
+    Plan: explode is per-row; one (lang, token) hash-agg shuffle with
+    map-side partials carries tf and df together; the per-language doc
+    count broadcasts; the final top-5 is a per-lang rank window over
+    the already-aggregated (small) term frame."""
+    d = load_tables(spark, sf_dir)["documents"]
+    toks = d.select("lang", "doc_id", F.explode(X.tokens("text")).alias("tok"))
+    stats = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df_docs"),
+    )
+    nlang = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = stats.join(F.broadcast(nlang), "lang").withColumn(
+        "score", F.col("tf") * (F.col("n_docs").cast("double") / F.col("df_docs"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select("lang", "tok", "tf", "df_docs", F.round("score", 4).alias("score"))
+    )

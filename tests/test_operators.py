@@ -326,3 +326,45 @@ def test_duplicate_clusters_transitive_closure(spark):
     assert {r["component_id"] for r in by_doc.values()} == {1}
     assert [d for d, r in by_doc.items() if r["is_canonical"]] == [1]
     assert all(r["cluster_size"] == 3 for r in by_doc.values())
+
+
+def test_bloom_filter_no_false_negatives_and_known_fp(spark):
+    """Bloom membership: every member probes true (structural — no
+    false negatives), and a deterministically-found non-member whose
+    positions all collide with member bits probes true as a false
+    positive (proving the probe actually reads the shared bit array,
+    not an exact set)."""
+    import numpy as np
+
+    from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+    members = [101, 2002, 30003, 400004]
+    m_bits, k = 64, 3  # tiny filter so false positives are findable
+    bits = S.bloom_bits(members, m_bits, k)
+    set_pos = {
+        p for v in members for p in S.bloom_positions(v % S.P, m_bits, k)
+    }
+    fp_value = next(
+        x
+        for x in range(1, 100_000)
+        if x not in members
+        and all(p in set_pos for p in S.bloom_positions(x % S.P, m_bits, k))
+    )
+    tn_value = next(
+        x
+        for x in range(1, 100_000)
+        if x not in members
+        and any(p not in set_pos for p in S.bloom_positions(x % S.P, m_bits, k))
+    )
+    df = spark.createDataFrame(
+        [(v,) for v in members + [fp_value, tn_value]], "v long"
+    )
+    got = {
+        r["v"]: r["hit"]
+        for r in df.select(
+            "v", S.bloom_might_contain(df, "v", bits, m_bits, k).alias("hit")
+        ).collect()
+    }
+    assert all(got[v] for v in members)
+    assert got[fp_value] is True
+    assert got[tn_value] is False
