@@ -184,3 +184,102 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
 
     got = sorted(r.ev_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3], got
+
+
+def test_stream_stream_windowed_join_inner(spark, tmp_path):
+    """Stream-stream inner join per (user, 1h window) — Beam's windowed
+    CoGroupByKey over two unbounded inputs. Both sides are file streams;
+    rows join only when key AND window agree."""
+    from cloud_dataflow_batch_processing_spark.streaming.joins import (
+        windowed_stream_join,
+    )
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").json(path)
+
+    lpath, rpath = str(tmp_path / "imp"), str(tmp_path / "clk")
+    write(
+        lpath,
+        [
+            ("2024-01-01 00:10:00", 1, 10.0),  # joins: user 1, hour 0
+            ("2024-01-01 00:20:00", 2, 20.0),  # no click for user 2
+            ("2024-01-01 01:10:00", 1, 30.0),  # user 1 but hour 1: no click there
+        ],
+    )
+    write(
+        rpath,
+        [
+            ("2024-01-01 00:40:00", 1, 0.5),  # same user+window as the 00:10 row
+            ("2024-01-01 02:05:00", 3, 0.7),  # key with no impression
+        ],
+    )
+    left = spark.readStream.schema(schema).json(lpath)
+    right = spark.readStream.schema(schema).json(rpath)
+    joined = windowed_stream_join(left, right, ["user_id"], "ts", "1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_inner")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_inner").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.value, r.value_r) == (1, 10.0, 0.5)
+    assert r.w_end - r.w_start == 3600
+
+
+def test_stream_stream_windowed_join_left_outer_flush(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched left rows emit their
+    null-padded result only after the watermark passes the window end —
+    driven as checkpointed availableNow runs with a sentinel batch that
+    advances the watermark (the same discipline as the late-row test)."""
+    from cloud_dataflow_batch_processing_spark.streaming.joins import (
+        windowed_stream_join,
+    )
+
+    schema = "ts timestamp, user_id long, value double"
+
+    def write(path, rows):
+        spark.createDataFrame(rows, "ts_s string, user_id long, value double").select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value"
+        ).coalesce(1).write.mode("append").json(path)
+
+    lpath, rpath = str(tmp_path / "impL"), str(tmp_path / "clkL")
+    out, ckpt = str(tmp_path / "outL"), str(tmp_path / "ckL")
+
+    def run_once():
+        left = spark.readStream.schema(schema).json(lpath)
+        right = spark.readStream.schema(schema).json(rpath)
+        joined = windowed_stream_join(
+            left, right, ["user_id"], "ts", "1 hour", how="left_outer"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write(lpath, [("2024-01-01 00:10:00", 1, 10.0), ("2024-01-01 00:20:00", 2, 20.0)])
+    write(rpath, [("2024-01-01 00:40:00", 1, 0.5)])
+    run_once()
+    # Sentinel on BOTH streams pushes the watermark past 01:00 so the
+    # unmatched user-2 row can flush as (20.0, null).
+    write(lpath, [("2024-01-01 05:00:00", 99, 0.0)])
+    write(rpath, [("2024-01-01 05:00:00", 98, 0.0)])
+    run_once()
+    run_once()  # one more cycle: outer results flush a batch behind
+
+    got = {(r.user_id, r.value): r.value_r for r in spark.read.parquet(out).collect()}
+    assert got[(1, 10.0)] == 0.5
+    assert (2, 20.0) in got and got[(2, 20.0)] is None
