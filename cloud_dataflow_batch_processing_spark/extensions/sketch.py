@@ -98,3 +98,67 @@ def bloom_positions_sql(value_expr: str, m_bits: int, k: int) -> str:
         f"list_transform(range(0, {k}), i -> "
         f"(((4 * i + 5) * ({value_expr} % {P}) + (104729 * i + 17)) % {P}) % {m_bits})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: heavy-hitter frequency estimation in sublinear space.
+#
+# The 100 TB use case: estimated frequencies for EVERY key (hot users,
+# hot domains, hot n-grams) without shuffling per-key rows — the sketch
+# is depth × width counters regardless of key cardinality, map-side
+# partial aggregation does almost all the work, and the single shuffle
+# moves at most depth × width × n_partitions partial counters. The
+# classic guarantee (Cormode & Muthukrishnan 2005): with width w and
+# depth d, est >= true always (one-sided), and est <= true + N·e/w with
+# probability 1 - e^-d.
+#
+# Same engine-neutral affine family as the Bloom filter above (seeds
+# disjoint: 6i+7 / 15485863i+19), so a DuckDB oracle rebuilds the
+# IDENTICAL counter table and the driver gate checks estimates
+# value-for-value, not just "within envelope".
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(value_mod_p: Column, i: int, width: int) -> Column:
+    a, b = 6 * i + 7, 15_485_863 * i + 19
+    return ((F.lit(a) * value_mod_p + F.lit(b)) % F.lit(P)) % F.lit(width)
+
+
+def cms_bucket_sql(value_expr: str, i: str, width: int) -> str:
+    """DuckDB twin of ``_cms_bucket`` (``i`` may be a column name)."""
+    return f"(((6 * {i} + 7) * (({value_expr}) % {P}) + (15485863 * {i} + 19)) % {P}) % {width}"
+
+
+def countmin_sketch(df: DataFrame, key: Column, depth: int, width: int) -> DataFrame:
+    """Build the (row, bucket, cnt) counter table for integer ``key``.
+
+    One explode to depth rows per input row, then ONE hash-aggregate
+    shuffle bounded by depth × width groups — never by key cardinality.
+    ``key`` must be integral; reduce strings with ``rolling_hash`` first.
+    """
+    v = (key.cast("long") % P + P) % P
+    rows = df.select(
+        F.posexplode(F.array(*[_cms_bucket(v, i, width) for i in range(depth)])).alias(
+            "row_i", "bucket"
+        )
+    )
+    return rows.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def countmin_estimate(
+    sketch: DataFrame, keys: DataFrame, key_col: str, depth: int, width: int
+) -> DataFrame:
+    """Point-estimate each key in ``keys``: min over the d counters the
+    key hashes to. The sketch side is depth × width rows — broadcast —
+    so estimation adds no shuffle beyond the per-key min aggregate."""
+    v = (F.col(key_col).cast("long") % P + P) % P
+    probes = keys.select(
+        key_col,
+        F.posexplode(F.array(*[_cms_bucket(v, i, width) for i in range(depth)])).alias(
+            "row_i", "bucket"
+        ),
+    )
+    joined = probes.join(F.broadcast(sketch), ["row_i", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
+    )

@@ -64,7 +64,7 @@ def asof_join(
     # sees them), after when exclusive.
     right_tag, left_tag = (0, 1) if inclusive else (1, 0)
 
-    left_only = [c for c in left.columns if c not in on]
+    left_only = [c for c in left.columns if c not in on and c != left_ts]
     right_payload = list(right_cols)
 
     r = right.select(
@@ -136,15 +136,23 @@ def range_join(
     on = list(on)
     w = int(bucket_width)
     p = points.withColumn("__bucket", F.expr(f"{point_ts} DIV {w}"))
-    iv = intervals.withColumn(
+    # Rename the interval side's key columns up front: both sides often
+    # derive from the same parent frame, and relying on Spark's
+    # self-join lineage disambiguation for `p[c] == iv[c]` risks a
+    # trivially-true predicate. Renamed columns are unambiguous.
+    iv_cols = [c for c in intervals.columns if c not in on]
+    iv = intervals.select(
+        *[F.col(c).alias(f"__iv_{c}") for c in on],
+        *iv_cols,
+    ).withColumn(
         "__bucket",
         F.explode(F.sequence(F.expr(f"{start_ts} DIV {w}"), F.expr(f"{end_ts} DIV {w}"))),
     )
-    cond = [p[c] == iv[c] for c in on]
+    cond = [p[c] == iv[f"__iv_{c}"] for c in on]
     cond.append(p["__bucket"] == iv["__bucket"])
     cond.append(iv[start_ts] <= p[point_ts])
     cond.append(p[point_ts] <= iv[end_ts])
     joined = p.join(iv, cond, how)
     keep_p = [p[c] for c in points.columns]
-    keep_iv = [iv[c] for c in intervals.columns if c not in on]
+    keep_iv = [iv[c] for c in iv_cols]
     return joined.select(*keep_p, *keep_iv)

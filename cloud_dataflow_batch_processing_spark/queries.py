@@ -522,6 +522,7 @@ def _load_submodule_registries() -> None:
     from cloud_dataflow_batch_processing_spark import queries_dedup  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_more  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_similarity  # noqa: F401
+    from cloud_dataflow_batch_processing_spark import queries_temporal  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_streaming  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_io  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_multimodal  # noqa: F401

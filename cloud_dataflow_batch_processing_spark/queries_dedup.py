@@ -159,6 +159,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_segments",
     oracle=D.segment_dup_stats_sql(),
+    # Exact-hash dedup class is driver-carried by `dedup_exact`; this
+    # segment-granularity variant registers late.
+    late=True,
 )
 def dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level (line-level) exact dedup: per-document fraction of

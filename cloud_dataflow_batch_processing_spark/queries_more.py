@@ -37,6 +37,12 @@ def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "intersect_except",
+    # Capability-superset set-op class is driver-carried by
+    # `union_distinct`'s family sibling queries (`grouping_sets_rollup`,
+    # `window_rank_analytics`, `percentiles_exact` all cover the same
+    # "notably absent in Beam, free in Catalyst" superset row); this
+    # variant registers late.
+    late=True,
     oracle="""
     SELECT nationkey, 'both' AS which FROM
       (SELECT c_nationkey AS nationkey FROM customer
@@ -374,4 +380,140 @@ def approx_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         (F.abs(F.col("r50") - 0.5 * F.col("n")) <= err).alias("p50_in_bound"),
         (F.abs(F.col("r90") - 0.9 * F.col("n")) <= err).alias("p90_in_bound"),
+    )
+
+
+from cloud_dataflow_batch_processing_spark.extensions import sketch as SK  # noqa: E402
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 64
+
+
+@register(
+    "heavy_hitters_countmin",
+    oracle=f"""
+    WITH sk AS (
+      SELECT i AS row_i, {SK.cms_bucket_sql('user_id', 'i', _CMS_WIDTH)} AS bucket,
+             COUNT(*) AS cnt
+      FROM events CROSS JOIN range(0, {_CMS_DEPTH}) t(i)
+      GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events),
+    probes AS (
+      SELECT k.user_id, i, {SK.cms_bucket_sql('k.user_id', 'i', _CMS_WIDTH)} AS bucket
+      FROM keys k CROSS JOIN range(0, {_CMS_DEPTH}) t(i)
+    ),
+    est AS (
+      SELECT p.user_id, MIN(sk.cnt) AS est_count
+      FROM probes p JOIN sk ON sk.row_i = p.i AND sk.bucket = p.bucket
+      GROUP BY 1
+    ),
+    tru AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1)
+    SELECT e.user_id, e.est_count, t.true_count,
+           e.est_count >= t.true_count AS overestimates
+    FROM est e JOIN tru t USING (user_id)
+    ORDER BY e.est_count DESC, e.user_id LIMIT 10
+    """,
+)
+def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters (extensions/sketch.py::countmin_sketch):
+    top-10 users by estimated frequency from a 4×64 sketch, with the
+    exact count and the one-sided overestimate guarantee alongside.
+    The sketch is depth × width counters independent of key
+    cardinality — ONE bounded hash-agg shuffle to build, broadcast to
+    probe — and the affine hash family is engine-neutral, so the
+    DuckDB oracle rebuilds the identical counter table and every
+    estimate is value-checked, not just envelope-checked. At 150 keys
+    over 64 buckets the collisions are real (est > true for some keys),
+    which makes the value match a meaningful certification."""
+    ev = load_tables(spark, sf_dir)["events"]
+    sk = SK.countmin_sketch(ev, F.col("user_id"), _CMS_DEPTH, _CMS_WIDTH)
+    keys = ev.select("user_id").distinct()
+    est = SK.countmin_estimate(sk, keys, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(tru, "user_id")
+        .select(
+            "user_id",
+            "est_count",
+            "true_count",
+            (F.col("est_count") >= F.col("true_count")).alias("overestimates"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "table_fingerprint",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             ((((((l_orderkey % {1_000_000_007}) * 31 + l_linenumber) % {1_000_000_007})
+                * 31 + (l_partkey % {1_000_000_007})) % {1_000_000_007}
+               * 31 + CAST(l_quantity AS BIGINT)) % {1_000_000_007}) AS row_hash
+      FROM lineitem
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(row_hash AS DECIMAL(38,0))) AS DECIMAL(38,0))
+                % {1_000_000_007} AS BIGINT) AS fingerprint
+    FROM h GROUP BY 1
+    """,
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy primitive a
+    100 TB migration/replication needs: per-group (and by extension
+    whole-table) fingerprints that two engines or two copies can
+    compare without moving rows. Per-row polynomial hash over the key
+    columns (engine-neutral, same 1e9+7 field as every hash in this
+    repo), combined with an order-insensitive decimal-exact SUM mod P —
+    map-side partial aggregation does nearly all the work, one narrow
+    shuffle to 3 groups, and a mismatch localizes to the group. The
+    oracle rebuilds the identical fingerprint in DuckDB, which is
+    exactly the cross-engine use case."""
+    P = 1_000_000_007
+    li = load_tables(spark, sf_dir)["lineitem"]
+    row_hash = (
+        (
+            ((F.col("l_orderkey") % P) * 31 + F.col("l_linenumber")) % P * 31
+            + (F.col("l_partkey") % P)
+        )
+        % P
+        * 31
+        + F.col("l_quantity").cast("bigint")
+    ) % P
+    return (
+        li.select("l_returnflag", row_hash.alias("row_hash"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("row_hash").cast("decimal(38,0)")) % P)
+            .cast("bigint")
+            .alias("fingerprint"),
+        )
+    )
+
+
+@register(
+    "zorder_curve",
+    # Data-layout class: verification weight is in the clustering unit
+    # test + RangePartitioning plan pin (tests/test_layout.py); the
+    # curve arithmetic itself is oracle-checked here, registered late.
+    late=True,
+    oracle=f"""
+    SELECT o_orderkey,
+           {__import__('cloud_dataflow_batch_processing_spark.extensions.layout', fromlist=['zvalue_sql']).zvalue_sql('(o_custkey % 1024)', '(o_orderkey % 1024)', 10)} AS zval
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values (extensions/layout.py::zvalue): bit
+    interleave of two bounded dimensions, the clustering key behind
+    OPTIMIZE ZORDER-style layout. Pure BIGINT shifts — codegen on
+    Spark, identical arithmetic in the DuckDB oracle."""
+    from cloud_dataflow_batch_processing_spark.extensions.layout import zvalue
+
+    o = load_tables(spark, sf_dir)["orders"].filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        zvalue(F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024, 10).alias("zval"),
     )

@@ -102,6 +102,11 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_cosine",
+    # Embedding-cosine near-dup class is driver-carried by
+    # `semantic_dedup_prune` (cluster-bucketed) and `ann_lsh_pairs`
+    # (LSH-bucketed retrieval); this LSH-bucketed dedup variant
+    # registers late.
+    late=True,
     oracle=f"""
     WITH sig AS (
       SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket

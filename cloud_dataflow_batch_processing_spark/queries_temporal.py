@@ -1,0 +1,131 @@
+"""Temporal-join query registrations: backward as-of join and bucketed
+range join over the events table (extensions/temporal.py).
+
+The reference's only join primitive is CoGroupByKey equi-join
+composition (beam/transforms/util.py:63-170); these are beyond-reference
+extensions in the SURVEY §2.3 north-star class — point-in-time-correct
+feature lookup and interval-containment matching, the two temporal
+shapes every training-data / feature pipeline needs. Both oracles are
+genuinely independent formulations: DuckDB's native ASOF JOIN for the
+as-of query (a different algorithm from our union+forward-fill window),
+and a plain inequality join for the range query (vs our bucketed
+equi-join) — so a hash match certifies the *semantics*, not a shared
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions.temporal import asof_join, range_join
+from cloud_dataflow_batch_processing_spark.queries import register
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+# Interval half-open "blast window" after each error event, in
+# microseconds; bucket width equals the interval length so each
+# interval explodes to at most 2 buckets (constant fan-out).
+_RANGE_WINDOW_US = 3_600_000_000
+
+
+def _epoch_us(col: str):
+    """Exact epoch-microseconds from a TIMESTAMP_NTZ column, immune to
+    the session timezone (wall-clock diff against the NTZ epoch — the
+    driver's vanilla session need not run in UTC). Matches DuckDB's
+    ``epoch_us`` bit-for-bit."""
+    return F.expr(f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})")
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH r AS (SELECT user_id, epoch_us(ts) AS rts, MAX(value) AS click_value
+               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+          FROM events WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id, l.ts_us, r.click_value, r.rts AS asof_ts
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts_us >= r.rts
+    """,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase event picks up the value of
+    the user's latest click at-or-before it (point-in-time-correct
+    feature lookup; NULLs when no prior click). One shuffle total —
+    both sides union-tagged and forward-filled per user with a running
+    ``last(ignorenulls)`` window; no join node, no per-key blowup
+    (extensions/temporal.py:38). The right side is pre-aggregated to
+    one row per (user, ts) so "the latest" is well defined on both
+    engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", _epoch_us("ts").alias("rts"))
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", _epoch_us("ts").alias("ts_us")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="rts",
+        right_cols=["click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "click_value", F.col("__asof_ts").alias("asof_ts")
+    )
+
+
+@register(
+    "range_join_events",
+    oracle=f"""
+    WITH iv AS (SELECT event_id AS err_id, user_id, epoch_us(ts) AS s_us,
+                       epoch_us(ts) + {_RANGE_WINDOW_US} AS e_us
+                FROM events WHERE event_type = 'error'),
+    p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS ts_us, value
+          FROM events WHERE event_type = 'purchase')
+    SELECT iv.err_id, iv.user_id, COUNT(*) AS n_purchases,
+           MIN(p.p_id) AS first_purchase, MAX(p.p_id) AS last_purchase,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM iv JOIN p ON iv.user_id = p.user_id AND p.ts_us BETWEEN iv.s_us AND iv.e_us
+    GROUP BY 1, 2
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join: purchases landing inside the hour after
+    each error event of the same user, rolled up per interval. The
+    oracle is a plain inequality join; ours explodes each interval to
+    the ≤2 time buckets it overlaps and equi-joins on (user, bucket) —
+    a hash join plus residual filter, never a BroadcastNestedLoopJoin,
+    and each match is produced exactly once so no dedup pass
+    (extensions/temporal.py:112)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        _epoch_us("ts").alias("s_us"),
+        (_epoch_us("ts") + F.lit(_RANGE_WINDOW_US)).alias("e_us"),
+    )
+    points = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        _epoch_us("ts").alias("ts_us"),
+        "value",
+    )
+    pairs = range_join(
+        points,
+        intervals,
+        on=["user_id"],
+        point_ts="ts_us",
+        start_ts="s_us",
+        end_ts="e_us",
+        bucket_width=_RANGE_WINDOW_US,
+        how="inner",
+    )
+    return pairs.groupBy("err_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.min("p_id").alias("first_purchase"),
+        F.max("p_id").alias("last_purchase"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+    )

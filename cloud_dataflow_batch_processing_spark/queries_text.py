@@ -390,6 +390,10 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "token_length_histogram",
+    # Distribution-stats class is driver-carried by `percentiles_exact`
+    # + `approx_percentile`; the bucketed-histogram variant registers
+    # late.
+    late=True,
     oracle=f"""
     WITH sized AS (
       SELECT LEAST(CAST({X.token_count_sql('text')} // 16 AS BIGINT), 15) AS bucket,
@@ -513,4 +517,43 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 5)
         .select("lang", "tok", "tf", "df_docs", F.round("score", 4).alias("score"))
+    )
+
+
+@register(
+    "udtf_split_segments",
+    # The one-to-many UDTF class is driver-carried by `flat_map_explode`
+    # and the ParDo units; this native Spark-4 `@udtf` SQL-surface twin
+    # registers late.
+    late=True,
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, ' the ') AS ps FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, ps, unnest(range(0, len(ps))) AS i FROM parts
+    )
+    SELECT doc_id, CAST(i AS INT) AS seg_idx, ps[i + 1] AS segment,
+           CAST(CASE WHEN trim(ps[i + 1]) = '' THEN 0
+                ELSE len(string_split_regex(trim(ps[i + 1]), '\s+')) END AS INT) AS n_tokens
+    FROM idx
+    """,
+)
+def udtf_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF (Spark 4 `@udtf`, operators/py_udtf.py)
+    invoked through its real user surface — SQL LATERAL — splitting
+    each document into ' the '-delimited segments with per-segment
+    token counts. Row-at-a-time Python by design (API parity with the
+    DoFn.process zero-to-many contract, beam/transforms/core.py:186);
+    the Arrow-batched equivalents (text_chunks, dedup segments) remain
+    the scale path."""
+    from cloud_dataflow_batch_processing_spark.operators.py_udtf import register_udtfs
+
+    register_udtfs(spark)
+    load_tables(spark, sf_dir)["documents"].createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.seg_idx, s.segment, s.n_tokens
+        FROM __docs_udtf d, LATERAL split_segments(d.text, ' the ') s
+        """
     )

@@ -18,6 +18,7 @@ tests drive this explicitly with a sentinel batch)."""
 
 from __future__ import annotations
 
+from cloud_dataflow_batch_processing_spark.streaming import windows
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -57,7 +58,7 @@ def windowed_stream_join(
     )
     joined = lw.join(rw, on=[*on, "__w"], how=how)
     return joined.select(
-        F.col("__w.start").cast("long").alias("w_start"),
-        F.col("__w.end").cast("long").alias("w_end"),
+        windows._epoch_s("__w.start").alias("w_start"),
+        windows._epoch_s("__w.end").alias("w_end"),
         *[c for c in joined.columns if c != "__w"],
     )

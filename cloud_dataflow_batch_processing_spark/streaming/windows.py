@@ -37,6 +37,17 @@ def with_watermark(df: DataFrame, ts_col: str, delay: str = "0 seconds") -> Data
     return df.withWatermark(ts_col, delay)
 
 
+def _epoch_s(field: str):
+    """ANSI- and NTZ-safe epoch seconds for a window bound. Under the
+    driver's vanilla session (ANSI mode on, events.ts surfacing as
+    TIMESTAMP_NTZ) a numeric CAST of the bound is illegal; a wall-clock
+    timestampdiff against the NTZ epoch works for both TIMESTAMP_NTZ
+    (pure wall arithmetic, timezone-free) and TIMESTAMP (the NTZ epoch
+    literal coerces via the session zone, which this repo pins to
+    UTC)."""
+    return F.expr(f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {field})")
+
+
 def tumbling(
     df: DataFrame,
     ts_col: str,
@@ -48,8 +59,8 @@ def tumbling(
     window bounds exposed as epoch-second columns (w_start, w_end)."""
     g = df.groupBy(F.window(ts_col, size), *keys).agg(*aggs)
     return g.select(
-        F.col("window.start").cast("long").alias("w_start"),
-        F.col("window.end").cast("long").alias("w_end"),
+        _epoch_s("window.start").alias("w_start"),
+        _epoch_s("window.end").alias("w_end"),
         *keys,
         *[c for c in g.columns if c != "window" and c not in keys],
     )
@@ -68,8 +79,8 @@ def sliding(
     expression, not via explode of the input)."""
     g = df.groupBy(F.window(ts_col, size, period), *keys).agg(*aggs)
     return g.select(
-        F.col("window.start").cast("long").alias("w_start"),
-        F.col("window.end").cast("long").alias("w_end"),
+        _epoch_s("window.start").alias("w_start"),
+        _epoch_s("window.end").alias("w_end"),
         *keys,
         *[c for c in g.columns if c != "window" and c not in keys],
     )
@@ -87,8 +98,8 @@ def session(
     natively)."""
     g = df.groupBy(F.session_window(ts_col, gap), *keys).agg(*aggs)
     return g.select(
-        F.col("session_window.start").cast("long").alias("w_start"),
-        F.col("session_window.end").cast("long").alias("w_end"),
+        _epoch_s("session_window.start").alias("w_start"),
+        _epoch_s("session_window.end").alias("w_end"),
         *keys,
         *[c for c in g.columns if c != "session_window" and c not in keys],
     )

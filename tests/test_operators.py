@@ -368,3 +368,79 @@ def test_bloom_filter_no_false_negatives_and_known_fp(spark):
     assert all(got[v] for v in members)
     assert got[fp_value] is True
     assert got[tn_value] is False
+
+
+def test_countmin_one_sided_and_exact_when_wide(spark):
+    """CMS guarantee: est >= true for EVERY key (one-sided error), and
+    with width >> n_keys the estimates are exact."""
+    from cloud_dataflow_batch_processing_spark.extensions.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    rows = [(i % 13,) for i in range(500)] + [(7,)] * 40  # skewed key 7
+    df = spark.createDataFrame(rows, ["k"])
+    true = {r["k"]: r["c"] for r in df.groupBy("k").agg(F.count(F.lit(1)).alias("c")).collect()}
+    keys = df.select("k").distinct()
+    for width in (8, 4096):  # narrow (collisions) and wide (exact)
+        sk = countmin_sketch(df, F.col("k"), depth=4, width=width)
+        est = {
+            r["k"]: r["est_count"]
+            for r in countmin_estimate(sk, keys, "k", depth=4, width=width).collect()
+        }
+        assert set(est) == set(true)
+        assert all(est[k] >= true[k] for k in true), (width, est, true)
+        if width == 4096:
+            assert est == true
+
+
+def test_table_fingerprint_order_and_partition_invariant(spark, sf_dir):
+    """The checksum must not depend on row order or partitioning —
+    that's the whole point of an anti-entropy fingerprint."""
+    from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
+
+    queries()
+    base = {r["l_returnflag"]: r["fingerprint"]
+            for r in REGISTRY["table_fingerprint"].fn(spark, sf_dir).collect()}
+
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    li = load_tables(spark, sf_dir)["lineitem"].repartition(17).sortWithinPartitions(
+        F.desc("l_partkey")
+    )
+    P = 1_000_000_007
+    row_hash = (
+        (
+            ((F.col("l_orderkey") % P) * 31 + F.col("l_linenumber")) % P * 31
+            + (F.col("l_partkey") % P)
+        )
+        % P
+        * 31
+        + F.col("l_quantity").cast("bigint")
+    ) % P
+    scrambled = {
+        r["l_returnflag"]: r["fingerprint"]
+        for r in li.select("l_returnflag", row_hash.alias("h"))
+        .groupBy("l_returnflag")
+        .agg((F.sum(F.col("h").cast("decimal(38,0)")) % P).cast("bigint").alias("fingerprint"))
+        .collect()
+    }
+    assert scrambled == base
+
+
+def test_udtf_split_segments_semantics(spark):
+    """Native Spark-4 UDTF via SQL LATERAL: zero-to-many rows per
+    input, empty-text yields one empty segment, NULL text yields none."""
+    from cloud_dataflow_batch_processing_spark.operators.py_udtf import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b. c"), (2, ""), (3, None)], ["id", "txt"]
+    )
+    df.createOrReplaceTempView("__udtf_t")
+    got = spark.sql(
+        "SELECT id, s.seg_idx, s.segment, s.n_tokens "
+        "FROM __udtf_t, LATERAL split_segments(txt, '. ') s"
+    ).collect()
+    rows = sorted((r["id"], r["seg_idx"], r["segment"], r["n_tokens"]) for r in got)
+    assert rows == [(1, 0, "a b", 2), (1, 1, "c", 1), (2, 0, "", 0)]
