@@ -517,3 +517,67 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         zvalue(F.col("o_custkey") % 1024, F.col("o_orderkey") % 1024, 10).alias("zval"),
     )
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle=f"""
+    WITH oldv AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ),
+    newv AS (
+      SELECT o_orderkey, o_custkey,
+             o_totalprice + CASE WHEN o_orderkey % 31 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 113 = 0
+    ),
+    osig AS (
+      SELECT o_orderkey,
+             ((((CAST(FLOOR(o_totalprice * 100) AS BIGINT) % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007}) * 31
+               + ((o_custkey % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007})) % {1_000_000_007}) AS sig_old
+      FROM oldv
+    ),
+    nsig AS (
+      SELECT o_orderkey,
+             ((((CAST(FLOOR(o_totalprice * 100) AS BIGINT) % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007}) * 31
+               + ((o_custkey % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007})) % {1_000_000_007}) AS sig_new
+      FROM newv
+    )
+    SELECT * FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, o.sig_old, n.sig_new,
+             CASE WHEN o.sig_old IS NULL THEN 'added'
+                  WHEN n.sig_new IS NULL THEN 'removed'
+                  WHEN o.sig_old <> n.sig_new THEN 'changed' END AS change
+      FROM osig o FULL OUTER JOIN nsig n USING (o_orderkey)
+    ) WHERE change IS NOT NULL
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (extensions/diff.py): added/removed/changed rows
+    between a table and its deterministically-mutated next version
+    (drop keys %97, bump price %31, add %113 under shifted keys). Each
+    side reduces to (key, BIGINT signature) before the full-outer
+    join — the narrowest shuffle a diff can have; pairs with
+    `table_fingerprint` (that says WHETHER copies diverge, this says
+    WHICH rows)."""
+    from cloud_dataflow_batch_processing_spark.extensions.diff import snapshot_diff
+
+    o = load_tables(spark, sf_dir)["orders"]
+    old = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    new = (
+        old.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 31 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 113 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 10_000_000
+            )
+        )
+    )
+    cmp_cols = [F.floor(F.col("o_totalprice") * 100), F.col("o_custkey")]
+    return snapshot_diff(old, new, ["o_orderkey"], cmp_cols)

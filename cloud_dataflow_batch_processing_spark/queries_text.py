@@ -295,6 +295,11 @@ def corpus_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_repetition_ratio",
+    # Per-row text-signal class is driver-carried by
+    # `text_profile_single_pass` + `pii_scrub_stats`, and the Arrow
+    # fast-twin hashing path it pins is also in the driver window via
+    # `dedup_minhash_pairs_fast`; registers late.
+    late=True,
     oracle=f"""
     WITH th_t AS (
       SELECT doc_id, {_D_TOKEN_HASHES_SQL} AS th FROM documents WHERE doc_id < 500

@@ -444,3 +444,16 @@ def test_udtf_split_segments_semantics(spark):
     ).collect()
     rows = sorted((r["id"], r["seg_idx"], r["segment"], r["n_tokens"]) for r in got)
     assert rows == [(1, 0, "a b", 2), (1, 1, "c", 1), (2, 0, "", 0)]
+
+
+def test_snapshot_diff_semantics(spark):
+    from cloud_dataflow_batch_processing_spark.extensions.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["k", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, 10), (2, 99), (4, 40)], ["k", "v"]  # 1 same, 2 changed, 3 removed, 4 added
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}
