@@ -562,3 +562,59 @@ def udtf_split_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __docs_udtf d, LATERAL split_segments(d.text, ' the ') s
         """
     )
+
+
+@register(
+    "corpus_mix_temperature",
+    # Corpus-mixing class is driver-carried by `corpus_mix_sample`
+    # (fixed rates); this data-dependent temperature variant registers
+    # late.
+    late=True,
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(1000 * sqrt(CAST(n AS DOUBLE))
+                        / SUM(sqrt(CAST(n AS DOUBLE))) OVER ()) AS BIGINT) AS rate_pm
+      FROM counts
+    ),
+    sampled AS (
+      SELECT d.lang, d.n_chars, r.rate_pm FROM documents d JOIN rates r USING (lang)
+      WHERE ((d.doc_id * {_MIX_A} + {_MIX_B}) % {_MIX_M}) % 1000 < r.rate_pm
+    )
+    SELECT lang, rate_pm, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM sampled GROUP BY lang, rate_pm
+    """,
+)
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (alpha = 0.5): per-language keep
+    rates proportional to sqrt of the language's share — the standard
+    rebalancing that upsamples tail languages without flattening the
+    head. Two narrow aggregates (5-row rates frame, broadcast back) and
+    the same deterministic per-mille hash gate as `corpus_mix_sample`.
+    alpha = 0.5 on purpose: IEEE sqrt is correctly rounded, so the
+    data-dependent rates are bit-identical on both engines (a pow(x,
+    0.3) rate would be libm-dependent and could flip a FLOOR boundary)."""
+    from pyspark.sql import Window
+
+    d = load_tables(spark, sf_dir)["documents"]
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    rates = counts.select(
+        "lang",
+        F.floor(
+            1000 * F.sqrt(F.col("n").cast("double"))
+            / F.sum(F.sqrt(F.col("n").cast("double"))).over(
+                Window.partitionBy()
+            )
+        )
+        .cast("long")
+        .alias("rate_pm"),
+    )
+    keep = ((F.col("doc_id") * _MIX_A + _MIX_B) % _MIX_M) % 1000 < F.col("rate_pm")
+    sampled = d.join(F.broadcast(rates), "lang").filter(keep)
+    return sampled.groupBy("lang", "rate_pm").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
