@@ -13,7 +13,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
-from cloud_dataflow_batch_processing_spark.queries import headline_queries
+from cloud_dataflow_batch_processing_spark.queries import REGISTRY, headline_queries, queries
 from cloud_dataflow_batch_processing_spark.session import get_spark
 
 
@@ -29,7 +29,18 @@ def main() -> None:
         "semantic minimum. Regenerate: `python scripts/explain_headlines.py`.",
         "",
     ]
-    for name, fn in headline_queries().items():
+    queries()
+    # Non-headline operators whose plan shape is itself the deliverable.
+    extra = [
+        "asof_join_events",
+        "range_join_events",
+        "heavy_hitters_countmin",
+        "table_fingerprint",
+        "snapshot_diff_orders",
+    ]
+    audited = dict(headline_queries())
+    audited.update({n: REGISTRY[n].fn for n in extra})
+    for name, fn in audited.items():
         df = fn(spark, sf_dir)
         out.append(f"## {name}")
         out.append(f"shuffle exchanges: **{count_shuffles(df)}**")

@@ -62,3 +62,43 @@ def test_zorder_layout_single_range_exchange(spark):
     assert count_shuffles(z) == 1
     plan = z._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" in plan.lower()
+
+
+def test_zorder_parquet_rowgroup_skipping(spark, tmp_path):
+    """End-to-end proof of the layout's purpose: after a z-ordered
+    parquet write, row-group min/max stats prune BOTH dimensions,
+    while an x-sorted layout cannot prune y at all."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"), (F.col("id") / n).cast("long").alias("y")
+    )
+    zp, np_ = str(tmp_path / "z"), str(tmp_path / "naive")
+    zorder_layout(grid, "x", "y", bits=8, num_partitions=16).drop("__z").write.parquet(zp)
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(np_)
+
+    def rg_hit(path, col, lo, hi):
+        total = hit = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for i in range(md.num_row_groups):
+                rg = md.row_group(i)
+                idx = [
+                    j for j in range(rg.num_columns) if rg.column(j).path_in_schema == col
+                ][0]
+                st = rg.column(idx).statistics
+                total += 1
+                if st.min <= hi and st.max >= lo:
+                    hit += 1
+        return hit, total
+
+    zx, zy = rg_hit(zp, "x", 10, 20), rg_hit(zp, "y", 10, 20)
+    nx, ny = rg_hit(np_, "x", 10, 20), rg_hit(np_, "y", 10, 20)
+    # x-sort prunes x only; y is unprunable (every row group spans it).
+    assert ny[0] == ny[1]
+    # z-order prunes BOTH dimensions to a minority of row groups.
+    assert zx[0] <= zx[1] // 2, (zx, zy)
+    assert zy[0] <= zy[1] // 2, (zx, zy)

@@ -57,3 +57,28 @@ def test_frame_sample_explodes(spark):
         r.frame_ts_ms for r in out.filter("media_id = 2").collect()
     )
     assert frames == [0, 500, 1000, 1500, 2000]
+
+
+def test_extract_exact_features_arrow_twin(spark):
+    """mapInArrow path must be value-identical to the mapInPandas path
+    (same codecs, no pandas bridge for the blobs)."""
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as M
+    from cloud_dataflow_batch_processing_spark.extensions.multimodal import (
+        extract_exact_features,
+        extract_exact_features_arrow,
+    )
+
+    rgb = bytes((i * 7) % 256 for i in range(3 * 4 * 3))
+    media = spark.createDataFrame(
+        [
+            (0, M.encode_bmp(4, 3, rgb)),
+            (1, M.encode_wav([5, -5, 100, -2048], 8000)),
+            (2, b"\x00\x01garbage"),
+            (3, None),
+        ],
+        "media_id long, content binary",
+    )
+    a = sorted(map(tuple, extract_exact_features_arrow(media, batch_size=2).collect()))
+    p = sorted(map(tuple, extract_exact_features(media, batch_size=2).collect()))
+    assert a == p
+    assert len(a) == 4
