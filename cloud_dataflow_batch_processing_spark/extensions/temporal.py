@@ -264,3 +264,41 @@ def asof_join_chunked(
         *[F.col(f"__m_{c}").alias(c) for c in right_payload],
         F.col("__m_ts").alias("__asof_ts"),
     )
+
+
+def resample_ffill(
+    observations: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    value_cols: Sequence[str],
+    start: int,
+    end: int,
+    step: int,
+) -> DataFrame:
+    """Per-key resampling to a fixed time grid with forward fill — the
+    classic time-series regularization (sensor downsampling, feature
+    snapshots at training-example timestamps). The grid is generated
+    per key (sequence+explode: no driver loop, no join against a
+    materialized calendar) and each grid point takes the latest
+    observation at-or-before it — i.e. exactly a backward as-of join,
+    so this composes :func:`asof_join` rather than re-deriving the
+    machinery. Grid points before a key's first observation keep NULLs.
+
+    ``start``/``end``/``step`` are integer epochs (end exclusive).
+    """
+    on = list(on)
+    keys = observations.select(*on).distinct()
+    grid = keys.select(
+        *on,
+        F.explode(
+            F.sequence(F.lit(start), F.lit(end - 1), F.lit(step))
+        ).alias("__grid_ts"),
+    )
+    return asof_join(
+        grid,
+        observations,
+        on=on,
+        left_ts="__grid_ts",
+        right_ts=ts,
+        right_cols=list(value_cols),
+    ).withColumnRenamed("__grid_ts", "grid_ts")

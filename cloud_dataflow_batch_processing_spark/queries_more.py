@@ -581,3 +581,61 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cmp_cols = [F.floor(F.col("o_totalprice") * 100), F.col("o_custkey")]
     return snapshot_diff(old, new, ["o_orderkey"], cmp_cols)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_matrix",
+    # Capability-superset class (absent from Beam 2.5, native Catalyst
+    # PivotFirst); registers late like the other supersets.
+    late=True,
+    oracle=f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix via Catalyst's native
+    pivot (map-side PivotFirst, one shuffle — not 5 filtered scans).
+    Absent combinations fill 0 to match the conditional-aggregation
+    oracle."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+
+
+@register(
+    "unpivot_roundtrip",
+    late=True,  # superset class, same posture as pivot_event_matrix
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the pivoted matrix unpivots back to long form
+    and re-aggregates to per-type totals — a pivot→unpivot roundtrip
+    whose oracle is the direct long-form aggregation, so the pair of
+    reshapes must be lossless (0-fill rows contribute nothing)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    long = wide.unpivot(
+        ["user_id"], _EVENT_TYPES, "event_type", "n"
+    )
+    return long.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.count(F.when(F.col("n") > 0, 1)).alias("n_users"),
+    )

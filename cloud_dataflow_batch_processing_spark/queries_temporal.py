@@ -129,3 +129,54 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p_id").alias("last_purchase"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
     )
+
+
+_GRID_START_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+_GRID_STEP_US = 86_400_000_000  # 1 day
+_GRID_END_US = _GRID_START_US + 30 * _GRID_STEP_US
+
+
+@register(
+    "resample_ffill_events",
+    # Composes asof_join, whose class is driver-carried by
+    # `asof_join_events`; the resampling composition registers late.
+    late=True,
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase' AND user_id < 30),
+    grid AS (
+      SELECT user_id, unnest(range({_GRID_START_US}, {_GRID_END_US}, {_GRID_STEP_US})) AS grid_ts
+      FROM keys
+    ),
+    obs AS (
+      SELECT user_id, epoch_us(ts) AS rts, MAX(value) AS v
+      FROM events WHERE event_type = 'purchase' AND user_id < 30 GROUP BY 1, 2
+    )
+    SELECT g.user_id, g.grid_ts, o.v, o.rts AS asof_ts
+    FROM grid g ASOF LEFT JOIN obs o ON g.user_id = o.user_id AND g.grid_ts >= o.rts
+    """,
+)
+def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily forward-filled resampling of each user's latest purchase
+    value over January 2024 (extensions/temporal.py::resample_ffill —
+    a per-key generated grid composed with the as-of join; grid points
+    before a user's first purchase stay NULL). The oracle regenerates
+    the grid with range() and DuckDB's native ASOF JOIN."""
+    from cloud_dataflow_batch_processing_spark.extensions.temporal import resample_ffill
+
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 30)
+    obs = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", _epoch_us("ts").alias("rts"))
+        .agg(F.max("value").alias("v"))
+    )
+    out = resample_ffill(
+        obs,
+        on=["user_id"],
+        ts="rts",
+        value_cols=["v"],
+        start=_GRID_START_US,
+        end=_GRID_END_US,
+        step=_GRID_STEP_US,
+    )
+    return out.select("user_id", "grid_ts", "v", F.col("__asof_ts").alias("asof_ts"))
