@@ -180,3 +180,98 @@ def resample_ffill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         step=_GRID_STEP_US,
     )
     return out.select("user_id", "grid_ts", "v", F.col("__asof_ts").alias("asof_ts"))
+
+
+_SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "sessionize_events",
+    # Session-window class is driver-carried by `window_session`
+    # (merge-on-touch aggregate); this id-assigning batch variant
+    # registers late.
+    late=True,
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts_us) AS session_start, MAX(ts_us) AS session_end
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit session ids: a session break
+    is a >30-min gap since the user's previous event (lag), and the
+    session index is the running sum of breaks — the standard
+    two-window formulation, parallel per user. Unlike `window_session`
+    (merged-window aggregate) this labels events, which is what
+    downstream per-session features join against."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_id", _epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    brk = F.when(
+        F.col("ts_us") - F.lag("ts_us").over(w) > _SESSION_GAP_US, F.lit(1)
+    ).otherwise(F.lit(0))
+    s = ev.select(
+        "user_id",
+        "ts_us",
+        "event_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_idx"),
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start"),
+        F.max("ts_us").alias("session_end"),
+    )
+
+
+@register(
+    "rolling_avg_events",
+    # Analytic-window class is driver-carried by `window_rank_analytics`
+    # (rank/lag); the moving-frame aggregate twin registers late.
+    late=True,
+    oracle=f"""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS avg7
+    FROM events WHERE event_type = 'purchase' AND user_id < 50
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-frame aggregate: 7-row trailing average of purchase
+    values per user (decimal-exact mean, ROWS frame so ties are
+    deterministic via the event_id tiebreak)."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 50)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(_epoch_us("ts"), "event_id")
+        .rowsBetween(-6, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg7"),
+    )
