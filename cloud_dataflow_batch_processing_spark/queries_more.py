@@ -639,3 +639,43 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_events"),
         F.count(F.when(F.col("n") > 0, 1)).alias("n_users"),
     )
+
+
+@register(
+    "group_sorted_values",
+    # GroupByKey class is driver-carried by `group_by_key_lists`; this
+    # secondary-sort (value ordering inside the group) twin registers
+    # late.
+    late=True,
+    oracle="""
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY epoch_us(ts), event_id) - 1 AS INT) AS pos,
+           value
+    FROM events WHERE event_type = 'purchase' AND user_id < 40
+    """,
+)
+def group_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort: each user's purchase values in event-time order
+    inside one grouped array — Beam's GroupByKey + in-group sort
+    pattern. collect_list order is nondeterministic, so the sort happens
+    AFTER collection via sort_array over (ts, id, value) structs (struct
+    order = lexicographic = the secondary-sort key), then a transform
+    projects the payload. One shuffle; no per-group Python."""
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") < 40)
+    )
+    ts = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    grouped = (
+        ev.select("user_id", F.struct(ts.alias("t"), F.col("event_id").alias("i"),
+                                      F.col("value").alias("v")).alias("s"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    )
+    # Emit rows, not the raw array: float-array columns stringify
+    # differently between the Arrow and non-Arrow toPandas paths (and
+    # between engines), which breaks value hashing under the driver's
+    # vanilla session even when the contents are identical.
+    return grouped.select(
+        "user_id", F.posexplode(F.expr("transform(ss, x -> x.v)")).alias("pos", "value")
+    )
