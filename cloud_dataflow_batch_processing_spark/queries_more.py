@@ -679,3 +679,91 @@ def group_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped.select(
         "user_id", F.posexplode(F.expr("transform(ss, x -> x.v)")).alias("pos", "value")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    # Join/agg/topk classes all have primary carriers
+    # (multi_table_join_chain, q1_pricing_summary, top_n_global); the
+    # extra TPC-H shape registers late for breadth.
+    late=True,
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered 3-table join,
+    revenue rollup, bounded top-10 (TakeOrderedAndProject — no global
+    sort). Both date filters push to their scans."""
+    t = load_tables(spark, sf_dir)
+    cutoff = "TIMESTAMP_NTZ '1998-03-15 00:00:00'"
+    return (
+        t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"].filter(F.expr(f"o_orderdate < {cutoff}")),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].filter(F.expr(f"l_shipdate > {cutoff}")),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.expr(
+                "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', o_orderdate)"
+            ).alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q10_returned_items",
+    late=True,  # same class coverage note as q3_shipping_priority
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item ranking): returnflag-filtered fact
+    join, customer/nation rollup, bounded top-20; nation broadcasts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
