@@ -35,7 +35,54 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def run_query(argv: list[str]) -> None:
+    """``query`` subcommand: run any registered query by name against a
+    testdata directory — the user-facing surface over the same registry
+    the driver gates (list with ``--list``)."""
+    import os
+
+    from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
+
+    p = argparse.ArgumentParser(prog="cloud_dataflow_batch_processing_spark.cli query")
+    p.add_argument("--name", default=None, help="registered query name")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="table directory (TESTDATA.md layout)",
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to show")
+    p.add_argument("--output", default=None, help="write full result as parquet here")
+    p.add_argument("--list", action="store_true", help="list registered queries")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    queries()
+    if args.list:
+        for q in REGISTRY.values():
+            first = (q.doc or "").strip().splitlines()[:1]
+            print(f"{q.name}\t{first[0] if first else ''}")
+        return
+    if not args.name or args.name not in REGISTRY:
+        raise SystemExit(
+            f"unknown query {args.name!r}; use --list to see the {len(REGISTRY)} registered"
+        )
+    spark = get_spark(app_name=f"cdbp-query-{args.name}", master=args.master)
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=40)
+
+
 def run(argv: list[str] | None = None) -> None:
+    if argv is None:
+        import sys as _sys
+
+        argv = _sys.argv[1:]
+    argv = list(argv)
+    if argv and argv[0] == "query":
+        return run_query(argv[1:])
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="cdbp-reference-pipeline", master=args.master)
     st = bq_schema_file_to_struct(args.schema)

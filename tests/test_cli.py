@@ -38,3 +38,29 @@ def test_cli_runs_reference_pipeline(spark, tmp_path, capsys):
     t = spark.read.parquet(os.path.join(wh, "nyc", "t_transform"))
     got = {r.neighbourhood: r.count_listings for r in t.collect()}
     assert got == {"A": str(0 + 2 + 4), "B": str(1 + 3 + 5)}
+
+
+def test_cli_query_subcommand(tmp_path, capsys):
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    run(["query", "--list"])
+    out = capsys.readouterr().out
+    assert "flagship_group_sum" in out and "asof_join_events" in out
+
+    dest = str(tmp_path / "q")
+    run([
+        "query", "--name", "partition_route",
+        "--sf-dir", "/root/testdata/sf0.001", "--output", dest,
+    ])
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(dest).num_rows == 3
+
+
+def test_cli_query_unknown_name_errors():
+    import pytest as _pytest
+
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    with _pytest.raises(SystemExit):
+        run(["query", "--name", "no_such_query"])
