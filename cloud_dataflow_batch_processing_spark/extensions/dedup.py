@@ -718,3 +718,147 @@ def segment_dup_stats_sql(
                  4) AS dup_fraction
     FROM counted GROUP BY doc_id
     """
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, fast_hashing: bool = True
+) -> DataFrame:
+    """The signature-store frame: (__id, __sh distinct-shingle set,
+    mh0..mh15). In production this is persisted once per corpus
+    snapshot (parquet, partitioned however the corpus is); incremental
+    dedup then recomputes signatures ONLY for the new batch and reads
+    the store for everything else — the signature pass over a 100 TB
+    corpus is the dominant cost, and this is what makes it one-time."""
+    if fast_hashing:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            token_hashes_fast,
+        )
+
+        th_expr = token_hashes_fast(F.col(text_col))
+    else:
+        th_expr = token_hashes(text_col)
+    th_df = df.select(F.col(id_col).alias("__id"), th_expr.alias("__th"))
+    sh_df = th_df.select("__id", shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+    return sh_df.select(
+        "__id",
+        F.array_distinct("__shl").alias("__sh"),
+        *minhash_from_shingles(F.col("__shl")),
+    )
+
+
+def _bands_of(sigs: DataFrame) -> DataFrame:
+    sig_cols = [f"mh{j}" for j in range(NUM_HASHES)]
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_id"), band_hash(sig_cols, b).alias("bh"))
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return sigs.select("__id", "__sh", F.explode(band_structs).alias("__b")).select(
+        "__id", "__sh", "__b.band_id", "__b.bh"
+    )
+
+
+def incremental_near_dups(
+    corpus_sigs: DataFrame,
+    batch_sigs: DataFrame,
+    threshold: float = 0.8,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs that INVOLVE the new
+    batch — (doc_a, doc_b, jaccard), doc_a < doc_b, at least one side
+    new. The probe side of the band join is only the batch, so
+    old×old candidate pairs are never generated and the old corpus
+    contributes exactly one scan of its (stored) signatures. The
+    bucket guard counts over corpus ∪ batch, so verdicts are identical
+    to what a full re-run would produce (equivalence is unit-pinned).
+    """
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
+    batch_bands = managed_cache(_bands_of(batch_sigs))
+    all_bands = _bands_of(corpus_sigs).unionByName(batch_bands)
+
+    sizes = all_bands.groupBy("band_id", "bh").agg(F.count(F.lit(1)).alias("n"))
+    oversized = sizes.filter(F.col("n") > max_bucket_size).select("band_id", "bh")
+    probe = batch_bands.join(F.broadcast(oversized), ["band_id", "bh"], "left_anti")
+    build = all_bands.join(F.broadcast(oversized), ["band_id", "bh"], "left_anti")
+
+    b = build.select(
+        F.col("band_id"), F.col("bh"),
+        F.col("__id").alias("__id_o"), F.col("__sh").alias("__sh_o"),
+    )
+    cand = (
+        probe.join(b, ["band_id", "bh"])
+        .filter(F.col("__id") != F.col("__id_o"))
+        .select(
+            F.least("__id", "__id_o").alias("doc_a"),
+            F.greatest("__id", "__id_o").alias("doc_b"),
+            F.when(F.col("__id") < F.col("__id_o"), F.col("__sh"))
+            .otherwise(F.col("__sh_o"))
+            .alias("sh_a"),
+            F.when(F.col("__id") < F.col("__id_o"), F.col("__sh_o"))
+            .otherwise(F.col("__sh"))
+            .alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 4)
+    return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def incremental_pipeline_sql(
+    split_id: int,
+    threshold: float = 0.8,
+    source: str = "documents",
+    max_bucket_size: int = 1000,
+) -> str:
+    """Oracle for :func:`incremental_near_dups` with old = doc_id <
+    split_id, new = the rest: the same signature/band/guard pipeline
+    as :func:`minhash_pipeline_sql`, but the probe side of the pair
+    join is restricted to the new batch."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_id, {band_hash_sql(b)} AS bh FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+    WITH th_t AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source}
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({shingle_hashes_sql('text')}) AS sh FROM th_t
+    ),
+    sig AS (
+      SELECT doc_id, sh, {minhash_signature_sql()} AS sig FROM sh_t
+    ),
+    bands_all AS ({band_rows}),
+    bucket_sizes AS (
+      SELECT band_id, bh, COUNT(*) AS n FROM bands_all GROUP BY band_id, bh
+    ),
+    bands AS (
+      SELECT ba.* FROM bands_all ba
+      JOIN bucket_sizes bs ON ba.band_id = bs.band_id AND ba.bh = bs.bh
+      WHERE bs.n <= {max_bucket_size}
+    ),
+    pairs AS (
+      SELECT DISTINCT
+        LEAST(a.doc_id, b.doc_id) AS doc_a,
+        GREATEST(a.doc_id, b.doc_id) AS doc_b,
+        CASE WHEN a.doc_id < b.doc_id THEN a.sh ELSE b.sh END AS sh_a,
+        CASE WHEN a.doc_id < b.doc_id THEN b.sh ELSE a.sh END AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id <> b.doc_id
+      WHERE a.doc_id >= {split_id}
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             ROUND(CAST(len(list_filter(sh_a, x -> list_contains(sh_b, x))) AS DOUBLE)
+                   / (len(sh_a) + len(sh_b) - len(list_filter(sh_a, x -> list_contains(sh_b, x)))),
+                   4) AS jaccard
+      FROM pairs
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """

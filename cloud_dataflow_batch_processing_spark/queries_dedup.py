@@ -416,3 +416,27 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__m").isNotNull().alias("exact_hit"),
         )
     )
+
+
+_INCR_SPLIT = 400  # doc_id < 400 = stored corpus; >= 400 = new batch
+
+
+@register(
+    "dedup_incremental_minhash",
+    # MinHash-LSH class is driver-carried by `dedup_minhash_pairs_fast`;
+    # the incremental (signature-store probe) variant registers late.
+    late=True,
+    oracle=D.incremental_pipeline_sql(split_id=_INCR_SPLIT, threshold=0.8),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH: near-dup pairs involving a NEW batch
+    (doc_id >= 400) against the stored corpus signatures (doc_id <
+    400) — the daily-increment production loop. Old×old candidates are
+    never generated; the old corpus contributes one scan of its
+    signature store (extensions/dedup.py::minhash_signatures /
+    incremental_near_dups). Unit test pins equivalence with a full
+    re-run restricted to pairs touching the batch."""
+    d = load_tables(spark, sf_dir)["documents"]
+    old_sigs = D.minhash_signatures(d.filter(F.col("doc_id") < _INCR_SPLIT), "doc_id", "text")
+    new_sigs = D.minhash_signatures(d.filter(F.col("doc_id") >= _INCR_SPLIT), "doc_id", "text")
+    return D.incremental_near_dups(old_sigs, new_sigs, threshold=0.8)

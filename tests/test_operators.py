@@ -457,3 +457,23 @@ def test_snapshot_diff_semantics(spark):
     )
     out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_incremental_minhash_equals_full_run(spark, sf_dir):
+    """Incremental dedup (probe = new batch against the signature
+    store) must produce exactly the full re-run's pairs restricted to
+    pairs touching the batch (doc_a < doc_b => touching-new <=>
+    doc_b >= split)."""
+    from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    split = 40
+    d = load_tables(spark, sf_dir)["documents"]
+    full = D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    want = sorted(
+        map(tuple, full.filter(F.col("doc_b") >= split).collect())
+    )
+    old = D.minhash_signatures(d.filter(F.col("doc_id") < split), "doc_id", "text")
+    new = D.minhash_signatures(d.filter(F.col("doc_id") >= split), "doc_id", "text")
+    got = sorted(map(tuple, D.incremental_near_dups(old, new, threshold=0.8).collect()))
+    assert got == want and len(got) > 0
