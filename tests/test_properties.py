@@ -124,3 +124,54 @@ def test_fast_hash_twins_value_identical(spark):
     for r in rows:
         assert r.slow_h == r.fast_h
         assert list(r.slow_th) == list(r.fast_th)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=40
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=40
+    ),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_asof_join_matches_python_model(spark, left_rows, right_rows, inclusive):
+    """asof_join against a direct python model on arbitrary small
+    keyed timelines (duplicate right (k, ts) pre-aggregated to max id,
+    as the contract requires)."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions.temporal import asof_join
+
+    right_uniq = {}
+    for k, t in right_rows:
+        right_uniq[(k, t)] = max(right_uniq.get((k, t), -1), k * 1000 + t)
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)] or [(99, 0, -1)],
+        "k int, lt int, lid int",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for (k, t), v in right_uniq.items()] or [(98, 0, 0.0)],
+        "k int, rt int, v double",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lt", right_ts="rt",
+        right_cols=["v"], inclusive=inclusive,
+    )
+    got = {r["lid"]: (r["v"], r["__asof_ts"]) for r in out.collect()}
+
+    want = {}
+    for i, (k, t) in enumerate(left_rows):
+        best = None
+        for (rk, rt), v in right_uniq.items():
+            if rk != k:
+                continue
+            if (rt <= t) if inclusive else (rt < t):
+                if best is None or rt > best[1]:
+                    best = (float(v), rt)
+        want[i] = best if best else (None, None)
+    if left_rows:
+        assert got == want
+    else:
+        assert got == {-1: (None, None)}
