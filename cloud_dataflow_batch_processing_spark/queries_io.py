@@ -134,3 +134,55 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("min_key"),
         F.max("c_custkey").alias("max_key"),
     )
+
+
+@register(
+    "tfrecord_roundtrip_agg",
+    # File-format roundtrip class is driver-carried by
+    # `avro_roundtrip_agg`; the TFRecord twin registers late.
+    late=True,
+    oracle="""
+    SELECT COUNT(*) AS n_records,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM documents
+    """,
+)
+def tfrecord_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TFRecord write→read roundtrip (beam/io/tfrecordio.py:224,281
+    parity): every document's text serialized as a masked-CRC framed
+    record, read back via the binaryFile+Arrow parser, and aggregated
+    to exact integers (the corpus is ASCII, so byte length == n_chars;
+    doc ids ride in a header prefix and round-trip through the framing
+    too)."""
+    from cloud_dataflow_batch_processing_spark.sources.tfrecord import (
+        read_tfrecord,
+        write_tfrecord,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    # Pack (doc_id, text) into one binary record: 8-byte big-endian id
+    # header + utf-8 payload — the id survives the roundtrip inside the
+    # record bytes, not via file naming.
+    packed = d.select(
+        F.concat(
+            F.unhex(F.lpad(F.hex(F.col("doc_id")), 16, "0")),
+            F.encode("text", "UTF-8"),
+        ).alias("rec")
+    )
+    scratch = os.path.join(
+        _REPO_ROOT, "spark-warehouse", f"tfrec_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    write_tfrecord(packed, "rec", scratch)
+    back = read_tfrecord(spark, os.path.join(scratch, "*.tfrecord"))
+    unpacked = back.select(
+        F.conv(F.hex(F.expr("substring(record, 1, 8)")), 16, 10).cast("long").alias("doc_id"),
+        (F.length("record") - F.lit(8)).alias("n_bytes"),
+    )
+    return unpacked.agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
