@@ -162,3 +162,16 @@ def countmin_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count")
     )
+
+
+def countmin_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches built with the same (depth, width):
+    counter-wise sum — CMS is a linear sketch, so sketch(A) ⊕ sketch(B)
+    == sketch(A ∪ B) exactly (unit-pinned). This is what makes the
+    counter table shard/day-mergeable at 100 TB: build per partition
+    or per day, merge in O(depth × width)."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

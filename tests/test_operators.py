@@ -477,3 +477,30 @@ def test_incremental_minhash_equals_full_run(spark, sf_dir):
     new = D.minhash_signatures(d.filter(F.col("doc_id") >= split), "doc_id", "text")
     got = sorted(map(tuple, D.incremental_near_dups(old, new, threshold=0.8).collect()))
     assert got == want and len(got) > 0
+
+
+def test_sketch_mergeability(spark):
+    """CMS and Bloom are linear/monoidal: building per shard and
+    merging must equal building over the union — the property that
+    makes them day/shard-mergeable in a distributed pipeline."""
+    import numpy as np
+
+    from cloud_dataflow_batch_processing_spark.extensions.sketch import (
+        bloom_bits,
+        countmin_merge,
+        countmin_sketch,
+    )
+
+    a = spark.createDataFrame([(i % 11,) for i in range(200)], ["k"])
+    b = spark.createDataFrame([(i % 7,) for i in range(150)], ["k"])
+    both = a.unionByName(b)
+    sk = lambda df: countmin_sketch(df, F.col("k"), depth=3, width=32)
+    merged = {
+        (r["row_i"], r["bucket"]): r["cnt"] for r in countmin_merge(sk(a), sk(b)).collect()
+    }
+    direct = {(r["row_i"], r["bucket"]): r["cnt"] for r in sk(both).collect()}
+    assert merged == direct
+
+    ba = bloom_bits(range(0, 50), m_bits=512, k=3)
+    bb = bloom_bits(range(40, 90), m_bits=512, k=3)
+    assert np.array_equal(ba | bb, bloom_bits(range(0, 90), m_bits=512, k=3))
