@@ -53,6 +53,8 @@ def run_query(argv: list[str]) -> None:
     p.add_argument("--limit", type=int, default=20, help="rows to show")
     p.add_argument("--output", default=None, help="write full result as parquet here")
     p.add_argument("--list", action="store_true", help="list registered queries")
+    p.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    p.add_argument("--oracle", action="store_true", help="print the DuckDB oracle SQL and exit")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -66,8 +68,14 @@ def run_query(argv: list[str]) -> None:
         raise SystemExit(
             f"unknown query {args.name!r}; use --list to see the {len(REGISTRY)} registered"
         )
+    if args.oracle:
+        print((REGISTRY[args.name].oracle or "-- no oracle registered --").strip())
+        return
     spark = get_spark(app_name=f"cdbp-query-{args.name}", master=args.master)
     df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
         print(f"wrote {args.output}")

@@ -59,6 +59,13 @@ def asof_join(
     Timestamp columns must be integer epochs for exact comparison.
     """
     on = list(on)
+    # JOIN semantics: a NULL key never matches anything — but a window
+    # partitionBy groups NULLs together, which would forward-fill
+    # NULL-key left rows from NULL-key right rows. Dropping NULL-key
+    # right rows restores SQL semantics (NULL-key left rows then sit in
+    # a partition with no right rows and keep NULL payloads).
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     # Tag order decides tie semantics: right rows sort before left rows
     # at equal timestamps when inclusive (so the window's running last
     # sees them), after when exclusive.
@@ -193,6 +200,9 @@ def asof_join_chunked(
     """
     on = list(on)
     w = int(chunk)
+    # Same NULL-key join semantics as asof_join.
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     right_tag, left_tag = (0, 1) if inclusive else (1, 0)
     right_payload = list(right_cols)
     left_only = [c for c in left.columns if c not in on and c != left_ts]

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cloud_dataflow_batch_processing_spark.extensions.layout import zvalue_sql
 from cloud_dataflow_batch_processing_spark.queries import _dec, register
 from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
 
@@ -501,7 +502,7 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
     oracle=f"""
     SELECT o_orderkey,
-           {__import__('cloud_dataflow_batch_processing_spark.extensions.layout', fromlist=['zvalue_sql']).zvalue_sql('(o_custkey % 1024)', '(o_orderkey % 1024)', 10)} AS zval
+           {zvalue_sql('(o_custkey % 1024)', '(o_orderkey % 1024)', 10)} AS zval
     FROM orders WHERE o_orderkey < 1000
     """,
 )

@@ -64,3 +64,11 @@ def test_cli_query_unknown_name_errors():
 
     with _pytest.raises(SystemExit):
         run(["query", "--name", "no_such_query"])
+
+
+def test_cli_query_oracle_flag(capsys):
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    run(["query", "--name", "q1_pricing_summary", "--oracle"])
+    out = capsys.readouterr().out
+    assert "SELECT" in out and "lineitem" in out

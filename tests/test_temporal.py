@@ -174,3 +174,13 @@ def test_asof_chunked_bounds_partitions(spark):
     win_specs = re.findall(r"Window .*?windowspecdefinition\(([^)]*)\)", plan)
     fill_specs = [s for s in win_specs if "__chunk" in s and "__t" in s]
     assert fill_specs, win_specs  # the fill window partitions by (k, __chunk)
+
+
+def test_asof_null_keys_never_match(spark):
+    """JOIN semantics: NULL keys match nothing — NULL-key left rows
+    keep NULL payloads even when NULL-key right rows exist."""
+    left = spark.createDataFrame([(None, 10, "ln"), ("a", 10, "la")], "k string, lt int, tag string")
+    right = spark.createDataFrame([(None, 5, 1.0), ("a", 5, 2.0)], "k string, rt int, v double")
+    out = {r["tag"]: r["v"] for r in
+           asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt", right_cols=["v"]).collect()}
+    assert out == {"ln": None, "la": 2.0}
