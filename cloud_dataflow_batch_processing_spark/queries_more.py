@@ -768,3 +768,77 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "dq_violation_summary",
+    # Data-quality class (beyond-reference extension): one compact
+    # violations frame; registered late — COVERAGE.md carries the row,
+    # every check is an aggregate class already driver-checked.
+    late=True,
+    oracle="""
+    SELECT 'lineitem_pk_dup' AS check_name,
+           (SELECT COUNT(*) FROM (
+              SELECT l_orderkey, l_linenumber FROM lineitem
+              GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orphans',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'orders_fk_orphans',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'orders_null_keys',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+    """,
+)
+def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality suite (dbt/Great-Expectations shape): primary-key
+    uniqueness, two referential-integrity checks (left-anti joins —
+    the orphan side never materializes matches), a range constraint,
+    and null checks — one violations frame a pipeline gates on before
+    training. All counts are exact aggregates; at 100 TB each check is
+    one narrow shuffle (or none for the per-row predicates)."""
+    t = load_tables(spark, sf_dir)
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+
+    def one(name: str, cnt: DataFrame) -> DataFrame:
+        return cnt.select(F.lit(name).alias("check_name"), F.col("n").alias("n_violations"))
+
+    pk_dup = one(
+        "lineitem_pk_dup",
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    li_orphan = one(
+        "lineitem_fk_orphans",
+        li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    o_orphan = one(
+        "orders_fk_orphans",
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    rng = one(
+        "discount_out_of_range",
+        li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    nulls = one(
+        "orders_null_keys",
+        o.filter(F.col("o_orderkey").isNull() | F.col("o_custkey").isNull()).agg(
+            F.count(F.lit(1)).alias("n")
+        ),
+    )
+    return pk_dup.unionByName(li_orphan).unionByName(o_orphan).unionByName(rng).unionByName(nulls)
