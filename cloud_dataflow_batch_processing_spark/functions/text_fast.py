@@ -77,3 +77,90 @@ def token_hashes_fast(col: Column) -> Column:
     each whitespace token (str.split() ≡ trim + split on \\s+, empty
     string → empty list)."""
     return pandas_udf(_token_hashes_series, T.ArrayType(T.LongType()))(col)
+
+
+# --- lang-id / quality fast twins ------------------------------------------
+# Same contract as the hash twins: bit-identical values to the Column
+# expressions in functions/text.py (null -> 'und'/NULL exactly as the
+# CASE chains fall through), so the SAME DuckDB oracles verify either
+# path. These exist because the stopword-filter HOF lambdas are
+# interpreted per token; the python set probe over a batch is ~2x
+# cheaper at sf0.1 and the gap widens with document length.
+
+_SW_SETS = None
+_PUNCT = ".,!?;:"
+
+
+def _sw_sets():
+    global _SW_SETS
+    if _SW_SETS is None:
+        from cloud_dataflow_batch_processing_spark.functions.text import STOPWORDS
+
+        _SW_SETS = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+    return _SW_SETS
+
+
+def _lang_of(s):
+    if s is None:
+        return "und"
+    sets_ = _sw_sets()
+    toks = [t.lower() for t in s.split()]
+    c = {lang: sum(t in ws for t in toks) for lang, ws in sets_.items()}
+    if c["en"] >= c["de"] and c["en"] >= c["fr"] and c["en"] >= c["es"] and c["en"] > 0:
+        return "en"
+    if c["de"] >= c["fr"] and c["de"] >= c["es"] and c["de"] > 0:
+        return "de"
+    if c["fr"] >= c["es"] and c["fr"] > 0:
+        return "fr"
+    if c["es"] > 0:
+        return "es"
+    return "und"
+
+
+def _quality_of(s):
+    import math
+
+    if s is None:
+        # Mirror the Column expression exactly: LEAST ignores NULLs in
+        # both Spark and DuckDB, so len_score degrades to 1.0 and the
+        # ratio branches fall through to their 0.0/0.5 defaults —
+        # NULL text scores 0.6, not NULL.
+        return math.floor((0.4 * 1.0 + 0.2 * 0.5 + 0.3 * 0.0 + 0.1 * 1.0) * 10000 + 0.5) / 10000.0
+    en = _sw_sets()["en"]
+    n = float(len(s))
+    toks = s.split()
+    n_tok = float(len(toks))
+    punct = float(sum(ch in _PUNCT for ch in s))
+    sw_hits = float(sum(t.lower() in en for t in toks))
+    len_score = min(n / 500.0, 1.0)
+    punct_ratio = punct / n if n > 0 else 0.0
+    sw_ratio = sw_hits / n_tok if n_tok > 0 else 0.0
+    mean_wlen = (n - (n_tok - 1)) / n_tok if n_tok > 0 else 0.0
+    wlen_score = 1.0 if (mean_wlen >= 3 and mean_wlen <= 10) else 0.5
+    score = (
+        0.4 * len_score
+        + 0.2 * wlen_score
+        + 0.3 * min(sw_ratio * 5, 1.0)
+        + 0.1 * (1 - min(punct_ratio * 10, 1.0))
+    )
+    return math.floor(score * 10000 + 0.5) / 10000.0
+
+
+def _lang_id_series(col):
+    return col.map(_lang_of)
+
+
+def _quality_series(col):
+    return col.map(_quality_of)
+
+
+def lang_id_fast(col: Column) -> Column:
+    """Value-identical twin of ``text.lang_id`` (same stopword argmax
+    and precedence; NULL text -> 'und' like the CASE fall-through)."""
+    return pandas_udf(_lang_id_series, T.StringType())(col)
+
+
+def quality_score_fast(col: Column) -> Column:
+    """Value-identical twin of ``text.quality_score`` — identical IEEE
+    operation order, so floor(x*1e4+0.5)/1e4 lands on the same bits."""
+    return pandas_udf(_quality_series, T.DoubleType())(col)

@@ -137,9 +137,15 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring → MinHash-LSH near-dup removal (anti-join on the dropped
     side of each pair) → language-ID corpus stats. Every stage is the
     same oracle-checked operator used standalone; this query checks
-    their composition. Runs the production default (Arrow-batched
-    fast_hashing) since round 3."""
-    from cloud_dataflow_batch_processing_spark.functions.text import lang_id, quality_score
+    their composition. Runs the production defaults (Arrow-batched
+    fast_hashing since round 3; Arrow lang-id/quality twins since this
+    session — bit-identical to the Column expressions, so the SAME
+    oracle verifies, and they halve the per-row expression cost that
+    dominated this query's warm profile)."""
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        lang_id_fast,
+        quality_score_fast,
+    )
 
     d = load_tables(spark, sf_dir)["documents"]
     dropped = (
@@ -147,10 +153,10 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    kept = d.filter(quality_score("text") >= 0.5).join(
+    kept = d.filter(quality_score_fast(F.col("text")) >= 0.5).join(
         dropped, on="doc_id", how="left_anti"
     )
-    return kept.groupBy(lang_id("text").alias("pred_lang")).agg(
+    return kept.groupBy(lang_id_fast(F.col("text")).alias("pred_lang")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )

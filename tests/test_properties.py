@@ -175,3 +175,31 @@ def test_asof_join_matches_python_model(spark, left_rows, right_rows, inclusive)
         assert got == want
     else:
         assert got == {-1: (None, None)}
+
+
+def test_lang_quality_fast_twins_value_identical(spark, sf_dir):
+    """The Arrow lang-id/quality twins must be bit-identical to the
+    Column expressions — same oracle must verify either path."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.functions.text import lang_id, quality_score
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        lang_id_fast,
+        quality_score_fast,
+    )
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"]
+    edge = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("the the der der",), ("x" * 600,), ("a. b! c?",)],
+        "text string",
+    )
+    for frame in (d, edge):
+        cmp = frame.select(
+            lang_id("text").alias("l1"), lang_id_fast(F.col("text")).alias("l2"),
+            quality_score("text").alias("q1"), quality_score_fast(F.col("text")).alias("q2"),
+        )
+        bad = cmp.filter(
+            (F.col("l1") != F.col("l2")) | (F.col("q1") != F.col("q2"))
+        ).count()
+        assert bad == 0
