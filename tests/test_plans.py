@@ -335,3 +335,28 @@ def test_dedup_segments_two_shuffles(spark, sf_dir):
     df = REGISTRY["dedup_segments"].fn(spark, sf_dir)
     assert count_shuffles(df) == 2
     assert_no_cartesian(df)
+
+
+def test_new_operator_shuffle_budgets(spark, sf_dir):
+    """Shuffle budgets for the round-3 query family — regressions here
+    are 100x-scale cost bugs even when results stay correct. Notably:
+    sessionize's two windows and the final rollup all share ONE
+    user_id exchange, and no query in the family ever plans a
+    BroadcastNestedLoopJoin."""
+    budgets = {
+        "pivot_event_matrix": 2,        # partial+final pivot agg
+        "sessionize_events": 1,         # lag + running-sum + rollup share one exchange
+        "rolling_avg_events": 1,
+        "group_sorted_values": 1,
+        "resample_ffill_events": 3,     # key distinct + right pre-agg + timeline window
+        "corpus_mix_temperature": 3,    # lang counts + global-rate window + final agg
+        "dedup_incremental_minhash": 4, # bands x2 union, bucket sizes, pair dedup
+        "dq_violation_summary": 6,      # five checks, each a narrow agg
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
