@@ -275,3 +275,72 @@ def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).over(w)
         ).alias("avg7"),
     )
+
+
+@register(
+    "funnel_signup_click_purchase",
+    # Product-analytics composition of driver-carried classes
+    # (conditional aggregates + broadcast-size joins); registers late.
+    late=True,
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.t_signup
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+           (SELECT COUNT(*) FROM c) AS n_clicked_after,
+           (SELECT COUNT(*) FROM p) AS n_purchased_after,
+           (SELECT MIN(t_purchase) FROM p) AS first_conversion_us
+    """,
+)
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users who signed up, then clicked
+    strictly after their first signup, then purchased strictly after
+    that first qualifying click. Each stage is a conditional MIN per
+    user joined forward (the per-stage frames are one row per user —
+    broadcast-size relative to the event log at any scale), so the
+    event table is scanned once per stage with the type filter pushed
+    down, and no window ever spans a whole user timeline."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = _epoch_us("ts")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(s), "user_id")
+        .filter(us > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(us > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(
+            p.agg(
+                F.count(F.lit(1)).alias("n_purchased_after"),
+                F.min("t_purchase").alias("first_conversion_us"),
+            )
+        )
+    )
