@@ -344,3 +344,53 @@ def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_WEEK_US = 7 * 86_400_000_000
+
+
+@register(
+    "retention_cohorts",
+    # Cohort retention = two narrow aggregates over carried classes;
+    # registers late alongside the funnel.
+    late=True,
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             (epoch_us(e.ts) // {_WEEK_US}) - f.cohort_week AS week_offset
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, with
+    distinct active users per (cohort, week offset). The first-seen
+    frame is one row per user (broadcast back), the distinct is over
+    (user, offset) — integer epoch-week arithmetic, exact on both
+    engines."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = _epoch_us("ts")
+    # Integer week bucket without a double division: us % W is exact
+    # long arithmetic and (us - us % W) / W divides an exact multiple,
+    # so the double quotient is integral and the cast is lossless —
+    # matching DuckDB's BIGINT // exactly even at bucket boundaries.
+    week = ((us - us % _WEEK_US) / F.lit(_WEEK_US)).cast("long")
+    first_seen = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = (
+        ev.join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (week - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
