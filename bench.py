@@ -39,6 +39,18 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.count()
 
+    # Python/Arrow worker-pool spin-up is session bootstrap too — fork
+    # the daemon pool once across all cores so the first pandas-udf
+    # query's cold number measures the query, not process forking
+    # (same rationale as the JVM warm-up above).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _touch = pandas_udf(lambda s: s, "long")
+    spark.range(10_000).repartition(int(spark.sparkContext.defaultParallelism)).select(
+        _touch(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
+
     from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
 
     timings: dict[str, float] = {}
