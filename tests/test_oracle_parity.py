@@ -27,3 +27,45 @@ def test_rows_only_queries_run(spark, sf_dir):
         df = q.fn(spark, sf_dir)
         assert df.columns, name
         assert df.count() >= 0, name
+
+
+def test_parity_gate_detects_wrongness(spark, sf_dir):
+    """The gate must FAIL queries that are wrong — a gate that can't
+    fail proves nothing. Three mutation probes: value drift, row-count
+    drift, dtype-kind drift."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.queries import Query
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    probes = {
+        "___wrong_value": Query(
+            "___wrong_value",
+            lambda s, d: load_tables(s, d)["region"].select(
+                (F.col("r_regionkey") + 1).alias("k")
+            ),
+            "SELECT r_regionkey AS k FROM region",
+        ),
+        "___wrong_rows": Query(
+            "___wrong_rows",
+            lambda s, d: load_tables(s, d)["region"].filter(F.col("r_regionkey") > 0).select(
+                F.col("r_regionkey").alias("k")
+            ),
+            "SELECT r_regionkey AS k FROM region",
+        ),
+        "___wrong_dtype": Query(
+            "___wrong_dtype",
+            lambda s, d: load_tables(s, d)["region"].select(
+                F.col("r_regionkey").cast("double").alias("k")
+            ),
+            "SELECT r_regionkey AS k FROM region",
+        ),
+    }
+    REGISTRY.update(probes)
+    try:
+        for name in probes:
+            fails = run_parity(spark, sf_dir, [name])
+            assert fails, f"gate passed a deliberately broken query: {name}"
+    finally:
+        for name in probes:
+            del REGISTRY[name]
