@@ -72,3 +72,12 @@ def test_cli_query_oracle_flag(capsys):
     run(["query", "--name", "q1_pricing_summary", "--oracle"])
     out = capsys.readouterr().out
     assert "SELECT" in out and "lineitem" in out
+
+
+def test_cli_query_explain_flag(capsys):
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    run(["query", "--name", "partition_route", "--sf-dir", "/root/testdata/sf0.001",
+         "--explain"])
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
