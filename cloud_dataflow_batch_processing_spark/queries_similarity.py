@@ -205,6 +205,26 @@ def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_kmeans_assign_arrow",
+    # Same trajectory oracle as semantic_kmeans_assign — certifies that
+    # the broadcast-matrix Arrow argmin (the large-k scale path) is
+    # bit-identical to the literal-expression path; registers late.
+    oracle=S.kmeans_assign_sql(k=8, iters=2),
+    late=True,
+)
+def semantic_kmeans_assign_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means with ``assign_method="arrow"``: centroids ship as
+    ONE broadcast k×dim numpy matrix and every assignment is an
+    Arrow-batched numpy argmin, so plan size is O(1) in k instead of
+    O(k×dim) literals — the path SemDeDup-realistic k (10k–100k
+    clusters) requires. Same binary64 op order as the literal path
+    (see extensions/similarity._argmin_arrow), hence the identical
+    full-trajectory oracle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.kmeans_assign(emb, k=8, iters=2, assign_method="arrow")
+
+
+@register(
     "semantic_dedup_prune",
     oracle=S.semantic_dedup_sql(k=8, iters=2, min_cosine=0.9),
 )

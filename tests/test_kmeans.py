@@ -51,6 +51,103 @@ def test_kmeans_matches_numpy_lloyd(spark, sf_dir, tables, emb):
         assert dist == pytest.approx(float(np.sqrt(want_d2[i])), rel=1e-6)
 
 
+def test_arrow_assign_identical_to_expr(spark, tables):
+    """The broadcast-matrix Arrow argmin must be bit-identical to the
+    literal-expression path — same trajectory, same (cid, dist) rows
+    (both engines round dist to 6dp, so exact equality here)."""
+    a = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in S.kmeans_assign(
+            tables["embeddings"], k=8, iters=2, assign_method="expr"
+        ).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cid"], r["dist"])
+        for r in S.kmeans_assign(
+            tables["embeddings"], k=8, iters=2, assign_method="arrow"
+        ).collect()
+    )
+    assert a == b
+
+
+def test_semantic_dedup_arrow_identical(spark, tables):
+    a = sorted(
+        tuple(r)
+        for r in S.semantic_dedup_stats(
+            tables["embeddings"], k=8, iters=2, min_cosine=0.9, assign_method="expr"
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.semantic_dedup_stats(
+            tables["embeddings"], k=8, iters=2, min_cosine=0.9, assign_method="arrow"
+        ).collect()
+    )
+    assert a == b
+
+
+def _lcg_vec(seed, dim):
+    out, s = [], seed
+    for _ in range(dim):
+        s = (s * 1103515245 + 12345) % (2**31)
+        out.append(s / 2**31 - 0.5)
+    return out
+
+
+def test_argmin_auto_dispatch(spark):
+    """auto = literal expressions at k<=ARROW_ASSIGN_K, Arrow above."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, _lcg_vec(i + 1, 8)) for i in range(4)], "id long, __e array<double>"
+    )
+    small = [(c, _lcg_vec(1000 + c, 8)) for c in range(4)]
+    big = [(c, _lcg_vec(1000 + c, 8)) for c in range(S.ARROW_ASSIGN_K + 1)]
+    plan_small = df.select(S._argmin_col(small, "auto").alias("b"))._jdf.queryExecution().toString()
+    plan_big = df.select(S._argmin_col(big, "auto").alias("b"))._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_big
+
+
+def test_argmin_arrow_bounded_plan_at_k1024(spark):
+    """The VERDICT scale fix: at k=1024 × dim=64 the literal path would
+    inline ~65k literals and die in analysis; the Arrow path's plan must
+    stay O(1) in k, plan in bounded time, and produce the numpy-exact
+    argmin."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    dim, k, n = 64, 1024, 200
+    vecs = [(i, _lcg_vec(i + 1, dim)) for i in range(n)]
+    df = spark.createDataFrame(vecs, "vec_id long, __e array<double>")
+    cents = [(c, _lcg_vec(500_000 + c, dim)) for c in range(k)]
+
+    t0 = time.monotonic()
+    out = df.select("vec_id", S._argmin_col(cents, "auto").alias("b")).select(
+        "vec_id", "b.cid", "b.d2"
+    )
+    plan = out._jdf.queryExecution().toString()
+    rows = {r["vec_id"]: (r["cid"], r["d2"]) for r in out.collect()}
+    elapsed = time.monotonic() - t0
+
+    # Bounded plan: no per-centroid literals (the k=8 literal plan alone
+    # is ~20 KB; k=1024 inlined would be megabytes and minutes of
+    # analysis). Generous wall bound — this is a planning-blowup guard,
+    # not a microbenchmark.
+    assert len(plan) < 50_000, len(plan)
+    assert elapsed < 60, elapsed
+
+    x = np.array([v for _, v in vecs])
+    c = np.array([v for _, v in cents])
+    d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    want = np.argmin(d2, axis=1)
+    assert len(rows) == n
+    for i in range(n):
+        assert rows[i][0] == want[i]
+        assert rows[i][1] == pytest.approx(d2[i, want[i]], rel=1e-9)
+
+
 def test_semantic_dedup_matches_brute_force(spark, sf_dir, tables, emb):
     ids, mat = emb
     out = {
