@@ -21,10 +21,31 @@ P = 1_000_000_007
 
 def row_signature(cols: Sequence[Column]) -> Column:
     """Engine-neutral polynomial hash of the compared columns (each
-    already integral; reduce strings/doubles yourself first)."""
+    already integral; reduce strings/doubles yourself first).
+
+    NULL-safe (ADVICE r3): each column folds TWO terms — the value
+    coalesced to 0 and a 0/1 null flag — so a NULL column yields a
+    deterministic signature distinct from value 0 instead of nulling
+    the whole hash (which made snapshot_diff classify both-side rows
+    as 'added' and never 'removed'/'changed')."""
     h = F.lit(0).cast("long")
     for c in cols:
-        h = (h * 31 + (c.cast("long") % P + P) % P) % P
+        v = F.coalesce((c.cast("long") % P + P) % P, F.lit(0).cast("long"))
+        flag = F.when(c.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long")
+        h = (h * 31 + v) % P
+        h = (h * 31 + flag) % P
+    return h
+
+
+def row_signature_sql(col_exprs: Sequence[str]) -> str:
+    """DuckDB twin of ``row_signature`` over already-integral SQL
+    expressions — kept adjacent so the two formulas can't drift."""
+    h = "CAST(0 AS BIGINT)"
+    for e in col_exprs:
+        v = f"COALESCE((({e}) % {P} + {P}) % {P}, 0)"
+        flag = f"(CASE WHEN ({e}) IS NULL THEN 1 ELSE 0 END)"
+        h = f"(({h}) * 31 + {v}) % {P}"
+        h = f"(({h}) * 31 + {flag}) % {P}"
     return h
 
 

@@ -135,7 +135,14 @@ def countmin_sketch(df: DataFrame, key: Column, depth: int, width: int) -> DataF
     One explode to depth rows per input row, then ONE hash-aggregate
     shuffle bounded by depth × width groups — never by key cardinality.
     ``key`` must be integral; reduce strings with ``rolling_hash`` first.
+
+    NULL keys are excluded (ADVICE r3): a NULL key would hash to a NULL
+    bucket that inflates the counter table yet can never match a probe
+    (NULL != NULL in the join), silently breaking the one-sided
+    est >= true guarantee. Both build and probe drop NULLs, mirroring
+    asof_join's NULL-key handling.
     """
+    df = df.filter(key.isNotNull())
     v = (key.cast("long") % P + P) % P
     rows = df.select(
         F.posexplode(F.array(*[_cms_bucket(v, i, width) for i in range(depth)])).alias(
@@ -150,7 +157,10 @@ def countmin_estimate(
 ) -> DataFrame:
     """Point-estimate each key in ``keys``: min over the d counters the
     key hashes to. The sketch side is depth × width rows — broadcast —
-    so estimation adds no shuffle beyond the per-key min aggregate."""
+    so estimation adds no shuffle beyond the per-key min aggregate.
+    NULL keys are dropped, matching the build side (see
+    ``countmin_sketch``)."""
+    keys = keys.filter(F.col(key_col).isNotNull())
     v = (F.col(key_col).cast("long") % P + P) % P
     probes = keys.select(
         key_col,

@@ -295,7 +295,16 @@ def resample_ffill(
     machinery. Grid points before a key's first observation keep NULLs.
 
     ``start``/``end``/``step`` are integer epochs (end exclusive).
+    An empty window (``end <= start``) or non-positive ``step`` raises
+    ``ValueError`` up front instead of surfacing as an opaque
+    illegal-sequence-boundaries executor error (ADVICE r3).
     """
+    if step <= 0:
+        raise ValueError(f"resample_ffill: step must be positive, got {step}")
+    if end <= start:
+        raise ValueError(
+            f"resample_ffill: empty grid — end ({end}) must be > start ({start})"
+        )
     on = list(on)
     keys = observations.select(*on).distinct()
     grid = keys.select(

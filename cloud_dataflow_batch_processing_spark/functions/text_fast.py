@@ -40,6 +40,24 @@ def _hash_str(s: str, memo: dict[str, int]) -> int:
     return h
 
 
+# Exact Python twin of functions/text.tokens() (ADVICE r3): Spark's
+# F.trim strips ONLY spaces (0x20) and Java/RE2 \s is the ASCII class
+# [ \t\n\x0B\f\r]; split keeps leading/trailing empty tokens. Python's
+# str.split() (strip all Unicode whitespace, drop empties) silently
+# diverges on '\tfoo', 'foo\n', or NBSP-padded text — different n_tok
+# → different sw_ratio/mean_wlen → different quality score.
+import re as _re
+
+_JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _toks(s: str) -> list[str]:
+    t = s.strip(" ")
+    if not t:
+        return []
+    return _JAVA_WS.split(t)
+
+
 # NOTE: the UDFs are built lazily by factory functions (not module-level
 # @pandas_udf decorations): the decorator needs an active session when
 # it resolves a DDL return type, and executors re-import this module
@@ -61,7 +79,7 @@ def _token_hashes_series(col):
     def per_doc(s):
         if s is None:
             return None
-        return [_hash_str(t, memo) for t in s.split()]
+        return [_hash_str(t, memo) for t in _toks(s)]
 
     return col.map(per_doc)
 
@@ -74,8 +92,8 @@ def rolling_hash_fast(col: Column) -> Column:
 
 def token_hashes_fast(col: Column) -> Column:
     """Value-identical twin of ``dedup.token_hashes``: rolling hash of
-    each whitespace token (str.split() ≡ trim + split on \\s+, empty
-    string → empty list)."""
+    each token of ``_toks`` (the exact ``tokens()`` semantics — space
+    trim, ASCII \\s split, empty string → empty list)."""
     return pandas_udf(_token_hashes_series, T.ArrayType(T.LongType()))(col)
 
 
@@ -104,7 +122,7 @@ def _lang_of(s):
     if s is None:
         return "und"
     sets_ = _sw_sets()
-    toks = [t.lower() for t in s.split()]
+    toks = [t.lower() for t in _toks(s)]
     c = {lang: sum(t in ws for t in toks) for lang, ws in sets_.items()}
     if c["en"] >= c["de"] and c["en"] >= c["fr"] and c["en"] >= c["es"] and c["en"] > 0:
         return "en"
@@ -128,7 +146,7 @@ def _quality_of(s):
         return math.floor((0.4 * 1.0 + 0.2 * 0.5 + 0.3 * 0.0 + 0.1 * 1.0) * 10000 + 0.5) / 10000.0
     en = _sw_sets()["en"]
     n = float(len(s))
-    toks = s.split()
+    toks = _toks(s)
     n_tok = float(len(toks))
     punct = float(sum(ch in _PUNCT for ch in s))
     sw_hits = float(sum(t.lower() in en for t in toks))

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from cloud_dataflow_batch_processing_spark.extensions.diff import row_signature_sql
 from cloud_dataflow_batch_processing_spark.extensions.layout import zvalue_sql
 from cloud_dataflow_batch_processing_spark.queries import _dec, register
 from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
@@ -536,14 +537,12 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     osig AS (
       SELECT o_orderkey,
-             ((((CAST(FLOOR(o_totalprice * 100) AS BIGINT) % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007}) * 31
-               + ((o_custkey % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007})) % {1_000_000_007}) AS sig_old
+             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey"])} AS sig_old
       FROM oldv
     ),
     nsig AS (
       SELECT o_orderkey,
-             ((((CAST(FLOOR(o_totalprice * 100) AS BIGINT) % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007}) * 31
-               + ((o_custkey % {1_000_000_007} + {1_000_000_007}) % {1_000_000_007})) % {1_000_000_007}) AS sig_new
+             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey"])} AS sig_new
       FROM newv
     )
     SELECT * FROM (

@@ -394,6 +394,31 @@ def test_countmin_one_sided_and_exact_when_wide(spark):
             assert est == true
 
 
+def test_countmin_null_keys_excluded(spark):
+    """ADVICE r3: NULL keys must not inflate the sketch (NULL bucket
+    counters) nor break est >= true — both sides drop NULLs, and
+    non-null estimates are unaffected by NULL rows in the input."""
+    from cloud_dataflow_batch_processing_spark.extensions.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    clean = spark.createDataFrame([(1,), (1,), (2,)], "k long")
+    dirty = spark.createDataFrame([(1,), (None,), (1,), (None,), (2,)], "k long")
+    sk_clean = countmin_sketch(clean, F.col("k"), depth=3, width=64)
+    sk_dirty = countmin_sketch(dirty, F.col("k"), depth=3, width=64)
+    # Identical counter tables: the NULL rows contribute nothing.
+    assert sorted(map(tuple, sk_clean.collect())) == sorted(map(tuple, sk_dirty.collect()))
+    assert sk_dirty.filter(F.col("bucket").isNull()).count() == 0
+
+    keys = spark.createDataFrame([(1,), (2,), (None,)], "k long")
+    est = {
+        r["k"]: r["est_count"]
+        for r in countmin_estimate(sk_dirty, keys, "k", depth=3, width=64).collect()
+    }
+    assert est == {1: 2, 2: 1}  # NULL probe dropped, not estimated as 0
+
+
 def test_table_fingerprint_order_and_partition_invariant(spark, sf_dir):
     """The checksum must not depend on row order or partitioning —
     that's the whole point of an anti-entropy fingerprint."""
@@ -457,6 +482,41 @@ def test_snapshot_diff_semantics(spark):
     )
     out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_snapshot_diff_null_columns(spark):
+    """ADVICE r3: a NULL compare column must fold into a deterministic
+    signature, not null the hash — NULL==NULL rows are unchanged,
+    NULL→value is 'changed', NULL is distinct from literal 0, and a
+    both-sides row can still be 'removed'."""
+    from cloud_dataflow_batch_processing_spark.extensions.diff import (
+        row_signature,
+        row_signature_sql,
+        snapshot_diff,
+    )
+
+    schema = "k long, v long"
+    old = spark.createDataFrame([(1, None), (2, None), (3, 0), (5, None)], schema)
+    new = spark.createDataFrame([(1, None), (2, 7), (3, None), (4, None)], schema)
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, ["k"], [F.col("v")]).collect()}
+    # 1: NULL→NULL unchanged (absent); 2: NULL→7 changed; 3: 0→NULL
+    # changed (NULL != 0); 4 added; 5 removed (impossible pre-fix).
+    assert out == {2: "changed", 3: "changed", 4: "added", 5: "removed"}
+
+    # The SQL twin produces the identical signatures, including for NULL.
+    import duckdb
+
+    spark_sigs = sorted(
+        (r["k"], r["sig"])
+        for r in old.select("k", row_signature([F.col("v")]).alias("sig")).collect()
+    )
+    duck_sigs = sorted(
+        duckdb.sql(
+            "SELECT k, " + row_signature_sql(["v"]) + " AS sig FROM (VALUES "
+            "(1, NULL), (2, NULL), (3, 0), (5, NULL)) t(k, v)"
+        ).fetchall()
+    )
+    assert spark_sigs == [(k, int(s)) for k, s in duck_sigs]
 
 
 def test_incremental_minhash_equals_full_run(spark, sf_dir):

@@ -113,6 +113,10 @@ def test_fast_hash_twins_value_identical(spark):
     samples = [
         "", "a", "  spaced   out  ", "the quick brown fox", "emoji \U0001F600 here",
         "repeat repeat repeat repeat", "tabs\tand\nnewlines mixed",
+        # ADVICE r3: leading/trailing NON-space whitespace and Unicode
+        # whitespace — Spark trims only 0x20 and splits on ASCII \s
+        # (keeping boundary empty tokens); python str.split() disagreed.
+        "\tthe cat", "trailing tab\t", "\nnl lead", "\u00a0nbsp pad\u00a0", " \t mixed \n ",
     ]
     df = spark.createDataFrame([(s,) for s in samples], "s string")
     rows = df.select(
@@ -191,7 +195,10 @@ def test_lang_quality_fast_twins_value_identical(spark, sf_dir):
 
     d = load_tables(spark, sf_dir)["documents"]
     edge = spark.createDataFrame(
-        [(None,), ("",), ("   ",), ("the the der der",), ("x" * 600,), ("a. b! c?",)],
+        [(None,), ("",), ("   ",), ("the the der der",), ("x" * 600,), ("a. b! c?",),
+         # ADVICE r3 tokenization-divergence cases: boundary tab/newline
+         # and NBSP must tokenize as tokens() does (ASCII \s, space trim).
+         ("\tthe cat",), ("the cat\n",), (" the cat ",), (" \t le la \n ",), ("\u00a0the\u00a0cat und",)],
         "text string",
     )
     for frame in (d, edge):

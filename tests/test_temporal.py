@@ -184,3 +184,18 @@ def test_asof_null_keys_never_match(spark):
     out = {r["tag"]: r["v"] for r in
            asof_join(left, right, on=["k"], left_ts="lt", right_ts="rt", right_cols=["v"]).collect()}
     assert out == {"ln": None, "la": 2.0}
+
+
+def test_resample_ffill_rejects_degenerate_grid(spark):
+    """ADVICE r3: an empty window or non-positive step must raise a
+    clear ValueError up front, not an illegal-sequence-boundaries
+    executor error mid-job."""
+    import pytest
+
+    from cloud_dataflow_batch_processing_spark.extensions.temporal import resample_ffill
+
+    obs = spark.createDataFrame([("a", 1, 1.0)], "k string, ts int, v double")
+    with pytest.raises(ValueError, match="step must be positive"):
+        resample_ffill(obs, ["k"], "ts", ["v"], start=0, end=10, step=0)
+    with pytest.raises(ValueError, match="empty grid"):
+        resample_ffill(obs, ["k"], "ts", ["v"], start=10, end=10, step=5)
