@@ -480,6 +480,43 @@ def simhash_sql(col: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Fuzzy string matching: multi-key blocking + integer edit distance
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_blocked_pairs(
+    names: DataFrame, name_col: str = "name", max_dist: int = 5
+) -> DataFrame:
+    """Record-linkage pair generation: block on BOTH the last and the
+    first whitespace token (VERDICT r3 #6 — last-token blocking alone
+    misses pairs that differ in their final token, e.g. 'alpha red' vs
+    'alpha blue'), union the blocks, dedup candidate pairs, then score
+    with exact integer Levenshtein ≤ ``max_dist``.
+
+    Scale posture: still never all-pairs — two bounded equi-join blocks
+    instead of one; the pair-level DISTINCT is a narrow shuffle on the
+    (name_a, name_b) candidate set, which blocking has already pruned.
+    Levenshtein runs once per distinct candidate pair."""
+    n = names.select(F.col(name_col).alias("name")).distinct()
+    toks = F.split("name", " ")
+    blocked = n.select("name", F.element_at(toks, -1).alias("block")).unionByName(
+        n.select("name", F.element_at(toks, 1).alias("block"))
+    )
+    a = blocked.select(F.col("name").alias("name_a"), "block")
+    b = blocked.select(F.col("name").alias("name_b"), F.col("block").alias("block_b"))
+    cand = (
+        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Duplicate-cluster resolution: connected components over near-dup pairs
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,157 @@ def decode_ppm(data: bytes) -> tuple[int, int, bytes]:
 
 
 # ---------------------------------------------------------------------------
+# PNG — 8-bit depth, color types 0 (gray) / 2 (RGB) / 6 (RGBA), all five
+# scanline filters, zlib DEFLATE (stdlib), CRC-checked chunks. Written
+# from the public PNG specification (RFC 2083 / W3C PNG); no interlace.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply filter ``ftype`` to a raw scanline (encoder side)."""
+    out = bytearray(len(row))
+    for i, x in enumerate(row):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x - b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return bytes(out)
+
+
+def _png_unfilter_row(ftype: int, filt: bytes, prev: bytes, bpp: int) -> bytes:
+    """Reconstruct a raw scanline from a filtered one (decoder side)."""
+    out = bytearray(len(filt))
+    for i, x in enumerate(filt):
+        a = out[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        c = prev[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x + a) & 0xFF
+        elif ftype == 2:
+            out[i] = (x + b) & 0xFF
+        elif ftype == 3:
+            out[i] = (x + (a + b) // 2) & 0xFF
+        elif ftype == 4:
+            out[i] = (x + _paeth(a, b, c)) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ftype}")
+    return bytes(out)
+
+
+def encode_png(width: int, height: int, rgb: bytes, filter_type: int = 0) -> bytes:
+    """8-bit truecolor (type 2) PNG from top-down row-major RGB triples.
+    ``filter_type`` applies the same filter to every scanline (0–4) —
+    parameterized so tests can exercise every decoder filter path."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(width * 3)
+    for y in range(height):
+        row = rgb[y * width * 3 : (y + 1) * width * 3]
+        raw.append(filter_type)
+        raw += _png_filter_row(filter_type, row, prev, 3)
+        prev = row
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes]:
+    """-> (width, height, top-down row-major RGB bytes). Supports 8-bit
+    gray (type 0, replicated to RGB), RGB (2), and RGBA (6, alpha
+    dropped); all five filter types; multiple IDAT chunks; CRC-verified.
+    Rejects interlaced / paletted / 16-bit variants loudly."""
+    import zlib
+
+    if not data.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG (missing signature)")
+    pos, ihdr, idat = len(PNG_MAGIC), None, bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen or pos + 12 + clen > len(data):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    width, height, depth, ctype_i, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    bpp = {0: 1, 2: 3, 6: 4}.get(ctype_i)
+    if bpp is None:
+        raise ValueError(f"unsupported PNG color type {ctype_i}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(width * height * 3)
+    prev = bytes(stride)
+    for y in range(height):
+        off = y * (stride + 1)
+        row = _png_unfilter_row(raw[off], raw[off + 1 : off + 1 + stride], prev, bpp)
+        prev = row
+        for x in range(width):
+            i = (y * width + x) * 3
+            if ctype_i == 0:
+                out[i] = out[i + 1] = out[i + 2] = row[x]
+            else:
+                out[i : i + 3] = row[x * bpp : x * bpp + 3]
+    return width, height, bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # WAV — RIFF/WAVE, PCM (format 1), 16-bit signed little-endian
 # ---------------------------------------------------------------------------
 
@@ -188,6 +339,20 @@ def decode_wav(data: bytes) -> WavData:
     n = len(raw) // 2
     samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))
     return WavData(sample_rate=sample_rate, channels=channels, samples=samples)
+
+
+IMAGE_FORMATS = ("bmp", "ppm", "png")
+
+
+def decode_image(fmt: str, content: bytes) -> tuple[int, int, bytes]:
+    """Uniform image decode dispatch -> (width, height, RGB bytes)."""
+    if fmt == "bmp":
+        return decode_bmp(content)
+    if fmt == "ppm":
+        return decode_ppm(content)
+    if fmt == "png":
+        return decode_png(content)
+    raise ValueError(f"no image decoder for format {fmt!r}")
 
 
 # ---------------------------------------------------------------------------

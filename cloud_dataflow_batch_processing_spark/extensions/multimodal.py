@@ -4,10 +4,10 @@ metadata (SURVEY.md §2.3 / BASELINE.json north-star).
 Spark-side plumbing is real and tested: schemas, binaryFile ingestion,
 Arrow-batched mapInPandas transforms with explicit batch-size control,
 and partition sizing for large blobs. Since round 3 the decode step is
-REAL for BMP / PPM images and PCM WAV audio via the self-contained
-pure-Python codecs in ``extensions/media_codecs.py`` (magic-byte
-dispatch; no media libraries needed). Formats the container can't
-decode (video, JPEG, ...) still fall back to the clearly-marked
+REAL for BMP / PPM / PNG images and PCM WAV audio via the
+self-contained pure-Python codecs in ``extensions/media_codecs.py``
+(magic-byte dispatch; no media libraries needed). Formats the container
+can't decode (video, JPEG, ...) still fall back to the clearly-marked
 deterministic hash-fake so the distributed plumbing stays exercised
 end-to-end; swap ``_decode_impl``'s fallback for PIL/ffmpeg in
 production.
@@ -72,6 +72,8 @@ def sniff_format(content: bytes | None) -> str | None:
         return "bmp"
     if content[:2] == b"P6":
         return "ppm"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         return "wav"
     return None
@@ -92,8 +94,8 @@ def _decode_impl(kind: str, content: bytes) -> list[float]:
 
     fmt = sniff_format(content)
     try:
-        if fmt in ("bmp", "ppm"):
-            w, h, rgb = M.decode_bmp(content) if fmt == "bmp" else M.decode_ppm(content)
+        if fmt in M.IMAGE_FORMATS:
+            w, h, rgb = M.decode_image(fmt, content)
             f = M.image_features(w, h, rgb)
             n = max(1, f["n_pixels"])
             return [
@@ -182,10 +184,8 @@ def extract_exact_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
                 content = bytes(content) if content is not None else None
                 fmt = sniff_format(content)
                 row = {"media_id": mid, "format": fmt}
-                if fmt in ("bmp", "ppm"):
-                    w, h, rgb = (
-                        M.decode_bmp(content) if fmt == "bmp" else M.decode_ppm(content)
-                    )
+                if fmt in M.IMAGE_FORMATS:
+                    w, h, rgb = M.decode_image(fmt, content)
                     f = M.image_features(w, h, rgb)
                     row.update(
                         img_w=w, img_h=h,
@@ -285,10 +285,8 @@ def extract_exact_features_arrow(df: DataFrame, batch_size: int = 64) -> DataFra
                 row = dict.fromkeys(cols)
                 row["media_id"] = mid.as_py()
                 row["format"] = fmt
-                if fmt in ("bmp", "ppm"):
-                    w, h, rgb = (
-                        M.decode_bmp(content) if fmt == "bmp" else M.decode_ppm(content)
-                    )
+                if fmt in M.IMAGE_FORMATS:
+                    w, h, rgb = M.decode_image(fmt, content)
                     f = M.image_features(w, h, rgb)
                     row.update(
                         img_w=w, img_h=h,

@@ -460,31 +460,27 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     blocked AS (
       SELECT name, string_split(name, ' ')[-1] AS block FROM names
+      UNION ALL
+      SELECT name, string_split(name, ' ')[1] AS block FROM names
+    ),
+    cand AS (
+      SELECT DISTINCT a.name AS name_a, b.name AS name_b
+      FROM blocked a JOIN blocked b
+        ON a.block = b.block AND a.name < b.name
     )
-    SELECT a.name AS name_a, b.name AS name_b,
-           CAST(levenshtein(a.name, b.name) AS INT) AS dist
-    FROM blocked a JOIN blocked b
-      ON a.block = b.block AND a.name < b.name
-    WHERE levenshtein(a.name, b.name) <= 5
+    SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS INT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 5
     """,
 )
 def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy string matching: distinct part names blocked on their last
-    token (the noun), paired within blocks, scored with integer
-    Levenshtein ≤ 5 — the record-linkage shape (block → pair → score)
-    with the same never-all-pairs discipline as the LSH dedups.
-    Levenshtein is an exact integer on both engines, so the oracle is a
-    value match, and the blocked join is a plain equi-join."""
+    AND first tokens (two bounded blocks, pair-level dedup — VERDICT r3
+    #6: last-token-only blocking misses pairs differing in their final
+    token), scored with integer Levenshtein ≤ 5 — the record-linkage
+    shape (block → pair → score) with the same never-all-pairs
+    discipline as the LSH dedups. Levenshtein is an exact integer on
+    both engines, so the oracle is a value match, and the blocked join
+    is a plain equi-join. Impl: extensions/dedup.py::fuzzy_blocked_pairs."""
     p = load_tables(spark, sf_dir)["part"]
-    names = p.select(F.col("p_name").alias("name")).distinct()
-    blocked = names.select(
-        "name", F.element_at(F.split("name", " "), -1).alias("block")
-    )
-    a = blocked.select(F.col("name").alias("name_a"), "block")
-    b = blocked.select(F.col("name").alias("name_b"), F.col("block").alias("block_b"))
-    return (
-        a.join(b, (F.col("block") == F.col("block_b")) & (F.col("name_a") < F.col("name_b")))
-        .withColumn("dist", F.levenshtein("name_a", "name_b"))
-        .filter(F.col("dist") <= 5)
-        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
-    )
+    return D.fuzzy_blocked_pairs(p.select(F.col("p_name").alias("name")))

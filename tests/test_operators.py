@@ -564,3 +564,27 @@ def test_sketch_mergeability(spark):
     ba = bloom_bits(range(0, 50), m_bits=512, k=3)
     bb = bloom_bits(range(40, 90), m_bits=512, k=3)
     assert np.array_equal(ba | bb, bloom_bits(range(0, 90), m_bits=512, k=3))
+
+
+def test_fuzzy_blocked_pairs_second_block_recall(spark):
+    """VERDICT r3 #6: first-token blocking must recover pairs that
+    differ in their LAST token (invisible to last-token blocking),
+    without duplicating pairs found by both blocks."""
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import fuzzy_blocked_pairs
+
+    names = spark.createDataFrame(
+        [("alpha red",), ("alpha blue",),   # share FIRST token only, lev 4
+         ("dark green",), ("dusk green",),  # share LAST token only, lev 3
+         ("alpha green",),                  # bridges both blocks
+         ("omega far",)],                   # matches nothing within 5
+        "name string",
+    )
+    out = {(r["name_a"], r["name_b"]): r["dist"] for r in fuzzy_blocked_pairs(names).collect()}
+    assert ("alpha blue", "alpha red") in out          # new: first-token block
+    assert ("dark green", "dusk green") in out         # old: last-token block
+    assert out[("alpha blue", "alpha red")] == 4
+    # both-block candidates appear exactly once (dict above would hide
+    # dupes, so count rows too)
+    rows = fuzzy_blocked_pairs(names).collect()
+    assert len(rows) == len(set((r["name_a"], r["name_b"]) for r in rows))
+    assert all("omega far" not in (r["name_a"], r["name_b"]) for r in rows)
