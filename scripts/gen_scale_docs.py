@@ -1,0 +1,91 @@
+"""Deterministic sf1-equivalent documents corpus for the scale bench
+(VERDICT r3 #4): ~10x the sf0.1 documents table, same distribution
+shape (31-word vocab, 10-100 tokens/doc, 5 langs, 20 sources, planted
+near-duplicate pairs at ~1% of docs with shingle-Jaccard ~0.95+, plus
+a handful of exact duplicates). Written once to
+``.bench_data/sf1_docs/documents.parquet`` inside the repo; the
+driver's read-only /root/testdata is never touched.
+
+Generation is a seeded ``random.Random`` — bytes are reproducible, so
+bench numbers are comparable round over round.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+N_DOCS = 50_000
+NEAR_DUP_PAIRS = 250
+EXACT_DUP_PAIRS = 40
+SEED = 421
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _gen_rows(n_docs: int = N_DOCS) -> list[tuple[int, str, str, str, int]]:
+    rng = random.Random(SEED)
+    texts: list[str] = []
+    for _ in range(n_docs):
+        n_tok = rng.randint(10, 100)
+        texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_tok)))
+    # Plant near-duplicates: overwrite a later doc with an earlier doc's
+    # text mutated in one token (high shingle-Jaccard), and exact dups.
+    for i in range(NEAR_DUP_PAIRS):
+        src = rng.randrange(0, n_docs // 2)
+        dst = rng.randrange(n_docs // 2, n_docs)
+        toks = texts[src].split(" ")
+        toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        texts[dst] = " ".join(toks)
+    for i in range(EXACT_DUP_PAIRS):
+        src = rng.randrange(0, n_docs // 2)
+        dst = rng.randrange(n_docs // 2, n_docs)
+        texts[dst] = texts[src]
+    return [
+        (
+            i,
+            t,
+            LANGS[rng.randrange(len(LANGS))],
+            f"src{rng.randrange(20)}",
+            len(t),
+        )
+        for i, t in enumerate(texts)
+    ]
+
+
+def ensure_scale_docs(out_dir: str) -> str:
+    """Generate the corpus parquet if absent; return the parquet path."""
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = _gen_rows()
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+if __name__ == "__main__":
+    p = ensure_scale_docs(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data", "sf1_docs")
+    )
+    print(p)

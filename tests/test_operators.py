@@ -588,3 +588,15 @@ def test_fuzzy_blocked_pairs_second_block_recall(spark):
     rows = fuzzy_blocked_pairs(names).collect()
     assert len(rows) == len(set((r["name_a"], r["name_b"]) for r in rows))
     assert all("omega far" not in (r["name_a"], r["name_b"]) for r in rows)
+
+
+def test_scale_docs_generator_deterministic():
+    """The sf1-equivalent bench corpus must be byte-reproducible so
+    BENCH numbers are comparable round over round."""
+    from scripts.gen_scale_docs import N_DOCS, _gen_rows
+
+    a = _gen_rows(2000)
+    b = _gen_rows(2000)
+    assert a == b
+    assert len({r[1] for r in a}) < 2000  # exact dups are planted
+    assert N_DOCS == 50_000
