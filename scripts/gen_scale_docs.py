@@ -84,6 +84,42 @@ def ensure_scale_docs(out_dir: str) -> str:
     return path
 
 
+N_VECS = 50_000
+DIM = 64
+
+
+def ensure_scale_embeddings(out_dir: str) -> str:
+    """50k x 64-dim float32 embeddings (25x sf0.1's table) from the
+    same LCG family as the repo's hyperplanes — deterministic, mildly
+    clustered (8 seed directions + noise) so k-means has structure."""
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(out_dir, exist_ok=True)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((8, DIM))
+    labels = rng.integers(0, 8, size=N_VECS)
+    mat = centers[labels] + 0.6 * rng.standard_normal((N_VECS, DIM))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(
+                [row for row in mat.astype(np.float32).tolist()],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array((labels % 8).astype("int32")),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 if __name__ == "__main__":
     p = ensure_scale_docs(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data", "sf1_docs")
