@@ -360,3 +360,15 @@ def test_new_operator_shuffle_budgets(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_dual_block_plan(spark, sf_dir):
+    """The dual-block fuzzy matcher must stay a bounded equi-join:
+    two block keys union before ONE self-join — never a nested-loop
+    or cartesian pair generation, and the pair-level distinct adds at
+    most one narrow shuffle over candidates."""
+    df = REGISTRY["fuzzy_match_part_names"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert count_shuffles(df) <= 4, count_shuffles(df)

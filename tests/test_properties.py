@@ -210,3 +210,22 @@ def test_lang_quality_fast_twins_value_identical(spark, sf_dir):
             (F.col("l1") != F.col("l2")) | (F.col("q1") != F.col("q2"))
         ).count()
         assert bad == 0
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, ftype, seed):
+    """PNG encode→decode is the identity for any pixel content under
+    any scanline filter (the filters are bijective per row)."""
+    import random
+
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as M
+
+    rng = random.Random(seed)
+    rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    assert M.decode_png(M.encode_png(w, h, rgb, filter_type=ftype)) == (w, h, rgb)
