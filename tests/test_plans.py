@@ -424,3 +424,49 @@ def test_trained_ivf_index_prunes_partitions(spark, tables, tmp_path):
         for r in S.cosine_topk(restricted, qv, 10).collect()
     ]
     assert got == want
+
+
+def test_ivf_index_append_incremental(spark, tables, tmp_path):
+    """Appending a batch must (a) assign against the STORED centroids
+    (bit-identical to what a from-scratch assignment over the union
+    would give for those rows, since centroids are frozen), and
+    (b) make the new vectors immediately searchable with the same
+    pruned plan — no retrain, no rewrite of existing partitions."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import similarity as S
+
+    idx = str(tmp_path / "ivf_incr")
+    emb = tables["embeddings"]
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    S.ivf_build_index(old, idx, k=8, iters=1)
+    before = spark.read.parquet(idx + "/vectors").count()
+
+    S.ivf_index_append(new, idx)
+    vecs = spark.read.parquet(idx + "/vectors")
+    assert vecs.count() == emb.count()
+    assert vecs.count() > before
+
+    # A new vector is found by searching with itself as the query.
+    target = int(new.select(F.max("vec_id")).head()[0])
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == target).head()["embedding"]]
+    hits = [r["vec_id"] for r in S.ivf_search(spark, idx, qv, topk=3, nprobe=2).collect()]
+    assert target in hits
+
+    # Appended assignments match a fresh argmin against the stored
+    # centroids (frozen-centroid semantics).
+    cents = [
+        (int(r["cid"]), list(r["cv"]))
+        for r in spark.read.parquet(idx + "/centroids").collect()
+    ]
+    v = new.select(F.col("vec_id"), F.transform("embedding", lambda x: x.cast("double")).alias("__e"))
+    want = {
+        r["vec_id"]: r["cid"]
+        for r in v.select("vec_id", S._argmin_col(cents, "expr")["cid"].alias("cid")).collect()
+    }
+    got = {
+        r["vec_id"]: r["cid"]
+        for r in vecs.filter(F.col("vec_id") >= 400).select("vec_id", "cid").collect()
+    }
+    assert got == want
