@@ -394,6 +394,44 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_redact_roundtrip",
+    # PII class is driver-carried by `pii_scrub_stats` (counts +
+    # redacted lengths); this variant certifies the REPLACEMENT BYTES.
+    late=True,
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(
+             text || ' contact: user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com id ' || CAST(1000000 + doc_id * 37 AS VARCHAR) || '77',
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_DIGITRUN}', '<NUM>', 'g') AS redacted
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def pii_redact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction returning the SCRUBBED TEXT itself: both engines
+    inject a deterministic email + account number per doc_id (the
+    synthetic corpus carries no real PII), redact with the shared
+    portable patterns, and the driver hash-compares the full redacted
+    strings — certifying replacement semantics byte-for-byte, not just
+    match counts/lengths (`pii_scrub_stats`). Pure per-row codegen,
+    zero shuffle."""
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com id "),
+        (F.lit(1_000_000) + F.col("doc_id") * 37).cast("string"),
+        F.lit("77"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(injected, _PII_EMAIL, "<EMAIL>"), _PII_DIGITRUN, "<NUM>"
+    )
+    return d.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
     "token_length_histogram",
     # Distribution-stats class is driver-carried by `percentiles_exact`
     # + `approx_percentile`; the bucketed-histogram variant registers

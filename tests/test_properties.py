@@ -229,3 +229,47 @@ def test_png_roundtrip_property(w, h, ftype, seed):
     rng = random.Random(seed)
     rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
     assert M.decode_png(M.encode_png(w, h, rgb, filter_type=ftype)) == (w, h, rgb)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+            st.sampled_from(["red", "blue", "green", "gren", "bleu"]),
+        ),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+    st.integers(0, 6),
+)
+@settings(max_examples=25, deadline=None)
+def test_fuzzy_blocked_pairs_matches_model(spark, names, max_dist):
+    """fuzzy_blocked_pairs ≡ brute-force Levenshtein over exactly the
+    pairs sharing a FIRST or LAST token (the declared blocking recall),
+    with no duplicates and no pairs outside the blocks."""
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import fuzzy_blocked_pairs
+
+    strs = sorted({f"{a} {b}" for a, b in names})
+    df = spark.createDataFrame([(s,) for s in strs] or [("zz",)], "name string")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_blocked_pairs(df, max_dist=max_dist).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    pool = strs if strs else ["zz"]
+    for i, a in enumerate(pool):
+        for b in pool[i + 1 :]:
+            at, bt = a.split(" "), b.split(" ")
+            if (at[0] == bt[0] or at[-1] == bt[-1]) and lev(a, b) <= max_dist:
+                want[(a, b)] = lev(a, b)
+    assert got == want
