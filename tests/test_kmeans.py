@@ -174,3 +174,14 @@ def test_semantic_dedup_matches_brute_force(spark, sf_dir, tables, emb):
         assert n_members == int(sel.sum())
         assert n_dropped == len(dropped), (cid, n_dropped, len(dropped))
         assert n_kept == n_members - n_dropped
+
+
+def test_kmeans_seeds_k_lowest_ids_on_sparse_ids(spark):
+    """Seeding must take the k LOWEST ids, not `id < k` — on a sparse
+    id space the latter silently under-seeds (fewer clusters than
+    asked)."""
+    vecs = [(i * 10, _lcg_vec(i + 1, 8)) for i in range(20)]  # ids 0,10,...,190
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = S.kmeans_assign(df, k=4, iters=1)
+    cids = {r["cid"] for r in out.collect()}
+    assert cids <= {0, 10, 20, 30} and len(cids) >= 2  # seeded from the 4 lowest ids
