@@ -98,9 +98,15 @@ def scale_bench(spark) -> dict:
     }
     release_managed_caches()
     duck_pairs = {(r[0], r[1]) for r in duck_rows["dedup_minhash_pairs_fast"]}
+    def _soft(fn):
+        try:
+            return fn(spark)
+        except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+            return {"error": f"{type(exc).__name__}: {exc}"}
+
     return {
-        "kmeans_large_k": _kmeans_scale_point(spark),
-        "ivf_index": _ivf_scale_point(spark),
+        "kmeans_large_k": _soft(_kmeans_scale_point),
+        "ivf_index": _soft(_ivf_scale_point),
         "rows": n_rows,
         "sf_equiv": 1.0,
         "materialize": "checkpoint",
@@ -257,9 +263,15 @@ def main() -> None:
         cold[name] = round(runs[0], 4)
         timings[name] = round(min(runs), 4)
 
+    # Fail-soft: the scale section must never cost the driver the
+    # headline numbers — a generation/scale failure is reported inline
+    # instead of killing the run.
     scale = None
     if os.environ.get("SPARK_GRAFT_SCALE_BENCH", "1") != "0":
-        scale = scale_bench(spark)
+        try:
+            scale = scale_bench(spark)
+        except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+            scale = {"error": f"{type(exc).__name__}: {exc}"}
 
     print(
         json.dumps(
