@@ -162,6 +162,50 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from cloud_dataflow_batch_processing_spark.streaming.neardup import (  # noqa: E402
+    near_exact_key_sql,
+)
+
+
+@register(
+    "dedup_near_exact_keep",
+    # The streaming suppressor's key semantics as a deterministic batch
+    # twin (streaming/neardup.py); near-exact class variant of
+    # dedup_exact — registers late.
+    late=True,
+    oracle=f"""
+    WITH th_t AS (
+      SELECT doc_id, text, {D.token_hashes_sql('text')} AS th FROM documents
+    ),
+    sh_t AS (
+      SELECT doc_id, text, {D.shingle_hashes_sql('text')} AS sh FROM th_t
+    ),
+    keyed AS (
+      SELECT doc_id, {near_exact_key_sql()} AS k FROM sh_t
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id, COUNT(*) AS n_copies
+    FROM keyed GROUP BY k
+    """,
+)
+def dedup_near_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-exact dedup on the FULL 16-lane minhash signature (the
+    all-LSH-bands-collide key the streaming suppressor uses,
+    streaming/neardup.py): keep the min doc_id per key, count copies.
+    Short docs key on their exact text hash in a disjoint key space.
+    One hash-aggregate shuffle; certifies the streaming operator's key
+    byte-for-byte under the driver gate."""
+    from cloud_dataflow_batch_processing_spark.streaming.neardup import (
+        with_near_exact_key,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    keyed = with_near_exact_key(d, "text", key_col="__key")
+    return keyed.groupBy("__key").agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keep_id", "n_copies")
+
+
 @register(
     "dedup_segments",
     oracle=D.segment_dup_stats_sql(),

@@ -45,6 +45,47 @@ from cloud_dataflow_batch_processing_spark.extensions.dedup import (
 from cloud_dataflow_batch_processing_spark.functions.text import rolling_hash
 
 
+def with_near_exact_key(
+    df: DataFrame, text_col: str, fast_hashing: bool = True, key_col: str = "__sig"
+) -> DataFrame:
+    """Attach the near-exact dedup key: ``[0, lane0..lane15]`` for
+    fingerprintable docs, ``[1, rolling_hash(text)]`` for docs too
+    short to shingle (disjoint key spaces — lanes are nonnegative).
+    Staged through materialized columns because Spark does not CSE the
+    shingle subtree across the 16 lanes (NOTES.md invariant 6)."""
+    if fast_hashing:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            token_hashes_fast,
+        )
+
+        th = token_hashes_fast(F.col(text_col))
+    else:
+        th = token_hashes(text_col)
+    staged = df.withColumn("__th", th).withColumn(
+        "__sh", shingles_from_token_hashes(F.col("__th"))
+    )
+    lanes = F.array(*minhash_from_shingles(F.col("__sh")))
+    sig = F.when(
+        F.size("__sh") > 0, F.concat(F.array(F.lit(0).cast("long")), lanes)
+    ).otherwise(F.array(F.lit(1).cast("long"), rolling_hash(F.col(text_col))))
+    return staged.withColumn(key_col, sig).drop("__th", "__sh")
+
+
+def near_exact_key_sql() -> str:
+    """DuckDB twin of the key over CTE columns ``sh`` (shingle list)
+    and ``text`` — kept adjacent to the Column builder so the two
+    can't drift."""
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+        minhash_signature_sql,
+    )
+    from cloud_dataflow_batch_processing_spark.functions.text import rolling_hash_sql
+
+    return (
+        f"CASE WHEN len(sh) > 0 THEN list_prepend(CAST(0 AS BIGINT), {minhash_signature_sql()}) "
+        f"ELSE [CAST(1 AS BIGINT), {rolling_hash_sql('text')}] END"
+    )
+
+
 def suppress_near_exact_stream(
     df: DataFrame,
     text_col: str,
@@ -68,27 +109,10 @@ def suppress_near_exact_stream(
 
     Works identically on batch frames (plain dropDuplicates on the
     same key), which is how the unit tests cross-check streaming
-    results against a batch model."""
-    if fast_hashing:
-        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
-            token_hashes_fast,
-        )
-
-        th = token_hashes_fast(F.col(text_col))
-    else:
-        th = token_hashes(text_col)
-    staged = df.withColumn("__th", th).withColumn(
-        "__sh", shingles_from_token_hashes(F.col("__th"))
-    )
-    lanes = F.array(*minhash_from_shingles(F.col("__sh")))
-    # Disjoint key spaces: fingerprintable docs key on [0, lane0..15];
-    # too-short docs key on [1, rolling_hash(text)] — exact suppression
-    # only (lanes are nonnegative, so the leading tag keeps the spaces
-    # from ever colliding).
-    sig = F.when(
-        F.size("__sh") > 0, F.concat(F.array(F.lit(0).cast("long")), lanes)
-    ).otherwise(F.array(F.lit(1).cast("long"), rolling_hash(F.col(text_col))))
-    keyed = staged.withColumn("__sig", sig).drop("__th", "__sh")
+    results against a batch model; the key semantics themselves are
+    oracle-certified by the deterministic batch twin
+    (queries_dedup.py::dedup_near_exact_keep)."""
+    keyed = with_near_exact_key(df, text_col, fast_hashing)
     if df.isStreaming:
         out = keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["__sig"])
     else:
