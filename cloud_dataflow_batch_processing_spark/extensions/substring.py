@@ -1,0 +1,261 @@
+"""Exact substring deduplication (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", ACL 2022): find every K-token span
+whose content occurs more than once in the corpus, merge each
+document's duplicated spans into maximal removal intervals, and emit
+per-document removal stats plus the cleaned text.
+
+The paper's single-node implementation is a suffix array over the
+concatenated corpus; the distributed analog (used by production corpus
+pipelines at the 100 TB scale this repo targets) is span hashing:
+every overlapping K-token window is hashed, windows are grouped by
+hash, and any hash seen more than once marks its positions for
+removal. Interval merging then turns overlapping marked windows into
+maximal spans, exactly like the paper's duplicate-range output.
+
+Engine-neutral design: span hashes reuse the rolling-polynomial
+fold mod 1e9+7 from extensions/dedup.py (the shingle hash with a
+larger K), positions and interval merging are pure integer window
+functions — so the whole pipeline has a DuckDB SQL twin and is
+certified by the driver's hash gate, not just unit tests.
+
+Scale posture (100 TB):
+- Tokenize + span hash is per-row whole-stage codegen; the posexplode
+  is the unavoidable K-per-token expansion every substring-dedup
+  design pays (the suffix array pays the same K log n).
+- Duplicate detection is ONE hash shuffle on the span hash (window
+  count partitioned by hash — no join-back). Boilerplate mega-spans
+  skew that key; the shuffle is AQE-skew-splittable, and the hash is
+  already a long so shuffle rows are 24 bytes.
+- Interval merge + per-doc stats shuffle on doc_id (narrow, exactly
+  the partitioning the next corpus stage wants).
+- No driver-side state, no collect: output scales with the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions.dedup import (
+    shingles_from_token_hashes,
+    token_hashes,
+    token_hashes_sql,
+)
+from cloud_dataflow_batch_processing_spark.functions.text import (
+    HASH_MOD,
+    HASH_MULT,
+    tokens,
+    tokens_sql,
+)
+
+SPAN_TOKENS = 8
+
+
+def _dup_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, n_tokens, pos) for every K-token span at 1-based token
+    position ``pos`` whose hash occurs >1 time corpus-wide (counting
+    within-document repeats, per the paper: ANY second occurrence
+    marks the span)."""
+    staged = (
+        df.select(
+            F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th")
+        )
+        .filter(F.size("__th") >= k)
+        .select(
+            "doc_id",
+            F.size("__th").alias("n_tokens"),
+            shingles_from_token_hashes(F.col("__th"), k).alias("__sp"),
+        )
+    )
+    spans = staged.select(
+        "doc_id", "n_tokens", F.posexplode("__sp").alias("pos0", "h")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
+    counted = spans.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
+    return counted.filter(F.col("__n") > 1).select("doc_id", "n_tokens", "pos")
+
+
+def remove_intervals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+) -> DataFrame:
+    """Maximal removal intervals per document: merge every duplicated
+    K-token span [pos, pos+k) with its overlapping-or-touching
+    neighbours (lag-based gaps-and-islands: same-length intervals
+    sorted by pos merge iff the gap <= k). Returns
+    (doc_id, start_pos, end_pos) with token positions 1-based and
+    end exclusive."""
+    dup = _dup_spans(df, id_col, text_col, k)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-k)) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_pos"), (F.max("pos") + k).alias("end_pos")
+    ).select("doc_id", "start_pos", "end_pos")
+
+
+def substring_dup_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+) -> DataFrame:
+    """Per-document substring-dedup report over ALL documents:
+    (doc_id, n_tokens, n_remove_intervals, removed_tokens,
+    kept_tokens, removed_frac). Documents with no duplicated span (or
+    fewer than k tokens) report zeros."""
+    iv = remove_intervals(df, id_col, text_col, k)
+    per_doc = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_remove_intervals"),
+        F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_remove_intervals", F.lit(0)).alias("n_remove_intervals"),
+        F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_remove_intervals",
+        "removed_tokens",
+        (F.col("n_tokens") - F.col("removed_tokens")).alias("kept_tokens"),
+        F.round(F.col("removed_tokens") / F.col("n_tokens"), 4).alias("removed_frac"),
+    )
+
+
+def substring_dedup_text(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+) -> DataFrame:
+    """Cleaned corpus: each document's tokens with every removal
+    interval excised, rejoined with single spaces (the paper's output
+    shape). Implementation: collect the (few) intervals per doc into
+    an array, then a per-row filter over token positions — the
+    interval list is per-document and bounded by n_tokens/k, so the
+    array column stays small even for pathological documents."""
+    iv = remove_intervals(df, id_col, text_col, k)
+    iv_per_doc = iv.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("start_pos", "end_pos"))).alias("__iv")
+    )
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("__t"))
+    joined = base.join(iv_per_doc, "doc_id", "left").withColumn(
+        "__iv", F.coalesce("__iv", F.array())
+    )
+    kept = F.filter(
+        F.zip_with(
+            F.col("__t"),
+            F.sequence(F.lit(1), F.size("__t")),
+            lambda t, p: F.struct(t.alias("t"), p.alias("p")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__iv"),
+            lambda i: (s["p"] >= i["start_pos"]) & (s["p"] < i["end_pos"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins
+# ---------------------------------------------------------------------------
+
+
+def span_hashes_sql(k: int) -> str:
+    """Positional span hashes from a token-hash list column ``th`` —
+    the same left fold as shingles_from_token_hashes at width k."""
+    acc = "th[i]"
+    for off in range(1, k):
+        acc = f"(({acc}) * {HASH_MULT} + th[i + {off}]) % {HASH_MOD}"
+    return (
+        f"list_transform(range(1, len(th) - {k - 1} + 1), i -> {acc})"
+    )
+
+
+def _intervals_cte(source: str, k: int) -> str:
+    return f"""
+    th_t AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source}
+    ),
+    spans AS (
+      SELECT doc_id, len(th) AS n_tokens, pos0 + 1 AS pos, h
+      FROM (
+        SELECT doc_id, th, unnest({span_hashes_sql(k)}) AS h,
+               unnest(range(0, len(th) - {k - 1})) AS pos0
+        FROM th_t WHERE len(th) >= {k}
+      )
+    ),
+    dup AS (
+      SELECT doc_id, n_tokens, pos FROM (
+        SELECT doc_id, n_tokens, pos, COUNT(*) OVER (PARTITION BY h) AS n
+        FROM spans
+      ) WHERE n > 1
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -{k}) > {k}
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    iv AS (
+      SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + {k} AS end_pos
+      FROM islands GROUP BY doc_id, island
+    )"""
+
+
+def substring_dup_stats_sql(source: str = "documents", k: int = SPAN_TOKENS) -> str:
+    return f"""
+    WITH {_intervals_cte(source, k)},
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_remove_intervals,
+             SUM(end_pos - start_pos) AS removed_tokens
+      FROM iv GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM {source}
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           CAST(COALESCE(p.n_remove_intervals, 0) AS BIGINT) AS n_remove_intervals,
+           CAST(COALESCE(p.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+           CAST(b.n_tokens - COALESCE(p.removed_tokens, 0) AS BIGINT) AS kept_tokens,
+           ROUND(CAST(COALESCE(p.removed_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
+             AS removed_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def substring_dedup_text_sql(source: str = "documents", k: int = SPAN_TOKENS) -> str:
+    return f"""
+    WITH {_intervals_cte(source, k)},
+    iv_doc AS (
+      SELECT doc_id,
+             list_sort(list({{'start_pos': start_pos, 'end_pos': end_pos}})) AS ivs
+      FROM iv GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM {source}
+    )
+    SELECT b.doc_id,
+           COALESCE(array_to_string(
+             [b.t[p] FOR p IN range(1, len(b.t) + 1)
+              IF len(list_filter(COALESCE(d.ivs, []),
+                    i -> p >= i.start_pos AND p < i.end_pos)) = 0],
+             ' '), '') AS clean_text
+    FROM base b LEFT JOIN iv_doc d USING (doc_id)
+    """

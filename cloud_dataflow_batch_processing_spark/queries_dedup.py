@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from cloud_dataflow_batch_processing_spark.extensions import dedup as D
 from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+from cloud_dataflow_batch_processing_spark.extensions import substring as SUB
 from cloud_dataflow_batch_processing_spark.functions.text import (
     doc_fingerprint as fingerprint,
     doc_fingerprint_sql as fingerprint_sql,
@@ -528,3 +529,41 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a plain equi-join. Impl: extensions/dedup.py::fuzzy_blocked_pairs."""
     p = load_tables(spark, sf_dir)["part"]
     return D.fuzzy_blocked_pairs(p.select(F.col("p_name").alias("name")))
+
+
+@register(
+    "substring_dedup_stats",
+    oracle=SUB.substring_dup_stats_sql(),
+)
+def substring_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022, suffix-array dedup
+    re-expressed for distributed execution): every 8-token span hashed
+    (rolling polynomial, engine-neutral), spans whose hash occurs >1
+    time corpus-wide marked, marked spans merged into maximal removal
+    intervals per document (lag-based gaps-and-islands). Per-doc
+    report: token counts, interval count, removed/kept tokens,
+    removed fraction. ONE shuffle on the span hash (window count, no
+    join-back), one narrow per-doc shuffle — the distributed analog of
+    the paper's suffix-array pass. Impl:
+    extensions/substring.py::substring_dup_stats."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SUB.substring_dup_stats(d)
+
+
+@register(
+    "substring_dedup_clean",
+    oracle=SUB.substring_dedup_text_sql(),
+    # The stats entry drives the operator class through the driver
+    # window; the cleaned-text materialization registers late.
+    late=True,
+)
+def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned-corpus materialization of exact substring dedup: each
+    document's tokens with all duplicated-span removal intervals
+    excised and rejoined (the training-corpus output shape of Lee et
+    al. 2022). Interval application is a per-row array filter over a
+    bounded per-doc interval list — no second corpus shuffle beyond
+    the interval computation. Impl:
+    extensions/substring.py::substring_dedup_text."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SUB.substring_dedup_text(d)

@@ -68,6 +68,11 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts >= w_start_ts AND ts < w_start_ts + INTERVAL 1 HOUR
     GROUP BY 1, 2
     """,
+    # The WindowInto family keeps two driver slots (tumbling, session);
+    # sliding registers late to free a primary slot for the
+    # substring-dedup operator class (round 4) — still judge/parity
+    # verified like every late entry.
+    late=True,
 )
 def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SlidingWindows (beam/transforms/window.py:370): 1-hour windows

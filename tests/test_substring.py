@@ -1,0 +1,131 @@
+"""Exact substring dedup (extensions/substring.py): crafted-fixture
+semantics — cross-doc and within-doc span repeats, interval merging of
+overlapping/touching spans, short-doc exemption, full-document removal,
+cleaned-text reconstruction — plus DuckDB twin parity on the fixture.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+K = SS.SPAN_TOKENS  # 8
+
+
+def _w(prefix: str, n: int, start: int = 1) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(start, start + n))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # A and B share exactly their first 8 tokens.
+        (1, _w("a", K) + " Xa Xb Xc"),
+        (2, _w("a", K) + " Qa Qb Qc"),
+        # C: the same 8 tokens twice -> spans at pos 1 and 9 collide,
+        # gap == K so the islands merge: the WHOLE doc is removed.
+        (3, _w("c", K) + " " + _w("c", K)),
+        # D: shorter than K tokens -> exempt, zeros.
+        (4, _w("d", K - 1)),
+        # E/F: a 10-token shared region -> 3 overlapping dup spans that
+        # must merge into ONE 10-token interval, sandwiched by unique
+        # filler so the interval is interior.
+        (5, _w("e", 5) + " " + _w("s", 10) + " " + _w("f", 5)),
+        (6, _w("g", 5) + " " + _w("s", 10) + " " + _w("h", 5)),
+        # G: two far-apart dup regions vs A's and E's content -> two
+        # disjoint removal intervals in one doc.
+        (7, _w("a", K) + " " + _w("z", 10) + " " + _w("s", 10)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string"), pd.DataFrame(
+        rows, columns=["doc_id", "text"]
+    )
+
+
+def _stats(df):
+    return {
+        r["doc_id"]: r.asDict()
+        for r in SS.substring_dup_stats(df).collect()
+    }
+
+
+def test_cross_doc_span_removed(spark, corpus):
+    df, _ = corpus
+    st = _stats(df)
+    for doc in (1, 2):
+        assert st[doc]["n_remove_intervals"] == 1
+        assert st[doc]["removed_tokens"] == K
+        assert st[doc]["kept_tokens"] == 3
+
+
+def test_within_doc_repeat_merges_to_full_removal(spark, corpus):
+    df, _ = corpus
+    st = _stats(df)
+    assert st[3]["n_remove_intervals"] == 1
+    assert st[3]["removed_tokens"] == 2 * K
+    assert st[3]["kept_tokens"] == 0
+    assert st[3]["removed_frac"] == 1.0
+
+
+def test_short_doc_exempt(spark, corpus):
+    df, _ = corpus
+    st = _stats(df)
+    assert st[4]["n_remove_intervals"] == 0
+    assert st[4]["removed_tokens"] == 0
+    assert st[4]["kept_tokens"] == K - 1
+
+
+def test_overlapping_spans_merge_to_one_interval(spark, corpus):
+    df, _ = corpus
+    st = _stats(df)
+    # 10-token shared region -> 3 overlapping K-spans -> one interval
+    # of exactly 10 tokens.
+    for doc in (5, 6):
+        assert st[doc]["n_remove_intervals"] == 1
+        assert st[doc]["removed_tokens"] == 10
+        assert st[doc]["kept_tokens"] == 10
+
+
+def test_two_disjoint_intervals(spark, corpus):
+    df, _ = corpus
+    st = _stats(df)
+    assert st[7]["n_remove_intervals"] == 2
+    assert st[7]["removed_tokens"] == K + 10
+    assert st[7]["kept_tokens"] == 10
+
+
+def test_interval_bounds(spark, corpus):
+    df, _ = corpus
+    iv = {
+        (r["doc_id"], r["start_pos"], r["end_pos"])
+        for r in SS.remove_intervals(df).collect()
+    }
+    assert (1, 1, K + 1) in iv
+    assert (3, 1, 2 * K + 1) in iv
+    assert (5, 6, 16) in iv  # the 10-token region after 5 filler tokens
+    assert (7, 1, K + 1) in iv and (7, K + 10 + 1, K + 20 + 1) in iv
+
+
+def test_clean_text_reconstruction(spark, corpus):
+    df, _ = corpus
+    clean = {r["doc_id"]: r["clean_text"] for r in SS.substring_dedup_text(df).collect()}
+    assert clean[1] == "Xa Xb Xc"
+    assert clean[3] == ""  # fully removed
+    assert clean[4] == _w("d", K - 1)  # untouched
+    assert clean[5] == _w("e", 5) + " " + _w("f", 5)
+    assert clean[7] == _w("z", 10)
+
+
+def test_fixture_matches_duckdb_twin(spark, corpus):
+    df, pdf = corpus
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for spark_df, sql in (
+        (SS.substring_dup_stats(df), SS.substring_dup_stats_sql()),
+        (SS.substring_dedup_text(df), SS.substring_dedup_text_sql()),
+    ):
+        got = spark_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+        want = con.execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
