@@ -567,3 +567,34 @@ def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions/substring.py::substring_dedup_text."""
     d = load_tables(spark, sf_dir)["documents"]
     return SUB.substring_dedup_text(d)
+
+
+@register(
+    "approx_distinct_hll",
+    oracle=f"""
+    SELECT o.est AS est_orderkey, p.est AS est_partkey
+    FROM ({S.hll_estimate_sql('l_orderkey', 'lineitem')}) o,
+         ({S.hll_estimate_sql('l_partkey', 'lineitem')}) p
+    """,
+    # approx_distinct (HLL++ envelope check) holds the driver slot for
+    # the approximate-distinct class; this deterministic twin registers
+    # late.
+    late=True,
+)
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-mirrored HyperLogLog (extensions/sketch.py):
+    unlike ``approx_distinct`` (Spark's opaque HLL++, certified only to
+    an error envelope), this sketch's quadratic-mix hash and register
+    math are shared SQL strings evaluated by both engines, so the
+    ESTIMATE VALUE itself is hash-certified. The register table is one
+    hash-agg shuffle collapsing to 256 rows and is register-wise-max
+    mergeable across shards/days (unit-pinned), the property that
+    makes it the 100 TB incremental-distinct primitive."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    eo = S.hll_estimate(S.hll_register_table(li, "l_orderkey")).withColumnRenamed(
+        "est", "est_orderkey"
+    )
+    ep = S.hll_estimate(S.hll_register_table(li, "l_partkey")).withColumnRenamed(
+        "est", "est_partkey"
+    )
+    return eo.crossJoin(ep)

@@ -129,3 +129,49 @@ def test_fixture_matches_duckdb_twin(spark, corpus):
         got = spark_df.toPandas().sort_values("doc_id").reset_index(drop=True)
         want = con.execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (extensions/sketch.py) — mergeability, accuracy, NULLs
+# ---------------------------------------------------------------------------
+
+
+class TestHLL:
+    def test_merge_identical_to_whole(self, spark, tables):
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        li = tables["lineitem"]
+        whole = S.hll_estimate(S.hll_register_table(li, "l_orderkey")).collect()[0]["est"]
+        a = S.hll_register_table(li.filter("l_orderkey % 2 = 0"), "l_orderkey")
+        b = S.hll_register_table(li.filter("l_orderkey % 2 = 1"), "l_orderkey")
+        merged = S.hll_estimate(S.hll_merge(a, b)).collect()[0]["est"]
+        assert merged == whole  # exact, not approximate, equality
+
+    def test_error_within_envelope(self, spark, tables):
+        from pyspark.sql import functions as F
+
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        li = tables["lineitem"]
+        for key in ("l_orderkey", "l_partkey"):
+            est = S.hll_estimate(S.hll_register_table(li, key)).collect()[0]["est"]
+            exact = li.select(F.countDistinct(key)).collect()[0][0]
+            # 3 sigma at m=256 (rsd 6.5%)
+            assert abs(est - exact) / exact < 0.2, (key, est, exact)
+
+    def test_null_keys_dropped(self, spark):
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (3,), (None,)], "k long"
+        )
+        regs = S.hll_register_table(df, "k")
+        n_rows = regs.agg({"maxrho": "count"}).collect()[0][0]
+        assert n_rows <= 3  # the NULL contributed no register
+
+    def test_small_range_linear_counting(self, spark):
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        df = spark.createDataFrame([(i,) for i in range(1, 21)], "k long")
+        est = S.hll_estimate(S.hll_register_table(df, "k")).collect()[0]["est"]
+        assert abs(est - 20) / 20 < 0.25  # linear-counting regime
