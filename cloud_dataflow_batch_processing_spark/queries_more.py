@@ -841,3 +841,28 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pk_dup.unionByName(li_orphan).unionByName(o_orphan).unionByName(rng).unionByName(nulls)
+
+
+from cloud_dataflow_batch_processing_spark.extensions import rollup as RU  # noqa: E402
+
+
+@register(
+    "incremental_rollup_orders",
+    oracle=RU.rollup_finalize_sql("orders", ["o_orderstatus"], ["o_totalprice"]),
+    late=True,
+)
+def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized rollup (extensions/rollup.py): orders
+    aggregated into per-(status, month) accumulator cells — the
+    partials a daily pipeline would persist — then MERGED down to
+    per-status finals. The oracle is the direct one-shot aggregation,
+    so a hash match proves the partial/merge/finalize machinery is
+    invisible in the result: the incremental path can replace the
+    full rescan at 100 TB (only new partitions are ever aggregated;
+    stored partials are groups x shards tiny rows). Composition
+    (merge of merges, parquet round-trip of partials) is unit-pinned
+    in tests/test_rollup.py."""
+    o = load_tables(spark, sf_dir)["orders"].withColumn(
+        "shard_month", F.month("o_orderdate")
+    )
+    return RU.rollup_query(o, ["o_orderstatus"], ["shard_month"], ["o_totalprice"])

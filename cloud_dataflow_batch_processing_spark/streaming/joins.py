@@ -62,3 +62,31 @@ def windowed_stream_join(
         windows._epoch_s("__w.end").alias("w_end"),
         *[c for c in joined.columns if c != "__w"],
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    how: str = "left",
+    suffix: str = "_d",
+) -> DataFrame:
+    """Stream-static enrichment: a streaming fact joined to a BATCH
+    dimension (Beam's side-input pattern — AsDict side input consumed
+    by a ParDo, operators/side_inputs.py — expressed as Spark's
+    stream-static join).
+
+    The static side carries an explicit broadcast hint: each
+    micro-batch then hash-probes executor-local dim copies — the
+    stream is never shuffled and no join state is kept (the static
+    side is re-resolved per micro-batch, so a dim refresh between
+    batches is picked up — exactly the slowly-changing-lookup posture
+    a 100 TB pipeline wants; a dim too big to broadcast should instead
+    be pre-bucketed on the key, same as batch).
+
+    Right-side non-key columns get ``suffix`` to keep the output
+    schema unambiguous. Left join by default: facts with no dim row
+    survive with NULLs (inner would silently drop them)."""
+    keep_d = [c for c in dim.columns if c not in on]
+    d = dim.select(*on, *[F.col(c).alias(f"{c}{suffix}") for c in keep_d])
+    return stream.join(F.broadcast(d), on=on, how=how)

@@ -331,3 +331,30 @@ def test_streaming_near_dup_suppression(spark, tmp_path):
     # per signature class via distinct texts kept).
     batch_kept = suppress_near_exact_stream(batch, "text", "ts")
     assert batch_kept.count() == 4
+
+
+def test_stream_static_enrich(spark, stream_events, tmp_path):
+    """Streaming facts enriched against a static broadcast dimension:
+    matched rows carry dim attributes, unmatched survive with NULLs,
+    and the aggregate over the enriched stream is correct."""
+    from cloud_dataflow_batch_processing_spark.streaming.joins import (
+        stream_static_enrich,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (3, "bronze")], "user_id long, tier string"
+    )
+    enriched = stream_static_enrich(stream_events, dim, ["user_id"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("sse")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.sql("SELECT user_id, value, tier_d FROM sse").collect()
+    assert len(rows) == 5  # left join: every fact survives
+    got = {(r.user_id, r.value): r.tier_d for r in rows}
+    assert got[(1, 10.0)] == "gold" and got[(1, 5.0)] == "gold"
+    assert got[(2, 1.0)] is None  # no dim row -> NULL, not dropped
