@@ -69,8 +69,17 @@ def scale_bench(spark) -> dict:
             F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
         )
 
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SUB
+
+    def substring_q():
+        return SUB.substring_dup_stats(docs)
+
     spark_t: dict[str, dict] = {}
-    for name, q in (("dedup_minhash_pairs_fast", dedup_q), ("corpus_clean_pipeline", clean_q)):
+    for name, q in (
+        ("dedup_minhash_pairs_fast", dedup_q),
+        ("corpus_clean_pipeline", clean_q),
+        ("substring_dedup_stats", substring_q),
+    ):
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -83,7 +92,11 @@ def scale_bench(spark) -> dict:
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
     duck_t: dict[str, dict] = {}
     duck_rows: dict[str, list] = {}
-    for name in ("dedup_minhash_pairs_fast", "corpus_clean_pipeline"):
+    for name in (
+        "dedup_minhash_pairs_fast",
+        "corpus_clean_pipeline",
+        "substring_dedup_stats",
+    ):
         # One run: DuckDB showed no warm-up effect at this scale
         # (cold == warm to within noise) and its corpus_clean takes
         # ~50 s here — a second run would double the driver's bench
@@ -98,6 +111,8 @@ def scale_bench(spark) -> dict:
     }
     release_managed_caches()
     duck_pairs = {(r[0], r[1]) for r in duck_rows["dedup_minhash_pairs_fast"]}
+    spark_sub = {tuple(r) for r in substring_q().collect()}
+    duck_sub = {tuple(r) for r in duck_rows["substring_dedup_stats"]}
     def _soft(fn):
         try:
             return fn(spark)
@@ -112,6 +127,7 @@ def scale_bench(spark) -> dict:
         "materialize": "checkpoint",
         "n_near_dup_pairs": len(spark_pairs),
         "pairs_match_oracle": spark_pairs == duck_pairs,
+        "substring_match_oracle": spark_sub == duck_sub,
         "spark": spark_t,
         "duckdb": duck_t,
     }

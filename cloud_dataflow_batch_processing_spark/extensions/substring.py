@@ -50,22 +50,58 @@ from cloud_dataflow_batch_processing_spark.functions.text import (
 SPAN_TOKENS = 8
 
 
-def _dup_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+def _dup_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int, fast_hashing: bool = True
+) -> DataFrame:
     """(doc_id, n_tokens, pos) for every K-token span at 1-based token
     position ``pos`` whose hash occurs >1 time corpus-wide (counting
     within-document repeats, per the paper: ANY second occurrence
-    marks the span)."""
-    staged = (
-        df.select(
-            F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th")
+    marks the span).
+
+    The token-hash stage defaults to the Arrow-batched fast twin
+    (functions/text_fast.py, value-identical by the certified
+    polynomial): the Python UDF node is a hard optimizer barrier, so
+    the char fold is computed ONCE per row no matter how Catalyst
+    collapses the projections above it. The pure-Column HOF form is
+    vulnerable to CollapseProject re-embedding the fold into all k
+    element_at references inside the span transform — measured 234 s
+    vs 0.6 s warm at sf0.1 (the NOTES r3 quadratic-HOF trap, third
+    sighting); ``fast_hashing=False`` keeps the HOF path for
+    oracle-form reference only."""
+    if fast_hashing:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            span_hashes_fast,
         )
-        .filter(F.size("__th") >= k)
-        .select(
+
+        # The span-hash stage runs where the scan runs: a corpus read
+        # from fewer splits than cores (one small file at bench scale)
+        # would hash on one task. Fan out first — a narrow exchange of
+        # raw text, and a no-op at real scale where input splits
+        # already exceed the core count.
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism)
+        staged = df.select(
+            F.col(id_col).alias("doc_id"),
+            span_hashes_fast(F.col(text_col), k).alias("__sp"),
+        ).select(
             "doc_id",
-            F.size("__th").alias("n_tokens"),
-            shingles_from_token_hashes(F.col("__th"), k).alias("__sp"),
+            # n_tokens of a doc with >= k tokens is |spans| + k - 1;
+            # shorter docs return an empty span list and are exempt,
+            # matching the HOF path's size(__th) >= k filter.
+            (F.size("__sp") + (k - 1)).alias("n_tokens"),
+            "__sp",
+        ).filter(F.size("__sp") > 0)
+    else:
+        staged = (
+            df.select(F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th"))
+            .filter(F.size("__th") >= k)
+            .select(
+                "doc_id",
+                F.size("__th").alias("n_tokens"),
+                shingles_from_token_hashes(F.col("__th"), k).alias("__sp"),
+            )
         )
-    )
     spans = staged.select(
         "doc_id", "n_tokens", F.posexplode("__sp").alias("pos0", "h")
     ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
@@ -76,7 +112,11 @@ def _dup_spans(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
 
 
 def remove_intervals(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
 ) -> DataFrame:
     """Maximal removal intervals per document: merge every duplicated
     K-token span [pos, pos+k) with its overlapping-or-touching
@@ -84,7 +124,7 @@ def remove_intervals(
     sorted by pos merge iff the gap <= k). Returns
     (doc_id, start_pos, end_pos) with token positions 1-based and
     end exclusive."""
-    dup = _dup_spans(df, id_col, text_col, k)
+    dup = _dup_spans(df, id_col, text_col, k, fast_hashing)
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup.withColumn(
         "__new",
@@ -100,13 +140,17 @@ def remove_intervals(
 
 
 def substring_dup_stats(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
 ) -> DataFrame:
     """Per-document substring-dedup report over ALL documents:
     (doc_id, n_tokens, n_remove_intervals, removed_tokens,
     kept_tokens, removed_frac). Documents with no duplicated span (or
     fewer than k tokens) report zeros."""
-    iv = remove_intervals(df, id_col, text_col, k)
+    iv = remove_intervals(df, id_col, text_col, k, fast_hashing)
     per_doc = iv.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_remove_intervals"),
         F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),
@@ -131,7 +175,11 @@ def substring_dup_stats(
 
 
 def substring_dedup_text(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = SPAN_TOKENS
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
 ) -> DataFrame:
     """Cleaned corpus: each document's tokens with every removal
     interval excised, rejoined with single spaces (the paper's output
@@ -139,7 +187,7 @@ def substring_dedup_text(
     an array, then a per-row filter over token positions — the
     interval list is per-document and bounded by n_tokens/k, so the
     array column stays small even for pathological documents."""
-    iv = remove_intervals(df, id_col, text_col, k)
+    iv = remove_intervals(df, id_col, text_col, k, fast_hashing)
     iv_per_doc = iv.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("start_pos", "end_pos"))).alias("__iv")
     )

@@ -182,3 +182,58 @@ def quality_score_fast(col: Column) -> Column:
     """Value-identical twin of ``text.quality_score`` — identical IEEE
     operation order, so floor(x*1e4+0.5)/1e4 lands on the same bits."""
     return pandas_udf(_quality_series, T.DoubleType())(col)
+
+
+def _span_hashes_series_factory(k: int):
+    def series_fn(col):
+        import numpy as np
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        # Batch-vectorized: concatenate every doc's token hashes into
+        # one int64 array, fold all span hashes in k-1 vectorized
+        # passes ((acc*31 + next) % 1e9+7 stays < 2^63), mask folds
+        # that crossed a document boundary, then split per doc.
+        th_lists = [
+            None if s is None else [_hash_str(t, memo) for t in _toks(s)]
+            for s in col
+        ]
+        flat = np.concatenate(
+            [np.asarray(t, dtype=np.int64) for t in th_lists if t] or
+            [np.array([], dtype=np.int64)]
+        )
+        n = len(flat)
+        if n >= k:
+            acc = flat[: n - k + 1].copy()
+            for off in range(1, k):
+                acc = (acc * HASH_MULT + flat[off : off + n - k + 1]) % HASH_MOD
+        else:
+            acc = np.array([], dtype=np.int64)
+
+        out: list = []
+        pos = 0
+        for t in th_lists:
+            if t is None:
+                out.append(None)
+                continue
+            ln = len(t)
+            n_spans = max(ln - k + 1, 0)
+            # spans starting in this doc that do not cross its end
+            out.append(acc[pos : pos + n_spans].tolist())
+            pos += ln
+        return pd.Series(out)
+
+    return series_fn
+
+
+def span_hashes_fast(col: Column, k: int) -> Column:
+    """Value-identical twin of token_hashes + shingles_from_token_hashes
+    at width ``k`` (extensions/dedup.py), computed in one Arrow hop:
+    per-document token hashes (batch-memoized) folded into every
+    overlapping k-token span hash. Returns an empty list for docs with
+    fewer than k tokens (the HOF path reaches the same outcome via its
+    size() filter). Exists for the substring-dedup hot path: the HOF
+    span fold is interpreted per element and runs in the pre-exchange
+    scan stage."""
+    return pandas_udf(_span_hashes_series_factory(k), T.ArrayType(T.LongType()))(col)

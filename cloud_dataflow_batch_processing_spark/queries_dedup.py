@@ -534,6 +534,7 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "substring_dedup_stats",
     oracle=SUB.substring_dup_stats_sql(),
+    headline=True,
 )
 def substring_dedup_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022, suffix-array dedup

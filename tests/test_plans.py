@@ -470,3 +470,41 @@ def test_ivf_index_append_incremental(spark, tables, tmp_path):
         for r in vecs.filter(F.col("vec_id") >= 400).select("vec_id", "cid").collect()
     }
     assert got == want
+
+
+def test_substring_dedup_plan_shape(spark, sf_dir):
+    """Exact substring dedup (round 4): the plan that scales is
+    - ONE exchange on the span hash (window count, no join-back of a
+      frequency table),
+    - ONE exchange on doc_id that the lag window, the island windows,
+      AND both downstream hash-aggregates all reuse,
+    - the per-doc interval frame joined back to the base scan (AQE
+      picks broadcast at bench scale, sort-merge at 100 TB — both
+      fine, neither cartesian).
+    Budget: <= 3 exchanges total, and the base scan reads only
+    (doc_id, text)."""
+    df = REGISTRY["substring_dedup_stats"].fn(spark, sf_dir)
+    from cloud_dataflow_batch_processing_spark.plans.inspect import executed_plan
+
+    assert count_shuffles(df) <= 3
+    assert_no_cartesian(df)
+    plan = executed_plan(df)
+    import re
+
+    span_hash_exchanges = len(re.findall(r"Exchange hashpartitioning\(h#", plan))
+    assert span_hash_exchanges == 1, plan[:1500]
+    docid_exchanges = len(re.findall(r"Exchange hashpartitioning\(doc_id#", plan))
+    assert docid_exchanges == 1, "windows and aggs must share one doc_id exchange"
+
+
+def test_hll_register_table_single_shuffle(spark, tables):
+    """The HLL sketch build is per-row codegen + ONE hash-agg shuffle
+    collapsing to <= 256 register rows; the estimate adds only a
+    driver-side global agg, never a second wide exchange."""
+    from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+    regs = S.hll_register_table(tables["lineitem"], "l_orderkey")
+    assert count_shuffles(regs) == 1
+    est = S.hll_estimate(regs)
+    assert count_shuffles(est) <= 2  # register shuffle + single-partition agg
+    assert_no_cartesian(est)
