@@ -320,3 +320,101 @@ def hll_estimate_sql(key_expr: str, source: str) -> str:
                  ELSE CAST({_HLL_AM2!r} AS DOUBLE) / (sp + v) END, 4) AS est
     FROM s
     """
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram: deterministic, engine-mirrored quantile sketch
+# ---------------------------------------------------------------------------
+#
+# Completes the mergeable-sketch family (Bloom membership, CMS
+# frequency, HLL cardinality): a fixed equi-width histogram whose bin
+# boundaries come from ARGUMENTS, not data — so build is one hash-agg
+# shuffle to <= bins rows, merge is bin-wise sum (linear, like CMS),
+# and the quantile estimate (linear interpolation inside the covering
+# bin) is exact-deterministic double arithmetic mirrored in SQL. Rank
+# error is bounded by the largest bin's population (data-dependent,
+# unlike GK's guarantee — the trade for mergeability + a certifiable
+# value; Spark's own approx_percentile sketch is merge-order-specific
+# and can only be envelope-checked).
+
+
+def histogram_sketch(
+    df: DataFrame, col: str, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """(bin, cnt) counts of ``col`` over ``bins`` equi-width buckets of
+    [lo, hi); values outside clamp to the edge bins, NULLs drop."""
+    x = F.col(col).cast("double")
+    width = (hi - lo) / bins
+    b = F.floor((x - lo) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
+    return (
+        df.filter(x.isNotNull())
+        .select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bin-wise sum: hist(A) ⊕ hist(B) == hist(A ∪ B) exactly."""
+    return a.unionByName(b).groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantile(
+    sketch: DataFrame, q: float, lo: float, hi: float, bins: int
+) -> DataFrame:
+    """One-row estimate of the q-quantile: find the bin where the
+    running count crosses ceil(q*n), interpolate linearly inside it.
+    Deterministic: integer ranks, exact double interpolation, rounded
+    at the boundary."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w))
+    import math
+
+    n = sketch.agg(F.sum("cnt")).collect()[0][0] or 0
+    rank = min(max(1, math.ceil(n * q)), n) if n else 0
+    hit = (
+        cum.filter(F.col("cum") >= F.lit(rank))
+        .orderBy("bin")
+        .limit(1)
+        .select(
+            F.round(
+                F.lit(lo)
+                + F.col("bin") * F.lit(width)
+                + F.lit(width)
+                * (F.lit(rank) - (F.col("cum") - F.col("cnt")))
+                / F.col("cnt"),
+                4,
+            ).alias("est")
+        )
+    )
+    return hit
+
+
+def histogram_quantile_sql(
+    col: str, source: str, q: float, lo: float, hi: float, bins: int
+) -> str:
+    """Oracle twin: build + quantile in one DuckDB query,
+    value-identical to histogram_quantile(histogram_sketch(...))."""
+    width = (hi - lo) / bins
+    return f"""
+    WITH h AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((CAST({col} AS DOUBLE) - {lo!r}) / {width!r})
+                                 AS BIGINT), 0), {bins - 1}) AS bin,
+             COUNT(*) AS cnt
+      FROM {source} WHERE {col} IS NOT NULL GROUP BY 1
+    ),
+    c AS (
+      SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(cnt) OVER () AS n
+      FROM h
+    ),
+    r AS (SELECT *, LEAST(GREATEST(CAST(CEIL(n * {q!r}) AS BIGINT), 1), n) AS rank FROM c)
+    SELECT ROUND({lo!r} + bin * {width!r}
+                 + {width!r} * (rank - (cum - cnt)) / cnt, 4) AS est
+    FROM r WHERE cum >= rank ORDER BY bin LIMIT 1
+    """

@@ -599,3 +599,147 @@ def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est", "est_partkey"
     )
     return eo.crossJoin(ep)
+
+
+@register(
+    "approx_quantile_histogram",
+    oracle=f"""
+    SELECT a.est AS p50_est, b.est AS p90_est
+    FROM ({S.histogram_quantile_sql('o_totalprice', 'orders', 0.5, 0.0, 600000.0, 256)}) a,
+         ({S.histogram_quantile_sql('o_totalprice', 'orders', 0.9, 0.0, 600000.0, 256)}) b
+    """,
+    # approx_percentile (GK envelope) holds the driver slot for the
+    # approximate-quantile class; the deterministic mergeable twin
+    # registers late.
+    late=True,
+)
+def approx_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch
+    (extensions/sketch.py::histogram_*): fixed equi-width bins from
+    ARGUMENTS (not data) make build one bounded hash-agg shuffle,
+    merge a bin-wise sum, and the interpolated estimate an exact
+    double both engines compute identically — so unlike
+    approx_percentile's envelope check, the driver hash-certifies the
+    VALUE. Completes the sketch quartet (Bloom / CMS / HLL /
+    histogram)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    lo, hi, bins = 0.0, 600000.0, 256
+    sk = S.histogram_sketch(o, "o_totalprice", lo, hi, bins)
+    p50 = S.histogram_quantile(sk, 0.5, lo, hi, bins).withColumnRenamed("est", "p50_est")
+    p90 = S.histogram_quantile(sk, 0.9, lo, hi, bins).withColumnRenamed("est", "p90_est")
+    return p50.crossJoin(p90)
+
+
+@register(
+    "corpus_build_full",
+    oracle=f"""
+    WITH q1 AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE doc_id % 97 <> 0 AND {quality_score_sql('text')} >= 0.5
+    ),
+    q2 AS (
+      SELECT d.doc_id, d.text, d.source FROM q1 d
+      JOIN (SELECT MIN(doc_id) AS keep_id FROM q1 GROUP BY text) s
+        ON d.doc_id = s.keep_id
+    ),
+    nd AS (
+      SELECT DISTINCT doc_b FROM ({D.minhash_pipeline_sql(0.8, 'q2')}) p
+    ),
+    q3 AS (
+      SELECT * FROM q2 WHERE doc_id NOT IN (SELECT doc_b FROM nd)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(list_distinct({D.shingle_hashes_sql('text')})) AS h
+      FROM (SELECT {D.token_hashes_sql('text')} AS th, text FROM documents
+            WHERE doc_id % 97 = 0)
+    ),
+    ex AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS h
+      FROM (SELECT doc_id, list_distinct({D.shingle_hashes_sql('text')}) AS sh
+            FROM (SELECT doc_id, {D.token_hashes_sql('text')} AS th, text FROM q3))
+      WHERE n > 0
+    ),
+    contaminated AS (
+      SELECT doc_id FROM ex JOIN ev USING (h)
+      GROUP BY doc_id, n HAVING CAST(COUNT(*) AS DOUBLE) / n > 0.2
+    ),
+    q4 AS (
+      SELECT * FROM q3 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    st AS ({SUB.substring_dup_stats_sql('q4')})
+    SELECT q4.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(st.kept_tokens) AS BIGINT) AS kept_tokens,
+           CAST(SUM(st.removed_tokens) AS BIGINT) AS removed_tokens
+    FROM q4 JOIN st USING (doc_id)
+    GROUP BY q4.source
+    """,
+    late=True,
+)
+def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-corpus build — every cleaning stage this
+    repo implements, composed in ONE plan and certified by ONE oracle:
+
+      quality filter → exact dedup (min-id survivor) → MinHash-LSH
+      near-dup removal → eval-set decontamination (>20% shingle
+      overlap dropped) → exact substring dedup → per-source corpus
+      stats (docs, kept/removed tokens).
+
+    Each stage is the standalone oracle-checked operator run with its
+    production defaults (Arrow fast paths — value-identical to the
+    HOF/SQL forms, so the composed DuckDB twin certifies the whole
+    chain). Scale posture: the union of each stage's posture — no
+    all-pairs joins, eval side broadcast, substring dup-marking one
+    hash shuffle; stage boundaries are anti-joins on doc_id (narrow
+    keys)."""
+    from cloud_dataflow_batch_processing_spark.extensions import substring as _SUB
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        quality_score_fast,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    q1 = d.filter((F.col("doc_id") % 97 != 0) & (quality_score_fast(F.col("text")) >= 0.5)).select(
+        "doc_id", "text", "source"
+    )
+    keep = q1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    q2 = q1.join(keep, "doc_id")
+    nd = (
+        D.minhash_near_dup_pairs(q2, "doc_id", "text", threshold=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    q3 = q2.join(nd, "doc_id", "left_anti")
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
+    staged_ev = (
+        d.filter(F.col("doc_id") % 97 == 0)
+        .select(D.token_hashes("text").alias("__th"))
+        .select(D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select(F.explode(F.array_distinct("__shl")).alias("h"))
+        .distinct()
+    )
+    staged_ex = managed_cache(
+        q3.select("doc_id", D.token_hashes("text").alias("__th"))
+        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select("doc_id", F.array_distinct("__shl").alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    ex = staged_ex.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
+    contaminated = (
+        ex.join(F.broadcast(staged_ev), "h")
+        .groupBy("doc_id", "n")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .filter(F.col("o").cast("double") / F.col("n") > 0.2)
+        .select("doc_id")
+    )
+    q4 = q3.join(contaminated, "doc_id", "left_anti")
+    st = _SUB.substring_dup_stats(q4)
+    return (
+        q4.join(st, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+            F.sum("removed_tokens").alias("removed_tokens"),
+        )
+    )

@@ -866,3 +866,113 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard_month", F.month("o_orderdate")
     )
     return RU.rollup_query(o, ["o_orderstatus"], ["shard_month"], ["o_totalprice"])
+
+
+@register(
+    "sequential_ids_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+                AS BIGINT) AS seq_id
+    FROM orders
+    """,
+    late=True,
+)
+def sequential_ids_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable sequential IDs (operators/ids.py): contiguous 0-based
+    global rank by (o_totalprice, o_orderkey) WITHOUT the
+    single-partition window an unpartitioned row_number() plans —
+    range-repartition + per-partition offsets (one tiny driver list)
+    + codegen local index. The oracle IS the naive row_number form,
+    so the hash gate proves the two-pass trick is rank-exact."""
+    from cloud_dataflow_batch_processing_spark.operators.ids import (
+        assign_sequential_ids,
+    )
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return assign_sequential_ids(
+        o.select("o_orderkey", "o_totalprice"), ["o_totalprice", "o_orderkey"]
+    ).select("o_orderkey", "seq_id")
+
+
+from cloud_dataflow_batch_processing_spark.extensions import cdc as CDC  # noqa: E402
+
+# Deterministic synthetic changeset over orders, derivable identically
+# in both engines: keys ending in 0 are deleted, keys ending in 1 are
+# re-priced (+1.5), keys ending in 2 are re-inserted shifted by 10^7
+# (novel keys). Exercises all three MERGE arms.
+_CDC_CHANGES_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 1.5 AS o_totalprice, o_orderpriority, 'U' AS op
+    FROM orders WHERE o_orderkey % 10 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderpriority, 'D' AS op
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice, o_orderpriority, 'U' AS op
+    FROM orders WHERE o_orderkey % 10 = 2
+"""
+
+
+@register(
+    "cdc_merge_orders",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders
+    ),
+    changes AS ({_CDC_CHANGES_SQL})
+    {CDC.apply_changes_sql('base', 'changes', ['o_orderkey'])}
+    """,
+    late=True,
+)
+def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / upsert-apply (extensions/cdc.py::apply_changes —
+    the ingestion half of the CDC pair with snapshot_diff): a
+    three-arm changeset (update / delete / insert, derived
+    deterministically from orders so both engines build the identical
+    one) applied to the snapshot. One anti-join + one union, both
+    shuffling on the merge key once; the changeset side is
+    increment-sized so AQE broadcasts it at bench scale."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    last = F.col("o_orderkey") % 10
+    changes = (
+        o.filter(last == 1)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.5)
+        .withColumn("op", F.lit("U"))
+        .unionByName(o.filter(last == 0).withColumn("op", F.lit("D")))
+        .unionByName(
+            o.filter(last == 2)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+            .withColumn("op", F.lit("U"))
+        )
+    )
+    return CDC.apply_changes(o, changes, ["o_orderkey"])
+
+
+@register(
+    "scd2_user_event_history",
+    oracle=CDC.scd2_intervals_sql(
+        "(SELECT user_id, event_type, ts, event_id FROM events WHERE user_id < 50)",
+        ["user_id"],
+        "ts",
+        ["event_id"],
+    ),
+    late=True,
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals (extensions/cdc.py::scd2_intervals):
+    each user's event log becomes [valid_from, valid_to) intervals
+    with the open current row flagged — one window, one shuffle on
+    the key. (user_id, ts, event_id) is a total order, so interval
+    endpoints are deterministic on both engines."""
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return CDC.scd2_intervals(e, ["user_id"], "ts", ["event_id"])

@@ -1,0 +1,59 @@
+"""CDC primitives (extensions/cdc.py): MERGE arms and SCD2 interval
+chain properties on crafted fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions.cdc import (
+    apply_changes,
+    scd2_intervals,
+)
+
+
+def test_apply_changes_three_arms(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D"), (9, "new", "U")],
+        "k long, v string, op string",
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 9: "new"}  # kept, updated, inserted; 3 deleted
+
+
+def test_apply_changes_empty_changeset_is_identity(spark):
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    empty = spark.createDataFrame([], "k long, v string, op string")
+    assert [tuple(r) for r in apply_changes(base, empty, ["k"]).collect()] == [(1, "a")]
+
+
+def test_scd2_interval_chain(spark):
+    log = spark.createDataFrame(
+        [
+            (1, "bronze", 10, 100),
+            (1, "silver", 20, 101),
+            (1, "gold", 30, 102),
+            (2, "bronze", 15, 103),
+        ],
+        "k long, state string, ts long, seq long",
+    )
+    rows = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(log, ["k"], "ts", ["seq"]).collect()
+    )
+    assert rows == [
+        (1, "bronze", 10, 20, False),
+        (1, "gold", 30, None, True),
+        (1, "silver", 20, 30, False),
+        (2, "bronze", 15, None, True),
+    ]
+    # chain property: each key's intervals tile [first_ts, inf) with no
+    # gaps/overlaps — valid_to of one row == valid_from of the next.
+
+
+def test_scd2_current_sentinel(spark):
+    log = spark.createDataFrame([(1, "x", 10, 0)], "k long, s string, ts long, q long")
+    r = scd2_intervals(log, ["k"], "ts", ["q"], current_sentinel=9999).collect()[0]
+    assert (r["valid_to"], r["is_current"]) == (9999, True)

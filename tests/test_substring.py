@@ -175,3 +175,49 @@ class TestHLL:
         df = spark.createDataFrame([(i,) for i in range(1, 21)], "k long")
         est = S.hll_estimate(S.hll_register_table(df, "k")).collect()[0]["est"]
         assert abs(est - 20) / 20 < 0.25  # linear-counting regime
+
+
+class TestHistogramQuantile:
+    LO, HI, BINS = 0.0, 600000.0, 256
+
+    def test_merge_identical_to_whole(self, spark, tables):
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        o = tables["orders"]
+        whole = S.histogram_sketch(o, "o_totalprice", self.LO, self.HI, self.BINS)
+        a = S.histogram_sketch(
+            o.filter("o_orderkey % 2 = 0"), "o_totalprice", self.LO, self.HI, self.BINS
+        )
+        b = S.histogram_sketch(
+            o.filter("o_orderkey % 2 = 1"), "o_totalprice", self.LO, self.HI, self.BINS
+        )
+        merged = S.histogram_merge(a, b)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_quantile_error_bounded_by_bin(self, spark, tables):
+        from pyspark.sql import functions as F
+
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        o = tables["orders"]
+        sk = S.histogram_sketch(o, "o_totalprice", self.LO, self.HI, self.BINS)
+        width = (self.HI - self.LO) / self.BINS
+        for q in (0.5, 0.9):
+            est = S.histogram_quantile(sk, q, self.LO, self.HI, self.BINS).collect()[0][
+                "est"
+            ]
+            exact = o.agg(
+                F.expr(f"percentile(o_totalprice, {q})").alias("p")
+            ).collect()[0]["p"]
+            assert abs(est - exact) <= width, (q, est, exact)
+
+    def test_clamping_and_nulls(self, spark):
+        from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+        df = spark.createDataFrame(
+            [(-5.0,), (1e9,), (None,), (50.0,)], "x double"
+        )
+        rows = {r["bin"]: r["cnt"] for r in S.histogram_sketch(df, "x", 0.0, 100.0, 10).collect()}
+        assert rows == {0: 1, 5: 1, 9: 1}  # -5 clamps low, 1e9 clamps high, NULL drops
