@@ -22,10 +22,15 @@ Scale posture (100 TB):
 - Tokenize + span hash is per-row whole-stage codegen; the posexplode
   is the unavoidable K-per-token expansion every substring-dedup
   design pays (the suffix array pays the same K log n).
-- Duplicate detection is ONE hash shuffle on the span hash (window
-  count partitioned by hash — no join-back). Boilerplate mega-spans
-  skew that key; the shuffle is AQE-skew-splittable, and the hash is
-  already a long so shuffle rows are 24 bytes.
+- Duplicate detection (default ``dup_marking="join"``): span counts
+  aggregate with map-side partial combine (the shuffle moves
+  near-distinct hashes, not span rows), only hashes with count > 1
+  survive — a frame bounded by the DISTINCT duplicated-span count —
+  and the spans semi-join against it (AQE broadcasts it when small,
+  skew-splits when not; no unsplittable per-hash group anywhere).
+  ``dup_marking="window"`` keeps the minimal-shuffle window-count
+  reference form, whose per-hash window group a boilerplate mega-span
+  would make an unsplittable hot task.
 - Interval merge + per-doc stats shuffle on doc_id (narrow, exactly
   the partitioning the next corpus stage wants).
 - No driver-side state, no collect: output scales with the corpus.
@@ -51,7 +56,12 @@ SPAN_TOKENS = 8
 
 
 def _dup_spans(
-    df: DataFrame, id_col: str, text_col: str, k: int, fast_hashing: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    fast_hashing: bool = True,
+    dup_marking: str = "join",
 ) -> DataFrame:
     """(doc_id, n_tokens, pos) for every K-token span at 1-based token
     position ``pos`` whose hash occurs >1 time corpus-wide (counting
@@ -78,9 +88,18 @@ def _dup_spans(
         # would hash on one task. Fan out first — a narrow exchange of
         # raw text, and a no-op at real scale where input splits
         # already exceed the core count.
+        # Hash-repartition on the id (NOT round-robin: round-robin
+        # injects a sort-before-repartition for retry determinism,
+        # which re-derives the projection and duplicates the UDF node
+        # below the exchange — observed in the executed plan).
         sc = df.sparkSession.sparkContext
         if df.rdd.getNumPartitions() < sc.defaultParallelism:
-            df = df.repartition(sc.defaultParallelism)
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
+        # No size(__sp) > 0 filter here: posexplode drops empty lists
+        # anyway, and a filter referencing the UDF column gets pushed
+        # below the repartition, DUPLICATING the ArrowEvalPython node
+        # (the UDF then runs twice per row — observed in the executed
+        # plan).
         staged = df.select(
             F.col(id_col).alias("doc_id"),
             span_hashes_fast(F.col(text_col), k).alias("__sp"),
@@ -91,7 +110,7 @@ def _dup_spans(
             # matching the HOF path's size(__th) >= k filter.
             (F.size("__sp") + (k - 1)).alias("n_tokens"),
             "__sp",
-        ).filter(F.size("__sp") > 0)
+        )
     else:
         staged = (
             df.select(F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th"))
@@ -105,10 +124,35 @@ def _dup_spans(
     spans = staged.select(
         "doc_id", "n_tokens", F.posexplode("__sp").alias("pos0", "h")
     ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
-    counted = spans.withColumn(
-        "__n", F.count(F.lit(1)).over(Window.partitionBy("h"))
-    )
-    return counted.filter(F.col("__n") > 1).select("doc_id", "n_tokens", "pos")
+    if dup_marking == "window":
+        # One shuffle of the span rows on h — but the count window
+        # buffers each hash's rows in ONE task: a boilerplate span
+        # repeated 10^7 times (license headers) is an unsplittable hot
+        # group. Kept as the minimal-shuffle reference form.
+        counted = spans.withColumn(
+            "__n", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        return counted.filter(F.col("__n") > 1).select("doc_id", "n_tokens", "pos")
+    if dup_marking != "join":
+        raise ValueError(f"dup_marking must be join|window, got {dup_marking!r}")
+    # Production default: aggregate counts (map-side partials collapse
+    # each partition's repeats before the wire, so the count shuffle
+    # moves near-distinct hashes, not span rows), keep only dup hashes
+    # — a frame bounded by the DISTINCT duplicated-span count — and
+    # semi-join the spans against it. AQE broadcasts the dup-hash side
+    # when it fits and skew-splits the join when it doesn't; either
+    # way no unsplittable per-hash group exists anywhere.
+    # Materialize the span frame once: the count side and the probe
+    # side would otherwise each recompute the whole tokenize+hash UDF
+    # chain (same posture as the minhash signature frame; swap for a
+    # checkpoint at corpus scale).
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
+    spans = managed_cache(spans)
+    dup_hashes = (
+        spans.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") > 1)
+    ).select("h")
+    return spans.join(dup_hashes, "h", "left_semi").select("doc_id", "n_tokens", "pos")
 
 
 def remove_intervals(
@@ -117,6 +161,7 @@ def remove_intervals(
     text_col: str = "text",
     k: int = SPAN_TOKENS,
     fast_hashing: bool = True,
+    dup_marking: str = "join",
 ) -> DataFrame:
     """Maximal removal intervals per document: merge every duplicated
     K-token span [pos, pos+k) with its overlapping-or-touching
@@ -124,7 +169,7 @@ def remove_intervals(
     sorted by pos merge iff the gap <= k). Returns
     (doc_id, start_pos, end_pos) with token positions 1-based and
     end exclusive."""
-    dup = _dup_spans(df, id_col, text_col, k, fast_hashing)
+    dup = _dup_spans(df, id_col, text_col, k, fast_hashing, dup_marking)
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup.withColumn(
         "__new",
@@ -145,12 +190,13 @@ def substring_dup_stats(
     text_col: str = "text",
     k: int = SPAN_TOKENS,
     fast_hashing: bool = True,
+    dup_marking: str = "join",
 ) -> DataFrame:
     """Per-document substring-dedup report over ALL documents:
     (doc_id, n_tokens, n_remove_intervals, removed_tokens,
     kept_tokens, removed_frac). Documents with no duplicated span (or
     fewer than k tokens) report zeros."""
-    iv = remove_intervals(df, id_col, text_col, k, fast_hashing)
+    iv = remove_intervals(df, id_col, text_col, k, fast_hashing, dup_marking)
     per_doc = iv.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_remove_intervals"),
         F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),
@@ -180,6 +226,7 @@ def substring_dedup_text(
     text_col: str = "text",
     k: int = SPAN_TOKENS,
     fast_hashing: bool = True,
+    dup_marking: str = "join",
 ) -> DataFrame:
     """Cleaned corpus: each document's tokens with every removal
     interval excised, rejoined with single spaces (the paper's output
@@ -187,7 +234,7 @@ def substring_dedup_text(
     an array, then a per-row filter over token positions — the
     interval list is per-document and bounded by n_tokens/k, so the
     array column stays small even for pathological documents."""
-    iv = remove_intervals(df, id_col, text_col, k, fast_hashing)
+    iv = remove_intervals(df, id_col, text_col, k, fast_hashing, dup_marking)
     iv_per_doc = iv.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("start_pos", "end_pos"))).alias("__iv")
     )

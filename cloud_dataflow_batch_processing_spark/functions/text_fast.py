@@ -235,5 +235,14 @@ def span_hashes_fast(col: Column, k: int) -> Column:
     fewer than k tokens (the HOF path reaches the same outcome via its
     size() filter). Exists for the substring-dedup hot path: the HOF
     span fold is interpreted per element and runs in the pre-exchange
-    scan stage."""
-    return pandas_udf(_span_hashes_series_factory(k), T.ArrayType(T.LongType()))(col)
+    scan stage.
+
+    Marked non-deterministic ON PURPOSE (it is semantically
+    deterministic): InferFiltersFromGenerate derives ``size(out) > 0``
+    from the downstream posexplode and pushes it below the fan-out
+    exchange, DUPLICATING the ArrowEvalPython node — the whole hash
+    stage then runs twice per row (observed in the executed plan; the
+    plan pin test guards it). The flag pins the UDF where it is
+    written."""
+    f = pandas_udf(_span_hashes_series_factory(k), T.ArrayType(T.LongType()))
+    return f.asNondeterministic()(col)

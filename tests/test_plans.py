@@ -474,27 +474,40 @@ def test_ivf_index_append_incremental(spark, tables, tmp_path):
 
 def test_substring_dedup_plan_shape(spark, sf_dir):
     """Exact substring dedup (round 4): the plan that scales is
-    - ONE exchange on the span hash (window count, no join-back of a
-      frequency table),
+    - dup-hash detection as a partial-combined count aggregate (the
+      only h-exchange moves near-distinct hashes) + a semi-join whose
+      build side is the bounded dup-hash frame — NEVER a count window
+      partitioned by h (a boilerplate mega-span would make that an
+      unsplittable hot task),
     - ONE exchange on doc_id that the lag window, the island windows,
       AND both downstream hash-aggregates all reuse,
     - the per-doc interval frame joined back to the base scan (AQE
       picks broadcast at bench scale, sort-merge at 100 TB — both
-      fine, neither cartesian).
-    Budget: <= 3 exchanges total, and the base scan reads only
-    (doc_id, text)."""
+      fine, neither cartesian)."""
     df = REGISTRY["substring_dedup_stats"].fn(spark, sf_dir)
     from cloud_dataflow_batch_processing_spark.plans.inspect import executed_plan
 
-    assert count_shuffles(df) <= 3
     assert_no_cartesian(df)
     plan = executed_plan(df)
     import re
 
-    span_hash_exchanges = len(re.findall(r"Exchange hashpartitioning\(h#", plan))
-    assert span_hash_exchanges == 1, plan[:1500]
-    docid_exchanges = len(re.findall(r"Exchange hashpartitioning\(doc_id#", plan))
+    assert not re.search(r"Window \[count\(1\) windowspecdefinition\(h#", plan), (
+        "dup marking must not use a per-hash count window"
+    )
+    h_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(h#\d+L?, \d+\), ENSURE", plan)
+    )
+    assert h_exchanges <= 1, "only the partial-count agg may exchange on h"
+    # windows and aggs share ONE required doc_id exchange (the gated
+    # fan-out repartition is REPARTITION_BY_NUM, not counted)
+    docid_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?, \d+\), ENSURE", plan)
+    )
     assert docid_exchanges == 1, "windows and aggs must share one doc_id exchange"
+    # the span UDF must not be duplicated by a pushed-down filter:
+    # at most one ArrowEvalPython per plan side (cache collapses both
+    # sides onto one InMemoryRelation here)
+    assert plan.count("ArrowEvalPython") <= 2, plan[:2000]
 
 
 def test_hll_register_table_single_shuffle(spark, tables):

@@ -176,3 +176,33 @@ def test_bucketed_join_no_shuffle(spark, tables, tmp_path):
         assert joined.count() == tables["lineitem"].count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+def test_substring_dedup_boilerplate_mega_span(spark):
+    """Adversarial skew for substring dedup: thousands of documents
+    sharing one boilerplate span (license-header shape). The default
+    join marking aggregates span counts map-side (the h-shuffle moves
+    near-distinct hashes) and semi-joins a dup-hash frame — no
+    unsplittable per-hash task. Both marking modes must agree exactly,
+    and every doc must lose exactly the boilerplate region."""
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    n = 2000
+    boiler = " ".join(f"lic{i}" for i in range(8))
+    rows = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h u{i}i u{i}j")
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    join_mode = {
+        r["doc_id"]: (r["removed_tokens"], r["kept_tokens"])
+        for r in SS.substring_dup_stats(df).collect()
+    }
+    release_managed_caches()
+    window_mode = {
+        r["doc_id"]: (r["removed_tokens"], r["kept_tokens"])
+        for r in SS.substring_dup_stats(df, dup_marking="window").collect()
+    }
+    release_managed_caches()
+    assert join_mode == window_mode
+    assert all(v == (8, 10) for v in join_mode.values())  # exactly the boilerplate

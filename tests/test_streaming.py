@@ -358,3 +358,39 @@ def test_stream_static_enrich(spark, stream_events, tmp_path):
     got = {(r.user_id, r.value): r.tier_d for r in rows}
     assert got[(1, 10.0)] == "gold" and got[(1, 5.0)] == "gold"
     assert got[(2, 1.0)] is None  # no dim row -> NULL, not dropped
+
+
+def test_streaming_hll_register_table(spark, stream_events):
+    """The mergeable HLL sketch under Structured Streaming: the
+    register table (reg -> max rho) maintained incrementally per
+    micro-batch in complete mode. Because merge is register-wise max,
+    the streamed table — and therefore the estimate — is EXACTLY the
+    batch sketch of the same rows (sketch-streaming composition with
+    no new operator code)."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+    regs = (
+        stream_events.select(
+            F.expr(S.hll_reg_sql("user_id")).alias("reg"),
+            F.expr(S.hll_rho_sql("user_id")).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("maxrho"))
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = spark.sql("SELECT * FROM hll_regs")
+    est_stream = S.hll_estimate(streamed).collect()[0]["est"]
+    batch = spark.createDataFrame(
+        [(1,), (1,), (2,), (1,), (2,)], "user_id long"
+    )
+    est_batch = S.hll_estimate(S.hll_register_table(batch, "user_id")).collect()[0]["est"]
+    assert est_stream == est_batch  # exact, not approximate
