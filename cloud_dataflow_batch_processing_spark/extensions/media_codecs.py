@@ -382,3 +382,16 @@ def audio_features(wav: WavData) -> dict:
         "sum_samples": sum(wav.samples),
         "max_abs": max((abs(s) for s in wav.samples), default=0),
     }
+
+
+def resize_nearest(width: int, height: int, rgb: bytes, new_w: int, new_h: int) -> bytes:
+    """Nearest-neighbor resample of an interleaved RGB buffer — the
+    deterministic, spec-level resize matching the decoders above (no
+    interpolation ambiguity across platforms: pure integer source
+    indices floor(i * src / dst))."""
+    import numpy as np
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    ys = (np.arange(new_h) * height) // new_h
+    xs = (np.arange(new_w) * width) // new_w
+    return arr[ys][:, xs].tobytes()

@@ -208,11 +208,53 @@ def extract_exact_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
     return df.mapInPandas(run, schema=EXACT_FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) -> DataFrame:
+    """REAL image resize over a MEDIA_SCHEMA frame: decode (magic-byte
+    dispatch, the pure-Python BMP/PPM/PNG codecs), nearest-neighbor
+    resample (integer source indices — bit-deterministic), re-encode as
+    BMP, and stamp the new dims. Rows whose content is not a decodable
+    image pass through unchanged (a corrupt file must not kill a 100 TB
+    job; the caller filters on meta dims if it needs only successes).
+    Arrow-batched mapInPandas, 1→1, schema-stable."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as MC
+
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                kind = sniff_format(bytes(content) if content is not None else None)
+                try:
+                    if kind in ("bmp", "ppm", "png"):
+                        w, h, rgb = MC.decode_image(kind, bytes(content))
+                        resized = MC.resize_nearest(w, h, rgb, width, height)
+                        out_content.append(MC.encode_bmp(width, height, resized))
+                        meta = dict(meta) if meta is not None else {}
+                        meta.update({"mime": "image/bmp", "width": width, "height": height})
+                        out_meta.append(meta)
+                        continue
+                except Exception:
+                    pass  # undecodable image: fall through to passthrough
+                out_content.append(content)
+                out_meta.append(meta)
+            pdf = pdf.copy()
+            pdf["content"] = out_content
+            pdf["meta"] = out_meta
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image-resize plumbing: 1→1 binary transform. STUB: passes bytes
-    through and stamps the target dims in metadata (a real impl swaps
-    the content). Kept relational where possible — only the byte
-    transform would need Python."""
+    """Metadata-only resize plumbing (kept for formats with no codec:
+    stamps target dims, passes bytes through). Prefer
+    :func:`resize_images`, which REALLY resamples BMP/PPM/PNG content
+    via the pure-Python codecs."""
     return df.withColumn(
         "meta",
         F.struct(

@@ -82,3 +82,46 @@ def test_extract_exact_features_arrow_twin(spark):
     p = sorted(map(tuple, extract_exact_features(media, batch_size=2).collect()))
     assert a == p
     assert len(a) == 4
+
+
+def test_resize_images_real(spark):
+    """REAL image resize: a 4x4 BMP with known quadrant colors resized
+    to 2x2 must produce exactly the top-left pixel of each quadrant
+    (nearest-neighbor with floor indices), re-encoded as BMP."""
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as MC
+    from cloud_dataflow_batch_processing_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    quad = {
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (255, 255, 0),
+    }
+    rgb = bytearray()
+    for y in range(4):
+        for x in range(4):
+            rgb += bytes(quad[(y // 2, x // 2)])
+    bmp = MC.encode_bmp(4, 4, bytes(rgb))
+    png = MC.encode_png(2, 2, bytes(b"".join(bytes(quad[(y, x)]) for y in range(2) for x in range(2))))
+    rows = [
+        (1, "image", bmp, {"mime": "image/bmp", "width": 4, "height": 4, "duration_ms": None}),
+        (2, "image", png, {"mime": "image/png", "width": 2, "height": 2, "duration_ms": None}),
+        (3, "image", b"\x00\x01notanimage", {"mime": "application/octet-stream", "width": None, "height": None, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(df, 2, 2).collect()}
+
+    w, h, rgb2 = MC.decode_bmp(bytes(out[1]["content"]))
+    assert (w, h) == (2, 2)
+    got = [tuple(rgb2[i : i + 3]) for i in range(0, 12, 3)]
+    assert got == [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    assert out[1]["meta"]["width"] == 2 and out[1]["meta"]["mime"] == "image/bmp"
+
+    # PNG input resized (here 2x2 -> 2x2 identity) and re-encoded as BMP
+    w2, h2, rgbp = MC.decode_bmp(bytes(out[2]["content"]))
+    assert (w2, h2) == (2, 2) and tuple(rgbp[:3]) == (255, 0, 0)
+
+    # undecodable bytes pass through untouched
+    assert bytes(out[3]["content"]) == b"\x00\x01notanimage"
+    assert out[3]["meta"]["width"] is None

@@ -521,3 +521,23 @@ def test_hll_register_table_single_shuffle(spark, tables):
     est = S.hll_estimate(regs)
     assert count_shuffles(est) <= 2  # register shuffle + single-partition agg
     assert_no_cartesian(est)
+
+
+def test_round4_warehouse_shuffle_budgets(spark, sf_dir):
+    """Shuffle budgets for the round-4 warehouse family. Notably the
+    incremental rollup is exactly its two aggregation levels (partial
+    cells, merged groups) and the CDC merge never plans a nested-loop
+    or cartesian join."""
+    budgets = {
+        "incremental_rollup_orders": 2,  # partial cells + merge
+        "cdc_merge_orders": 3,           # anti-join + upsert union sides
+        "scd2_user_event_history": 1,    # one window on the key
+        "approx_quantile_histogram": 4,  # bounded: sketch agg + <=bins cum window x2
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = count_shuffles(df)
+        assert got <= budget, (name, got, budget)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan or name == "approx_quantile_histogram", name
