@@ -395,3 +395,21 @@ def resize_nearest(width: int, height: int, rgb: bytes, new_w: int, new_h: int) 
     ys = (np.arange(new_h) * height) // new_h
     xs = (np.arange(new_w) * width) // new_w
     return arr[ys][:, xs].tobytes()
+
+
+def resample_wav_nearest(wav: WavData, new_rate: int) -> WavData:
+    """Nearest-frame resample of PCM16 audio — the audio analog of
+    resize_nearest: output frame j reads input frame
+    floor(j * src_rate / new_rate), all channels together. Integer
+    index math only, so byte-deterministic everywhere."""
+    import numpy as np
+
+    if new_rate <= 0:
+        raise ValueError(f"new_rate must be positive, got {new_rate}")
+    arr = np.asarray(wav.samples, dtype=np.int16).reshape(-1, wav.channels)
+    n_out = (wav.n_frames * new_rate) // wav.sample_rate
+    idx = (np.arange(n_out, dtype=np.int64) * wav.sample_rate) // new_rate
+    out = arr[idx] if n_out else arr[:0]
+    return WavData(
+        sample_rate=new_rate, channels=wav.channels, samples=[int(x) for x in out.ravel()]
+    )

@@ -250,6 +250,48 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     return df.mapInPandas(run, schema=schema)
 
 
+def resample_audio(df: DataFrame, sample_rate: int, batch_size: int = 64) -> DataFrame:
+    """REAL audio resample over a MEDIA_SCHEMA frame: decode WAV (the
+    pure-Python RIFF/PCM16 codec), nearest-frame resample to
+    ``sample_rate`` (integer index math — byte-deterministic),
+    re-encode, and stamp the new duration. Non-WAV rows pass through
+    unchanged, same fault posture as resize_images."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as MC
+
+    schema = df.schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_content, out_meta = [], []
+            for content, meta in zip(pdf["content"], pdf["meta"]):
+                kind = sniff_format(bytes(content) if content is not None else None)
+                try:
+                    if kind == "wav":
+                        wav = MC.decode_wav(bytes(content))
+                        res = MC.resample_wav_nearest(wav, sample_rate)
+                        out_content.append(
+                            MC.encode_wav(res.samples, res.sample_rate, res.channels)
+                        )
+                        meta = dict(meta) if meta is not None else {}
+                        meta.update({"mime": "audio/wav", "duration_ms": res.duration_ms})
+                        out_meta.append(meta)
+                        continue
+                except Exception:
+                    pass
+                out_content.append(content)
+                out_meta.append(meta)
+            pdf = pdf.copy()
+            pdf["content"] = out_content
+            pdf["meta"] = out_meta
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)
+
+
 def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
     """Metadata-only resize plumbing (kept for formats with no codec:
     stamps target dims, passes bytes through). Prefer

@@ -976,3 +976,117 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "ts", "event_id")
     )
     return CDC.scd2_intervals(e, ["user_id"], "ts", ["event_id"])
+
+
+@register(
+    "q5_local_supplier_volume",
+    late=True,
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the classic 6-table snowflake
+    join with the correlated c_nationkey = s_nationkey condition —
+    the join-ordering workout. region/nation broadcast; the fact
+    chain shuffles on its join keys once each; revenue decimal-exact."""
+    t = load_tables(spark, sf_dir)
+    rev = (_dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)"))
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(t["nation"], F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t["region"].filter(F.col("r_name") == "ASIA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    late=True,
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): HAVING-filtered semi-join —
+    the aggregate-then-semi-join shape (find qualifying orders first,
+    a tiny frame, then join it back; never the other order). The big
+    set broadcasts; quantities decimal-exact."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].join(F.broadcast(big), "l_orderkey", "left_semi"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+    )
+
+
+@register(
+    "salted_aggregate_lineitem",
+    late=True,
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_aggregate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): the hot-key
+    mitigation AQE cannot apply to aggregates — partial agg on
+    (key, salt) bounds every reducer, final agg merges <= num_salts
+    partials per key. The oracle is the PLAIN aggregation: a hash
+    match proves salting is result-invisible (the salt is random per
+    row, so only algebraic aggregates survive it — exactly the
+    cy_combiners set)."""
+    from cloud_dataflow_batch_processing_spark.operators.skew import salted_aggregate
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return salted_aggregate(
+        li,
+        "l_returnflag",
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "total_qty": (
+                F.sum(F.floor("l_quantity").cast("long")),
+                F.sum("total_qty"),
+            ),
+        },
+        num_salts=8,
+    )

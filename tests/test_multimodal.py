@@ -125,3 +125,27 @@ def test_resize_images_real(spark):
     # undecodable bytes pass through untouched
     assert bytes(out[3]["content"]) == b"\x00\x01notanimage"
     assert out[3]["meta"]["width"] is None
+
+
+def test_resample_audio_real(spark):
+    """Nearest-frame WAV resample: 8 frames at 8000 Hz halved to
+    4000 Hz must keep exactly every second frame; non-WAV rows pass
+    through."""
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as MC
+    from cloud_dataflow_batch_processing_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resample_audio,
+    )
+
+    samples = [0, 100, 200, 300, 400, 500, 600, 700]
+    wav = MC.encode_wav(samples, 8000, channels=1)
+    rows = [
+        (1, "audio", wav, {"mime": "audio/wav", "width": None, "height": None, "duration_ms": 1}),
+        (2, "audio", b"nope", {"mime": "application/octet-stream", "width": None, "height": None, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resample_audio(df, 4000).collect()}
+    got = MC.decode_wav(bytes(out[1]["content"]))
+    assert got.sample_rate == 4000
+    assert got.samples == [0, 200, 400, 600]
+    assert bytes(out[2]["content"]) == b"nope"

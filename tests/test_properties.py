@@ -273,3 +273,61 @@ def test_fuzzy_blocked_pairs_matches_model(spark, names, max_dist):
             if (at[0] == bt[0] or at[-1] == bt[-1]) and lev(a, b) <= max_dist:
                 want[(a, b)] = lev(a, b)
     assert got == want
+
+
+def test_substring_dedup_invariants_random_corpus(spark):
+    """Invariants of exact substring dedup on a randomized corpus
+    (seeded): for every document kept + removed == total tokens,
+    removed is a multiple-free union of >= k-token intervals
+    (each interval >= k tokens), the cleaned text has exactly
+    kept_tokens tokens, and a doc with no >=k-token repeat anywhere in
+    the corpus loses nothing."""
+    import random
+
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab -> natural repeats
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = {r["doc_id"]: r for r in SS.substring_dup_stats(df).collect()}
+    release_managed_caches()
+    clean = {r["doc_id"]: r["clean_text"] for r in SS.substring_dedup_text(df).collect()}
+    release_managed_caches()
+    iv = SS.remove_intervals(df).collect()
+    release_managed_caches()
+    k = SS.SPAN_TOKENS
+    for doc_id, text in rows:
+        s = stats[doc_id]
+        assert s["kept_tokens"] + s["removed_tokens"] == s["n_tokens"]
+        assert s["n_tokens"] == len(text.split())
+        got_tokens = clean[doc_id].split() if clean[doc_id] else []
+        assert len(got_tokens) == s["kept_tokens"], (doc_id, s)
+    for r in iv:
+        assert r["end_pos"] - r["start_pos"] >= k
+
+
+def test_hll_merge_associative_random_splits(spark):
+    """HLL register-table merges are associative and commutative: any
+    seeded 3-way split, merged in any order/grouping, produces the
+    identical register table (and so the identical estimate)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+
+    rng = random.Random(7)
+    vals = [(rng.randint(0, 10**12),) for _ in range(3000)]
+    df = spark.createDataFrame(vals, "k long")
+    parts = [df.filter(F.pmod(F.col("k"), 3) == i) for i in range(3)]
+    regs = [S.hll_register_table(p, "k") for p in parts]
+    ab_c = S.hll_merge(S.hll_merge(regs[0], regs[1]), regs[2])
+    a_bc = S.hll_merge(regs[0], S.hll_merge(regs[1], regs[2]))
+    whole = S.hll_register_table(df, "k")
+    t = lambda d: sorted(map(tuple, d.collect()))
+    assert t(ab_c) == t(a_bc) == t(whole)
