@@ -92,8 +92,17 @@ def _dup_spans(
         # injects a sort-before-repartition for retry determinism,
         # which re-derives the projection and duplicates the UDF node
         # below the exchange — observed in the executed plan).
+        # Only scan-shaped inputs need the fan-out: a frame downstream
+        # of a join/aggregate/repartition is already shuffle-spread,
+        # and probing .rdd.getNumPartitions() on such a frame forces
+        # AQE to EXECUTE its upstream stages — measured as a full
+        # duplicate run of the corpus pipeline in corpus_build_full.
+        plan_str = df._jdf.queryExecution().analyzed().toString()
+        scan_shaped = not any(
+            op in plan_str for op in ("Join", "Aggregate", "Repartition", "Window")
+        )
         sc = df.sparkSession.sparkContext
-        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        if scan_shaped and df.rdd.getNumPartitions() < sc.defaultParallelism:
             df = df.repartition(sc.defaultParallelism, F.col(id_col))
         # No size(__sp) > 0 filter here: posexplode drops empty lists
         # anyway, and a filter referencing the UDF column gets pushed

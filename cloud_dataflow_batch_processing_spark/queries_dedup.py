@@ -632,6 +632,7 @@ def approx_quantile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_build_full",
+    headline=True,
     oracle=f"""
     WITH q1 AS (
       SELECT doc_id, text, source FROM documents
@@ -697,19 +698,27 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_fast,
     )
 
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
     d = load_tables(spark, sf_dir)["documents"]
     q1 = d.filter((F.col("doc_id") % 97 != 0) & (quality_score_fast(F.col("text")) >= 0.5)).select(
         "doc_id", "text", "source"
     )
     keep = q1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    q2 = q1.join(keep, "doc_id")
+    # Stage boundaries are CACHED: each survivor frame feeds several
+    # downstream branches (q2 -> near-dup + anti-join; q3 -> shingle
+    # probe + q4; q4 -> substring stats base/intervals + final join).
+    # Without the materialization the minhash/decontaminate subtrees
+    # replicate into every consumer of the final plan — measured 58 s
+    # vs 6 s warm at sf0.1. At 100 TB the same boundaries would be
+    # checkpoint writes (the dedup family's materialize knob).
+    q2 = managed_cache(q1.join(keep, "doc_id"))
     nd = (
         D.minhash_near_dup_pairs(q2, "doc_id", "text", threshold=0.8)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    q3 = q2.join(nd, "doc_id", "left_anti")
-    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+    q3 = managed_cache(q2.join(nd, "doc_id", "left_anti"))
 
     staged_ev = (
         d.filter(F.col("doc_id") % 97 == 0)
@@ -732,7 +741,7 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o").cast("double") / F.col("n") > 0.2)
         .select("doc_id")
     )
-    q4 = q3.join(contaminated, "doc_id", "left_anti")
+    q4 = managed_cache(q3.join(contaminated, "doc_id", "left_anti"))
     st = _SUB.substring_dup_stats(q4)
     return (
         q4.join(st, "doc_id")
