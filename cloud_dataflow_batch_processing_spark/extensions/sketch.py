@@ -266,7 +266,10 @@ def hll_rho_sql(key_expr: str) -> str:
 def hll_register_table(df: DataFrame, key_col: str) -> DataFrame:
     """Build the sketch: (reg, maxrho), one hash-agg shuffle, <= HLL_M
     rows. NULL keys are dropped (they are not elements; mirrors the
-    CMS/Bloom NULL posture)."""
+    CMS/Bloom NULL posture). Keys must be integral — reduce strings
+    with ``functions.text.rolling_hash`` first (the CMS convention);
+    ``key_col`` may be any SQL expression string, so
+    ``hll_register_table(df, "rolling-hash-sql-expr")`` composes."""
     rows = df.filter(F.col(key_col).isNotNull()).select(
         F.expr(hll_reg_sql(key_col)).alias("reg"),
         F.expr(hll_rho_sql(key_col)).alias("rho"),
@@ -417,4 +420,55 @@ def histogram_quantile_sql(
     SELECT ROUND({lo!r} + bin * {width!r}
                  + {width!r} * (rank - (cum - cnt)) / cnt, 4) AS est
     FROM r WHERE cum >= rank ORDER BY bin LIMIT 1
+    """
+
+
+def hll_register_table_by(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """Per-group sketches: (group..., reg, maxrho) — one hash-agg
+    shuffle, <= HLL_M rows PER GROUP. Merge across shards with
+    ``groupBy(group + reg).max(maxrho)`` exactly like the global
+    table."""
+    rows = df.filter(F.expr(f"({key_col}) IS NOT NULL")).select(
+        *group_cols,
+        F.expr(hll_reg_sql(key_col)).alias("reg"),
+        F.expr(hll_rho_sql(key_col)).alias("rho"),
+    )
+    return rows.groupBy(*group_cols, "reg").agg(F.max("rho").alias("maxrho"))
+
+
+def hll_estimate_by(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Per-group cardinality estimates from a grouped register table —
+    the GROUP BY approx-distinct shape (distinct users per type,
+    distinct URLs per domain) in two bounded aggregations."""
+    return regs.groupBy(*group_cols).agg(_hll_estimate_expr())
+
+
+def hll_estimate_by_sql(
+    key_expr: str, source: str, group_cols: list[str]
+) -> str:
+    m = HLL_M
+    groups = ", ".join(group_cols)
+    return f"""
+    WITH rr AS (
+      SELECT {groups}, {hll_reg_sql(key_expr)} AS reg,
+             {hll_rho_sql(key_expr)} AS rho
+      FROM {source} WHERE ({key_expr}) IS NOT NULL
+    ),
+    regs AS (
+      SELECT {groups}, reg, MAX(rho) AS maxrho FROM rr GROUP BY {groups}, reg
+    ),
+    s AS (
+      SELECT {groups},
+             SUM(power(2.0, -CAST(maxrho AS DOUBLE))) AS sp,
+             CAST({m} - COUNT(*) AS DOUBLE) AS v
+      FROM regs GROUP BY {groups}
+    )
+    SELECT {groups},
+           ROUND(CASE WHEN CAST({_HLL_AM2!r} AS DOUBLE) / (sp + v) <= 2.5 * {m}
+                       AND v > 0
+                 THEN CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE) / v)
+                 ELSE CAST({_HLL_AM2!r} AS DOUBLE) / (sp + v) END, 4) AS est
+    FROM s
     """

@@ -752,3 +752,18 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("removed_tokens").alias("removed_tokens"),
         )
     )
+
+
+@register(
+    "approx_distinct_hll_by_type",
+    oracle=S.hll_estimate_by_sql("user_id", "events", ["event_type"]),
+    late=True,
+)
+def approx_distinct_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED deterministic HLL: approx distinct users per event_type
+    — the realistic GROUP-BY-approx-distinct shape, in two bounded
+    hash aggregations (<= 256 register rows per group; per-group
+    estimates value-certified like the global sketch)."""
+    e = load_tables(spark, sf_dir)["events"]
+    regs = S.hll_register_table_by(e, ["event_type"], "user_id")
+    return S.hll_estimate_by(regs, ["event_type"])
