@@ -1090,3 +1090,63 @@ def salted_aggregate_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         num_salts=8,
     )
+
+
+from cloud_dataflow_batch_processing_spark.extensions import graph as G  # noqa: E402
+
+_PR_EDGES_SQL = (
+    "SELECT DISTINCT l_suppkey AS src, o_custkey AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+
+
+@register(
+    "pagerank_supplier_customer",
+    oracle=G.pagerank_sql(_PR_EDGES_SQL, iters=3),
+    late=True,
+)
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (extensions/graph.py) over the supplier→customer
+    fulfillment graph — the third member of the iterative-algorithm
+    family (with Lloyd k-means and connected components). Decimal-
+    exact contribution sums make the full 3-iteration trajectory
+    bit-reproducible, so the DuckDB oracle (iterations unrolled as
+    CTEs) certifies the VALUES. One groupBy(dst) shuffle per
+    iteration; lineage checkpointing is the deep-iteration posture."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst"))
+        .distinct()
+    )
+    return G.pagerank(edges, iters=3)
+
+
+@register(
+    "scalar_subquery_above_avg",
+    late=True,
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (orders above the global average
+    price): Spark plans the subquery as a broadcast scalar computed
+    once, never a per-row recomputation. Decimal-exact average so the
+    cutoff is bit-identical on both engines."""
+    o = load_tables(spark, sf_dir)["orders"]
+    o.createOrReplaceTempView("__orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM __orders_ssq
+        WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2)))
+                              FROM __orders_ssq)
+        GROUP BY o_orderpriority
+        """
+    )
