@@ -38,7 +38,7 @@ Scale posture (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from cloud_dataflow_batch_processing_spark.extensions.dedup import (
     shingles_from_token_hashes,
