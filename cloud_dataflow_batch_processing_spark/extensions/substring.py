@@ -62,6 +62,8 @@ def _dup_spans(
     k: int,
     fast_hashing: bool = True,
     dup_marking: str = "join",
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, pos) for every K-token span at 1-based token
     position ``pos`` whose hash occurs >1 time corpus-wide (counting
@@ -153,11 +155,18 @@ def _dup_spans(
     # way no unsplittable per-hash group exists anywhere.
     # Materialize the span frame once: the count side and the probe
     # side would otherwise each recompute the whole tokenize+hash UDF
-    # chain (same posture as the minhash signature frame; swap for a
-    # checkpoint at corpus scale).
-    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+    # chain (same posture as the minhash pipeline's materialize knob:
+    # cache at iterative/bench scale, checkpoint parquet for the
+    # corpus-scale fault-isolation posture).
+    if materialize == "checkpoint":
+        if not scratch_dir:
+            raise ValueError("materialize='checkpoint' needs scratch_dir")
+        spans.write.mode("overwrite").parquet(scratch_dir)
+        spans = df.sparkSession.read.parquet(scratch_dir)
+    else:
+        from cloud_dataflow_batch_processing_spark.caching import managed_cache
 
-    spans = managed_cache(spans)
+        spans = managed_cache(spans)
     dup_hashes = (
         spans.groupBy("h").agg(F.count(F.lit(1)).alias("__n")).filter(F.col("__n") > 1)
     ).select("h")
@@ -171,6 +180,8 @@ def remove_intervals(
     k: int = SPAN_TOKENS,
     fast_hashing: bool = True,
     dup_marking: str = "join",
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Maximal removal intervals per document: merge every duplicated
     K-token span [pos, pos+k) with its overlapping-or-touching
@@ -178,7 +189,7 @@ def remove_intervals(
     sorted by pos merge iff the gap <= k). Returns
     (doc_id, start_pos, end_pos) with token positions 1-based and
     end exclusive."""
-    dup = _dup_spans(df, id_col, text_col, k, fast_hashing, dup_marking)
+    dup = _dup_spans(df, id_col, text_col, k, fast_hashing, dup_marking, materialize, scratch_dir)
     w = Window.partitionBy("doc_id").orderBy("pos")
     flagged = dup.withColumn(
         "__new",
@@ -200,12 +211,14 @@ def substring_dup_stats(
     k: int = SPAN_TOKENS,
     fast_hashing: bool = True,
     dup_marking: str = "join",
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Per-document substring-dedup report over ALL documents:
     (doc_id, n_tokens, n_remove_intervals, removed_tokens,
     kept_tokens, removed_frac). Documents with no duplicated span (or
     fewer than k tokens) report zeros."""
-    iv = remove_intervals(df, id_col, text_col, k, fast_hashing, dup_marking)
+    iv = remove_intervals(df, id_col, text_col, k, fast_hashing, dup_marking, materialize, scratch_dir)
     per_doc = iv.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_remove_intervals"),
         F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),

@@ -394,3 +394,38 @@ def test_streaming_hll_register_table(spark, stream_events):
     )
     est_batch = S.hll_estimate(S.hll_register_table(batch, "user_id")).collect()[0]["est"]
     assert est_stream == est_batch  # exact, not approximate
+
+
+def test_streaming_countmin_counter_table(spark, stream_events):
+    """The Count-Min sketch under Structured Streaming: the counter
+    table maintained per micro-batch in complete mode. CMS is linear
+    (counter-wise sums), so the streamed table equals the batch sketch
+    of the same rows EXACTLY — the second sketch-streaming composition
+    (with HLL's register-max) requiring no new operator code."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import sketch as S
+    from cloud_dataflow_batch_processing_spark.functions.text import HASH_MOD as P
+
+    depth, width = 3, 32
+    v = (F.col("user_id").cast("long") % P + P) % P
+    rows = stream_events.filter(F.col("user_id").isNotNull()).select(
+        F.posexplode(
+            F.array(*[S._cms_bucket(v, i, width) for i in range(depth)])
+        ).alias("row_i", "bucket")
+    )
+    counters = rows.groupBy("row_i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("cms_counters")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    streamed = sorted(map(tuple, spark.sql("SELECT * FROM cms_counters").collect()))
+    batch = spark.createDataFrame([(1,), (1,), (2,), (1,), (2,)], "user_id long")
+    want = sorted(
+        map(tuple, S.countmin_sketch(batch, F.col("user_id"), depth, width).collect())
+    )
+    assert streamed == want

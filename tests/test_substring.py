@@ -221,3 +221,28 @@ class TestHistogramQuantile:
         )
         rows = {r["bin"]: r["cnt"] for r in S.histogram_sketch(df, "x", 0.0, 100.0, 10).collect()}
         assert rows == {0: 1, 5: 1, 9: 1}  # -5 clamps low, 1e9 clamps high, NULL drops
+
+
+def test_checkpoint_materialization_identical(spark, corpus, tmp_path):
+    """The corpus-scale posture: spans checkpointed to parquet instead
+    of cached — results identical, and the checkpoint actually holds
+    the span frame (lineage cut is real)."""
+    import os
+
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    df, _ = corpus
+    scratch = str(tmp_path / "span_ckpt")
+    a = sorted(map(tuple, SS.substring_dup_stats(df).collect()))
+    b = sorted(
+        map(
+            tuple,
+            SS.substring_dup_stats(
+                df, materialize="checkpoint", scratch_dir=scratch
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert os.path.isdir(scratch) and any(
+        f.endswith(".parquet") for f in os.listdir(scratch)
+    )
