@@ -1150,3 +1150,82 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+def _stat_sums_sql(x: str, y: str, source: str) -> str:
+    return f"""
+      SELECT COUNT(*) AS n,
+             SUM(CAST({x} AS DECIMAL(27,4))) AS sx,
+             SUM(CAST({y} AS DECIMAL(27,4))) AS sy,
+             SUM(CAST({x} AS DECIMAL(27,4)) * CAST({x} AS DECIMAL(27,4))) AS sxx,
+             SUM(CAST({y} AS DECIMAL(27,4)) * CAST({y} AS DECIMAL(27,4))) AS syy,
+             SUM(CAST({x} AS DECIMAL(27,4)) * CAST({y} AS DECIMAL(27,4))) AS sxy
+      FROM {source} WHERE {x} IS NOT NULL AND {y} IS NOT NULL
+    """
+
+
+@register(
+    "stats_corr_ols_lineitem",
+    late=True,
+    oracle=f"""
+    WITH s AS ({_stat_sums_sql('l_quantity', 'l_extendedprice', 'lineitem')})
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
+             AS corr_qty_price,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS ols_slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8) AS ols_intercept
+    FROM s
+    """,
+)
+def stats_corr_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic statistics: Pearson correlation and closed-form
+    simple OLS (price ~ quantity) from DECIMAL-EXACT moment sums —
+    Spark's built-in corr/covar fold doubles in partition order and is
+    not reproducible across partitionings, let alone engines; the
+    moment-sum formulation is one narrow aggregate whose per-moment
+    sums are exact, so the derived statistics are bit-identical
+    everywhere (rounded at the boundary). One scan, one 6-column
+    global agg — the 100 TB regression/correlation shape."""
+    li = load_tables(spark, sf_dir)["lineitem"].filter(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    x = F.col("l_quantity").cast("decimal(27,4)")
+    y = F.col("l_extendedprice").cast("decimal(27,4)")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return s.select(
+        "n",
+        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 8).alias("corr_qty_price"),
+        F.round(slope, 8).alias("ols_slope"),
+        F.round((sy - slope * sx) / n, 8).alias("ols_intercept"),
+    )

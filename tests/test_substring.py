@@ -246,3 +246,25 @@ def test_checkpoint_materialization_identical(spark, corpus, tmp_path):
     assert os.path.isdir(scratch) and any(
         f.endswith(".parquet") for f in os.listdir(scratch)
     )
+
+
+def test_stats_corr_ols_matches_numpy(spark, sf_dir):
+    """The decimal-exact moment formulation must agree with an
+    independent numpy computation to float tolerance (numpy pairwise
+    summation differs in rounding; the moments themselves are exact)."""
+    import numpy as np
+
+    from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
+
+    queries()
+    row = REGISTRY["stats_corr_ols_lineitem"].fn(spark, sf_dir).collect()[0]
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_quantity", "l_extendedprice"
+    ).toPandas()
+    x = pdf["l_quantity"].to_numpy(dtype=np.float64)
+    y = pdf["l_extendedprice"].to_numpy(dtype=np.float64)
+    assert row["n"] == len(x)
+    assert abs(row["corr_qty_price"] - np.corrcoef(x, y)[0, 1]) < 1e-6
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row["ols_slope"] - slope) < 1e-4
+    assert abs(row["ols_intercept"] - intercept) < 1e-2
