@@ -12,8 +12,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
-def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
-    df = spark.read.parquet(path)
+def read_parquet(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """``merge_schema=True`` reconciles files written under EVOLVED
+    schemas (new columns appear over a dataset's lifetime): the read
+    schema is the union across file footers, rows from older files get
+    NULLs for columns they predate. The footer union costs one extra
+    pass over file metadata at planning time — only ask for it on
+    datasets that actually evolved (on a stable 100 TB layout the
+    default single-footer schema is the cheap path)."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     return df.select(*columns) if columns else df
 
 

@@ -192,3 +192,31 @@ def test_json_roundtrip_gzip_and_partitioned(spark, tables, tmp_path):
     # Partition-pruned read: only one directory's files are listed.
     pruned = spark.read.schema(src.schema).json(part_out).filter("n_regionkey = 1")
     assert pruned.count() == src.filter("n_regionkey = 1").count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution: a dataset whose later files add a column reads
+    as the UNION schema under merge_schema=True (older rows NULL-fill),
+    while the default read may see only one footer's schema — the knob
+    exists precisely because evolved datasets need the union."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.sources.files import (
+        read_parquet,
+        write_parquet,
+    )
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v1 string").write.mode(
+        "overwrite"
+    ).parquet(base)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v1 string, v2 double").write.mode(
+        "append"
+    ).parquet(base)
+
+    merged = read_parquet(spark, base, merge_schema=True)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    rows = {r["id"]: (r["v1"], r["v2"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+    # and the evolved column is filterable (NULL-safe predicate)
+    assert merged.filter(F.col("v2").isNotNull()).count() == 1
