@@ -767,3 +767,118 @@ def approx_distinct_hll_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_tables(spark, sf_dir)["events"]
     regs = S.hll_register_table_by(e, ["event_type"], "user_id")
     return S.hll_estimate_by(regs, ["event_type"])
+
+
+@register(
+    "corpus_audit_report",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, text, {quality_score_sql('text')} AS quality FROM documents
+    ),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS keep_id, text FROM documents GROUP BY text
+    ),
+    nd AS (
+      SELECT DISTINCT doc_b FROM ({D.minhash_pipeline_sql(0.8)}) p
+    ),
+    sh_t AS (
+      SELECT doc_id, list_distinct({D.shingle_hashes_sql('text')}) AS sh
+      FROM (SELECT doc_id, {D.token_hashes_sql('text')} AS th, text FROM documents)
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(sh) AS h FROM sh_t WHERE doc_id % 97 = 0
+    ),
+    contam AS (
+      SELECT doc_id, ROUND(CAST(COUNT(*) AS DOUBLE) / MAX(n), 4) AS contamination
+      FROM (
+        SELECT doc_id, len(sh) AS n, unnest(sh) AS h FROM sh_t
+        WHERE doc_id % 97 <> 0 AND len(sh) > 0
+      ) e JOIN ev USING (h)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           ROUND(q.quality, 4) AS quality,
+           {lang_id_sql('d.text')} AS pred_lang,
+           (ek.keep_id <> d.doc_id) AS is_exact_dup,
+           (nd.doc_b IS NOT NULL) AS is_near_dup,
+           COALESCE(c.contamination, 0.0) AS contamination,
+           CASE
+             WHEN d.doc_id % 97 = 0 THEN 'eval'
+             WHEN ROUND(q.quality, 4) < 0.5 THEN 'drop_low_quality'
+             WHEN ek.keep_id <> d.doc_id THEN 'drop_exact_dup'
+             WHEN nd.doc_b IS NOT NULL THEN 'drop_near_dup'
+             WHEN COALESCE(c.contamination, 0.0) > 0.2 THEN 'drop_contaminated'
+             ELSE 'keep'
+           END AS verdict
+    FROM documents d
+    JOIN q ON d.doc_id = q.doc_id
+    JOIN exact_keep ek ON d.text = ek.text
+    LEFT JOIN nd ON d.doc_id = nd.doc_b
+    LEFT JOIN contam c ON d.doc_id = c.doc_id
+    """,
+    late=True,
+)
+def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus AUDIT: every hygiene signal this engine
+    computes — quality score, language, exact-dup flag, near-dup flag,
+    eval-set contamination — plus the prioritized keep/drop verdict
+    with its REASON. The explainability twin of corpus_build_full
+    (that query emits the cleaned corpus; this one emits WHY each
+    document survived or didn't — the report a data-curation team
+    actually reviews). Signals reuse the certified operators; the
+    composed oracle certifies the whole report row-for-row."""
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        lang_id_fast,
+        quality_score_fast,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    base = d.select("doc_id", "text")
+    exact_keep = base.groupBy("text").agg(F.min("doc_id").alias("keep_id"))
+    nd = (
+        D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("__nd", F.lit(True))
+    )
+    staged = managed_cache(
+        base.select("doc_id", D.token_hashes("text").alias("__th"))
+        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
+        .select("doc_id", F.array_distinct("__shl").alias("sh"))
+    )
+    ev = (
+        staged.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("sh").alias("h"))
+        .distinct()
+    )
+    contam = (
+        staged.filter((F.col("doc_id") % 97 != 0) & (F.size("sh") > 0))
+        .select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
+        .join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.round(F.count(F.lit(1)).cast("double") / F.max("n"), 4).alias("contamination"))
+    )
+    out = (
+        base.withColumn("quality", F.round(quality_score_fast(F.col("text")), 4))
+        .withColumn("pred_lang", lang_id_fast(F.col("text")))
+        .join(exact_keep, "text")
+        .join(nd, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+    )
+    contamination = F.coalesce("contamination", F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "quality",
+        "pred_lang",
+        (F.col("keep_id") != F.col("doc_id")).alias("is_exact_dup"),
+        F.coalesce("__nd", F.lit(False)).alias("is_near_dup"),
+        contamination.alias("contamination"),
+        F.when(F.col("doc_id") % 97 == 0, "eval")
+        .when(F.col("quality") < 0.5, "drop_low_quality")
+        .when(F.col("keep_id") != F.col("doc_id"), "drop_exact_dup")
+        .when(F.col("__nd").isNotNull(), "drop_near_dup")
+        .when(contamination > 0.2, "drop_contaminated")
+        .otherwise("keep")
+        .alias("verdict"),
+    )
