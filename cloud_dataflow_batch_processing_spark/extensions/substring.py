@@ -376,3 +376,189 @@ def substring_dedup_text_sql(source: str = "documents", k: int = SPAN_TOKENS) ->
              ' '), '') AS clean_text
     FROM base b LEFT JOIN iv_doc d USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Incremental substring dedup: new batch vs a persisted span-hash store
+# ---------------------------------------------------------------------------
+
+
+def span_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
+) -> DataFrame:
+    """The persistable state of incremental substring dedup: (h, cnt)
+    span-hash counts of a corpus — one bounded hash-agg shuffle, the
+    store is DISTINCT-span-sized. Mergeable by counter sum
+    (``span_store_merge``), so daily batches fold in like the CMS/HLL
+    state tables."""
+    staged = _span_frame(df, id_col, text_col, k, fast_hashing)
+    return staged.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _span_frame(
+    df: DataFrame, id_col: str, text_col: str, k: int, fast_hashing: bool
+) -> DataFrame:
+    """(doc_id, n_tokens, pos, h) positioned spans — the shared stage
+    of the batch and incremental pipelines."""
+    if fast_hashing:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            span_hashes_fast,
+        )
+
+        staged = df.select(
+            F.col(id_col).alias("doc_id"),
+            span_hashes_fast(F.col(text_col), k).alias("__sp"),
+        ).select(
+            "doc_id", (F.size("__sp") + (k - 1)).alias("n_tokens"), "__sp"
+        )
+    else:
+        staged = (
+            df.select(F.col(id_col).alias("doc_id"), token_hashes(text_col).alias("__th"))
+            .filter(F.size("__th") >= k)
+            .select(
+                "doc_id",
+                F.size("__th").alias("n_tokens"),
+                shingles_from_token_hashes(F.col("__th"), k).alias("__sp"),
+            )
+        )
+    return staged.select(
+        "doc_id", "n_tokens", F.posexplode("__sp").alias("pos0", "h")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
+
+
+def span_store_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """store(A) ⊕ store(B) == store(A ∪ B) exactly (counter sums)."""
+    return a.unionByName(b).groupBy("h").agg(F.sum("cnt").alias("cnt"))
+
+
+def incremental_substring_dup_stats(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
+) -> DataFrame:
+    """Substring-dedup stats for a NEW batch against an EXISTING
+    corpus's span store — the daily-increment shape (mirrors
+    incremental_near_dups / ivf_index_append): the old corpus is never
+    rescanned; a new doc's span is duplicated iff its hash is in the
+    store OR occurs >= 2 times within the batch. Equal BY CONSTRUCTION
+    to the full-corpus run restricted to the new docs (total count
+    > 1 decomposes exactly into those two cases) — unit-pinned.
+
+    Scale: batch spans shuffle once for the batch count; the dup-hash
+    frame (store hits ∪ batch repeats) is bounded by distinct dup
+    spans and broadcast/skew-split by AQE in the semi-join."""
+    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+
+    spans = managed_cache(_span_frame(new_df, id_col, text_col, k, fast_hashing))
+    batch_dups = (
+        spans.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1)
+    ).select("h")
+    dup_hashes = batch_dups.unionByName(store.select("h")).distinct()
+    dup = spans.join(dup_hashes, "h", "left_semi").select("doc_id", "n_tokens", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-k)) > k, 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    iv = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("start_pos"), (F.max("pos") + k).alias("end_pos")
+    )
+    per_doc = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_remove_intervals"),
+        F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),
+    )
+    base = new_df.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    out = base.join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_remove_intervals", F.lit(0)).alias("n_remove_intervals"),
+        F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
+        (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))).alias("kept_tokens"),
+        F.round(F.coalesce("removed_tokens", F.lit(0)) / F.col("n_tokens"), 4).alias(
+            "removed_frac"
+        ),
+    )
+
+
+def incremental_substring_stats_sql(
+    new_where: str, old_where: str, source: str = "documents", k: int = SPAN_TOKENS
+) -> str:
+    """Oracle twin over one relation split by predicates into the new
+    batch and the old corpus."""
+    return f"""
+    WITH old_th AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source} WHERE {old_where}
+    ),
+    store AS (
+      SELECT h, COUNT(*) AS cnt FROM (
+        SELECT unnest({span_hashes_sql(k)}) AS h FROM old_th WHERE len(th) >= {k}
+      ) GROUP BY h
+    ),
+    new_th AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source} WHERE {new_where}
+    ),
+    spans AS (
+      SELECT doc_id, len(th) AS n_tokens, pos0 + 1 AS pos, h
+      FROM (
+        SELECT doc_id, th, unnest({span_hashes_sql(k)}) AS h,
+               unnest(range(0, len(th) - {k - 1})) AS pos0
+        FROM new_th WHERE len(th) >= {k}
+      )
+    ),
+    batch_dups AS (
+      SELECT h FROM spans GROUP BY h HAVING COUNT(*) > 1
+    ),
+    dup_hashes AS (
+      SELECT h FROM batch_dups UNION SELECT h FROM store
+    ),
+    dup AS (
+      SELECT doc_id, n_tokens, pos FROM spans WHERE h IN (SELECT h FROM dup_hashes)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -{k}) > {k}
+             THEN 1 ELSE 0 END AS new_island
+      FROM dup
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    iv AS (
+      SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + {k} AS end_pos
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_remove_intervals,
+             SUM(end_pos - start_pos) AS removed_tokens
+      FROM iv GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM {source}
+      WHERE {new_where}
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(p.n_remove_intervals, 0) AS BIGINT) AS n_remove_intervals,
+           CAST(COALESCE(p.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+           CAST(b.n_tokens - COALESCE(p.removed_tokens, 0) AS BIGINT) AS kept_tokens,
+           ROUND(CAST(COALESCE(p.removed_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
+             AS removed_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """

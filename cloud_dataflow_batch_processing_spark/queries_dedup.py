@@ -882,3 +882,25 @@ def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("verdict"),
     )
+
+
+@register(
+    "substring_dedup_incremental",
+    oracle=SUB.incremental_substring_stats_sql(
+        "doc_id % 5 = 0", "doc_id % 5 <> 0"
+    ),
+    late=True,
+)
+def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring dedup (extensions/substring.py): a NEW
+    batch (doc_id % 5 == 0) audited against the persisted span-hash
+    STORE of the existing corpus — the old corpus is never rescanned;
+    a new span is duplicated iff it's in the store or repeats within
+    the batch (provably equal to the full-corpus run restricted to the
+    batch — unit-pinned). The daily-increment member of the substring
+    family, mirroring dedup_incremental_minhash / ivf_index_append."""
+    d = load_tables(spark, sf_dir)["documents"]
+    old = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    store = SUB.span_store(old)
+    return SUB.incremental_substring_dup_stats(new, store)

@@ -268,3 +268,40 @@ def test_stats_corr_ols_matches_numpy(spark, sf_dir):
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(row["ols_slope"] - slope) < 1e-4
     assert abs(row["ols_intercept"] - intercept) < 1e-2
+
+
+def test_incremental_equals_full_restricted(spark, corpus):
+    """The incremental contract: stats for a new batch against the old
+    corpus's span store == the FULL-corpus run restricted to the new
+    docs (total-count > 1 decomposes exactly into store-hit OR
+    batch-repeat)."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    df, _ = corpus
+    old = df.filter(F.col("doc_id") <= 4)
+    new = df.filter(F.col("doc_id") > 4)
+    inc = sorted(
+        map(tuple, SS.incremental_substring_dup_stats(new, SS.span_store(old)).collect())
+    )
+    release_managed_caches()
+    full = sorted(
+        r for r in map(tuple, SS.substring_dup_stats(df).collect()) if r[0] > 4
+    )
+    release_managed_caches()
+    assert inc == full
+
+
+def test_span_store_merge_composes(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    df, _ = corpus
+    whole = sorted(map(tuple, SS.span_store(df).collect()))
+    a = SS.span_store(df.filter(F.col("doc_id") % 2 == 0))
+    b = SS.span_store(df.filter(F.col("doc_id") % 2 == 1))
+    merged = sorted(map(tuple, SS.span_store_merge(a, b).collect()))
+    assert merged == whole
