@@ -1229,3 +1229,40 @@ def stats_corr_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 8).alias("ols_slope"),
         F.round((sy - slope * sx) / n, 8).alias("ols_intercept"),
     )
+
+
+@register(
+    "salted_join_lineitem_orders",
+    late=True,
+    oracle="""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def salted_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/skew.py::salt_explode_small_side):
+    the big side salts randomly, the small side explodes across all
+    salts, the join runs on (key, salt) — the manual mitigation for
+    when AQE's runtime skew split isn't available (streaming joins,
+    older engines) or the small side is too big to broadcast. The
+    oracle is the PLAIN join aggregate: a hash match proves salting is
+    result-invisible."""
+    from cloud_dataflow_batch_processing_spark.operators.skew import (
+        salt_explode_small_side,
+    )
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_orderkey").alias("o_orderkey"), "l_returnflag")
+    o = t["orders"].select("o_orderkey", "o_totalprice")
+    big_s, small_s, cols = salt_explode_small_side(li, o, "o_orderkey", 8)
+    return (
+        big_s.join(small_s, on=cols)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
