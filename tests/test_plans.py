@@ -541,3 +541,30 @@ def test_round4_warehouse_shuffle_budgets(spark, sf_dir):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan or name == "approx_quantile_histogram", name
+
+
+def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
+    """Blanket scale guarantee: NO registered query plans a
+    CartesianProduct, and BroadcastNestedLoopJoin appears only in the
+    whitelisted single-row scalar crosses (the p50 x p90 / est x est
+    combinations, each side exactly one row by construction). A new
+    query that accidentally introduces an unbounded cross product
+    fails this sweep."""
+    single_row_cross_ok = {
+        "approx_quantile_histogram",  # p50 x p90: both sides 1 row
+        "approx_distinct_hll",        # est x est: both sides 1 row
+        "funnel_signup_click_purchase",  # 3 single-row stage aggregates crossed
+        "dedup_ngram_jaccard",  # brute-force ground truth, doc_id < 40 slice
+    }
+    offenders = []
+    for name, q in REGISTRY.items():
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # a query that cannot even plan is worse
+            offenders.append((name, f"plan error: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            offenders.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in single_row_cross_ok:
+            offenders.append((name, "BroadcastNestedLoopJoin"))
+    assert not offenders, offenders
