@@ -118,6 +118,8 @@ def read_csv(
     all_strings: bool = False,
     multi_line: bool = False,
     sep: str = ",",
+    mode: str = "PERMISSIVE",
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """CSV scan — subsumes the reference's ReadFromText + parse_method
     pair (dataflow_pipeline.py:153,57-99).
@@ -125,6 +127,17 @@ def read_csv(
     ``all_strings=True`` reproduces the reference's "data is not
     transformed" mode (every field read as string; dataflow_pipeline.py:
     64-66): pass the typed schema and we derive its all-string twin.
+
+    Malformed-row policy (``mode``), the ingestion-hygiene knob a
+    100 TB CSV load needs (the reference's parse_method silently
+    yields whatever split() produces — dataflow_pipeline.py:57-99):
+    - ``PERMISSIVE`` (default): bad rows NULL-fill; pass
+      ``corrupt_record_col`` to also capture each bad row's raw text
+      in a quarantine column (added to the schema automatically) so
+      the load can route rejects to a dead-letter sink instead of
+      losing them.
+    - ``DROPMALFORMED``: bad rows dropped.
+    - ``FAILFAST``: the job fails on the first bad row.
     """
     reader = (
         spark.read.option("header", header)
@@ -132,7 +145,14 @@ def read_csv(
         .option("multiLine", multi_line)
         .option("quote", '"')
         .option("escape", '"')
+        .option("mode", mode)
     )
+    if corrupt_record_col:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+        if schema is not None and corrupt_record_col not in schema.fieldNames():
+            schema = T.StructType(
+                [*schema.fields, T.StructField(corrupt_record_col, T.StringType(), True)]
+            )
     if schema is not None:
         if all_strings:
             from cloud_dataflow_batch_processing_spark.schema import all_string_struct

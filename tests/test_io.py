@@ -220,3 +220,36 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", 9.5)}
     # and the evolved column is filterable (NULL-safe predicate)
     assert merged.filter(F.col("v2").isNotNull()).count() == 1
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """Ingestion hygiene: PERMISSIVE quarantines bad rows into the
+    corrupt-record column (dead-letter routing), DROPMALFORMED drops
+    them, FAILFAST refuses the load."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from cloud_dataflow_batch_processing_spark.sources.text import read_csv
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,qty\n1,10\nbad_row_no_comma_number,\n3,30\n2,not_a_number\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("qty", T.LongType())]
+    )
+
+    perm = read_csv(
+        spark, str(p), schema=schema, mode="PERMISSIVE", corrupt_record_col="_bad"
+    ).cache()
+    rows = perm.collect()
+    assert len(rows) == 4
+    quarantined = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert any("not_a_number" in q for q in quarantined)
+    good = {r["id"]: r["qty"] for r in rows if r["_bad"] is None}
+    assert good == {1: 10, 3: 30}
+    perm.unpersist()
+
+    dropped = read_csv(spark, str(p), schema=schema, mode="DROPMALFORMED")
+    assert {r["id"] for r in dropped.collect()} == {1, 3}
+
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), schema=schema, mode="FAILFAST").collect()
