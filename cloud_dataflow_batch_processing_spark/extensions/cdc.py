@@ -33,8 +33,25 @@ def apply_changes(
     replaced (op='U') or dropped (op='D'); 'U' rows with new keys are
     inserted. ``changes`` must carry the full row schema of ``base``
     plus ``op_col``, at most one row per key (enforce upstream with a
-    last-wins dedup — ``exact_dedup``/max-ts — like any MERGE)."""
+    last-wins dedup — ``exact_dedup``/max-ts — like any MERGE).
+
+    Op values are validated IN the plan (ADVICE r4): any op outside
+    ('U', 'D') — including NULL — raises at execution time instead of
+    silently deleting the row (the old behavior: an unrecognized op's
+    key was anti-joined out of base but never re-inserted). The check
+    is a ``raise_error`` branch folded into the changeset projection —
+    zero extra actions, fully distributed, fail-fast on first bad row."""
     keys = list(key_cols)
+    checked_op = F.when(F.col(op_col).isin("U", "D"), F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"apply_changes: unrecognized {op_col!r} value "),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(" (expected 'U' or 'D')"),
+            )
+        )
+    )
+    changes = changes.withColumn(op_col, checked_op)
     survivors = base.join(changes.select(*keys), on=keys, how="left_anti")
     upserts = changes.filter(F.col(op_col) == "U").drop(op_col)
     return survivors.unionByName(upserts)

@@ -215,7 +215,10 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     BMP, and stamp the new dims. Rows whose content is not a decodable
     image pass through unchanged (a corrupt file must not kill a 100 TB
     job; the caller filters on meta dims if it needs only successes).
-    Arrow-batched mapInPandas, 1→1, schema-stable."""
+    Arrow-batched mapInPandas, 1→1, schema-stable. ``batch_size``
+    bounds how many decoded blobs are held at once: each incoming
+    Arrow batch is re-sliced and yielded in ``batch_size``-row chunks
+    (ADVICE r4 — the parameter used to be accepted but ignored)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -225,27 +228,29 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_content, out_meta = [], []
-            for content, meta in zip(pdf["content"], pdf["meta"]):
-                kind = sniff_format(bytes(content) if content is not None else None)
-                try:
-                    if kind in ("bmp", "ppm", "png"):
-                        w, h, rgb = MC.decode_image(kind, bytes(content))
-                        resized = MC.resize_nearest(w, h, rgb, width, height)
-                        out_content.append(MC.encode_bmp(width, height, resized))
-                        meta = dict(meta) if meta is not None else {}
-                        meta.update({"mime": "image/bmp", "width": width, "height": height})
-                        out_meta.append(meta)
-                        continue
-                except Exception:
-                    pass  # undecodable image: fall through to passthrough
-                out_content.append(content)
-                out_meta.append(meta)
-            pdf = pdf.copy()
-            pdf["content"] = out_content
-            pdf["meta"] = out_meta
-            yield pdf
+        for full in batches:
+            for lo in range(0, len(full), batch_size):
+                pdf = full.iloc[lo : lo + batch_size]
+                out_content, out_meta = [], []
+                for content, meta in zip(pdf["content"], pdf["meta"]):
+                    kind = sniff_format(bytes(content) if content is not None else None)
+                    try:
+                        if kind in ("bmp", "ppm", "png"):
+                            w, h, rgb = MC.decode_image(kind, bytes(content))
+                            resized = MC.resize_nearest(w, h, rgb, width, height)
+                            out_content.append(MC.encode_bmp(width, height, resized))
+                            meta = dict(meta) if meta is not None else {}
+                            meta.update({"mime": "image/bmp", "width": width, "height": height})
+                            out_meta.append(meta)
+                            continue
+                    except Exception:
+                        pass  # undecodable image: fall through to passthrough
+                    out_content.append(content)
+                    out_meta.append(meta)
+                pdf = pdf.copy()
+                pdf["content"] = out_content
+                pdf["meta"] = out_meta
+                yield pdf
 
     return df.mapInPandas(run, schema=schema)
 
@@ -255,7 +260,8 @@ def resample_audio(df: DataFrame, sample_rate: int, batch_size: int = 64) -> Dat
     pure-Python RIFF/PCM16 codec), nearest-frame resample to
     ``sample_rate`` (integer index math — byte-deterministic),
     re-encode, and stamp the new duration. Non-WAV rows pass through
-    unchanged, same fault posture as resize_images."""
+    unchanged, same fault posture (and same ``batch_size`` re-slicing)
+    as resize_images."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -265,29 +271,31 @@ def resample_audio(df: DataFrame, sample_rate: int, batch_size: int = 64) -> Dat
     schema = df.schema
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out_content, out_meta = [], []
-            for content, meta in zip(pdf["content"], pdf["meta"]):
-                kind = sniff_format(bytes(content) if content is not None else None)
-                try:
-                    if kind == "wav":
-                        wav = MC.decode_wav(bytes(content))
-                        res = MC.resample_wav_nearest(wav, sample_rate)
-                        out_content.append(
-                            MC.encode_wav(res.samples, res.sample_rate, res.channels)
-                        )
-                        meta = dict(meta) if meta is not None else {}
-                        meta.update({"mime": "audio/wav", "duration_ms": res.duration_ms})
-                        out_meta.append(meta)
-                        continue
-                except Exception:
-                    pass
-                out_content.append(content)
-                out_meta.append(meta)
-            pdf = pdf.copy()
-            pdf["content"] = out_content
-            pdf["meta"] = out_meta
-            yield pdf
+        for full in batches:
+            for lo in range(0, len(full), batch_size):
+                pdf = full.iloc[lo : lo + batch_size]
+                out_content, out_meta = [], []
+                for content, meta in zip(pdf["content"], pdf["meta"]):
+                    kind = sniff_format(bytes(content) if content is not None else None)
+                    try:
+                        if kind == "wav":
+                            wav = MC.decode_wav(bytes(content))
+                            res = MC.resample_wav_nearest(wav, sample_rate)
+                            out_content.append(
+                                MC.encode_wav(res.samples, res.sample_rate, res.channels)
+                            )
+                            meta = dict(meta) if meta is not None else {}
+                            meta.update({"mime": "audio/wav", "duration_ms": res.duration_ms})
+                            out_meta.append(meta)
+                            continue
+                    except Exception:
+                        pass
+                    out_content.append(content)
+                    out_meta.append(meta)
+                pdf = pdf.copy()
+                pdf["content"] = out_content
+                pdf["meta"] = out_meta
+                yield pdf
 
     return df.mapInPandas(run, schema=schema)
 

@@ -270,7 +270,7 @@ def hll_register_table(df: DataFrame, key_col: str) -> DataFrame:
     with ``functions.text.rolling_hash`` first (the CMS convention);
     ``key_col`` may be any SQL expression string, so
     ``hll_register_table(df, "rolling-hash-sql-expr")`` composes."""
-    rows = df.filter(F.col(key_col).isNotNull()).select(
+    rows = df.filter(F.expr(f"({key_col}) IS NOT NULL")).select(
         F.expr(hll_reg_sql(key_col)).alias("reg"),
         F.expr(hll_rho_sql(key_col)).alias("rho"),
     )

@@ -54,6 +54,29 @@ from cloud_dataflow_batch_processing_spark.functions.text import (
 
 SPAN_TOKENS = 8
 
+# Logical operators that imply the frame is already shuffle-spread
+# (so the pre-hash fan-out repartition would be a pure pessimization,
+# and probing .rdd partition counts would force AQE to execute the
+# upstream stages just for metadata).
+_WIDE_NODE_PREFIXES = ("Join", "Aggregate", "Repartition", "Window", "Rebalance")
+
+
+def _plan_has_wide_node(df: DataFrame) -> bool:
+    """True if the analyzed logical plan contains a shuffle-introducing
+    node. Walks node CLASS names via py4j (Join, Aggregate,
+    RepartitionByExpression, Window, ...) — never the rendered plan
+    string, which false-positives on column/relation names that happen
+    to contain 'Join'/'Window' (ADVICE r4)."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName().startswith(_WIDE_NODE_PREFIXES):
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False
+
 
 def _dup_spans(
     df: DataFrame,
@@ -99,10 +122,11 @@ def _dup_spans(
         # and probing .rdd.getNumPartitions() on such a frame forces
         # AQE to EXECUTE its upstream stages — measured as a full
         # duplicate run of the corpus pipeline in corpus_build_full.
-        plan_str = df._jdf.queryExecution().analyzed().toString()
-        scan_shaped = not any(
-            op in plan_str for op in ("Join", "Aggregate", "Repartition", "Window")
-        )
+        # Walk the analyzed plan's node CLASS names, not the plan
+        # string (ADVICE r4): a column or relation named e.g.
+        # "window_start" must not false-positive and silently skip the
+        # fan-out (single-task hashing on small-split inputs).
+        scan_shaped = not _plan_has_wide_node(df)
         sc = df.sparkSession.sparkContext
         if scan_shaped and df.rdd.getNumPartitions() < sc.defaultParallelism:
             df = df.repartition(sc.defaultParallelism, F.col(id_col))

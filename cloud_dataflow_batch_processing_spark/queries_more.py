@@ -525,24 +525,26 @@ def zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "snapshot_diff_orders",
     oracle=f"""
     WITH oldv AS (
-      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             NULLIF(o_custkey % 5, 0) AS v2 FROM orders
     ),
     newv AS (
       SELECT o_orderkey, o_custkey,
-             o_totalprice + CASE WHEN o_orderkey % 31 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice
-      FROM orders WHERE o_orderkey % 97 <> 0
+             o_totalprice + CASE WHEN o_orderkey % 31 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice,
+             CASE WHEN o_orderkey % 53 = 0 THEN COALESCE(v2, -1) + 10 ELSE v2 END AS v2
+      FROM oldv WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 10000000, o_custkey, o_totalprice
-      FROM orders WHERE o_orderkey % 113 = 0
+      SELECT o_orderkey + 10000000000000, o_custkey, o_totalprice, v2
+      FROM oldv WHERE o_orderkey % 113 = 0
     ),
     osig AS (
       SELECT o_orderkey,
-             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey"])} AS sig_old
+             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey", "v2"])} AS sig_old
       FROM oldv
     ),
     nsig AS (
       SELECT o_orderkey,
-             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey"])} AS sig_new
+             {row_signature_sql(["CAST(FLOOR(o_totalprice * 100) AS BIGINT)", "o_custkey", "v2"])} AS sig_new
       FROM newv
     )
     SELECT * FROM (
@@ -561,11 +563,22 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     side reduces to (key, BIGINT signature) before the full-outer
     join — the narrowest shuffle a diff can have; pairs with
     `table_fingerprint` (that says WHETHER copies diverge, this says
-    WHICH rows)."""
+    WHICH rows).
+
+    The NULL-bearing compare column ``v2`` (NULL where custkey%5==0,
+    mutated NULL→value for keys %53) routes the driver's oracle gate
+    through row_signature's null-flag terms: with the pre-fix
+    NULL-propagating signature every v2-NULL row would misclassify as
+    'added' and the hash would diverge (ADVICE r3/VERDICT r4 #1)."""
     from cloud_dataflow_batch_processing_spark.extensions.diff import snapshot_diff
 
     o = load_tables(spark, sf_dir)["orders"]
-    old = o.select("o_orderkey", "o_custkey", "o_totalprice")
+    old = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.expr("NULLIF(o_custkey % 5, 0)").alias("v2"),
+    )
     new = (
         old.filter(F.col("o_orderkey") % 97 != 0)
         .withColumn(
@@ -573,13 +586,20 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice")
             + F.when(F.col("o_orderkey") % 31 == 0, F.lit(1.0)).otherwise(F.lit(0.0)),
         )
+        .withColumn(
+            "v2",
+            F.when(
+                F.col("o_orderkey") % 53 == 0,
+                F.coalesce(F.col("v2"), F.lit(-1)) + 10,
+            ).otherwise(F.col("v2")),
+        )
         .unionByName(
             old.filter(F.col("o_orderkey") % 113 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 10_000_000
+                "o_orderkey", F.col("o_orderkey") + 10_000_000_000_000
             )
         )
     )
-    cmp_cols = [F.floor(F.col("o_totalprice") * 100), F.col("o_custkey")]
+    cmp_cols = [F.floor(F.col("o_totalprice") * 100), F.col("o_custkey"), F.col("v2")]
     return snapshot_diff(old, new, ["o_orderkey"], cmp_cols)
 
 
@@ -899,8 +919,11 @@ from cloud_dataflow_batch_processing_spark.extensions import cdc as CDC  # noqa:
 
 # Deterministic synthetic changeset over orders, derivable identically
 # in both engines: keys ending in 0 are deleted, keys ending in 1 are
-# re-priced (+1.5), keys ending in 2 are re-inserted shifted by 10^7
-# (novel keys). Exercises all three MERGE arms.
+# re-priced (+1.5), keys ending in 2 are re-inserted shifted by 10^13
+# (novel keys; ADVICE r4 — 10^7 collided with real o_orderkey above
+# ~SF1.6, o_orderkey ~ 6M*SF, so the shift must clear any plausible
+# SF; 10^13 clears SF ~1.6M while staying in BIGINT). Exercises all
+# three MERGE arms.
 _CDC_CHANGES_SQL = """
     SELECT o_orderkey, o_custkey, o_orderstatus,
            o_totalprice + 1.5 AS o_totalprice, o_orderpriority, 'U' AS op
@@ -910,7 +933,7 @@ _CDC_CHANGES_SQL = """
            o_totalprice, o_orderpriority, 'D' AS op
     FROM orders WHERE o_orderkey % 10 = 0
     UNION ALL
-    SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, o_orderstatus,
+    SELECT o_orderkey + 10000000000000 AS o_orderkey, o_custkey, o_orderstatus,
            o_totalprice, o_orderpriority, 'U' AS op
     FROM orders WHERE o_orderkey % 10 = 2
 """
@@ -947,7 +970,7 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(o.filter(last == 0).withColumn("op", F.lit("D")))
         .unionByName(
             o.filter(last == 2)
-            .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+            .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000_000_000)
             .withColumn("op", F.lit("U"))
         )
     )

@@ -102,7 +102,16 @@ def early_and_final(
     return q_early, q_final
 
 
-def discarding_early_sink(sink, key_cols: list[str], value_cols: list[str]):
+_EVICTED = object()  # undo-log sentinel: key was absent before the batch
+
+
+def discarding_early_sink(
+    sink,
+    key_cols: list[str],
+    value_cols: list[str],
+    evict_col: str | None = None,
+    evict_lateness=None,
+):
     """Adapter turning an ACCUMULATING early-pane sink into a
     DISCARDING one (beam/transforms/trigger.py:62 AccumulationMode.
     DISCARDING): each delivered pane carries only the DELTA since the
@@ -119,27 +128,58 @@ def discarding_early_sink(sink, key_cols: list[str], value_cols: list[str]):
     State is held in the adapter (per query run — matches a trigger's
     pane lineage, which is also per-run state in Beam's driver).
 
+    Bounded state (VERDICT r4 #7): two mechanisms keep the baseline
+    from growing without bound on high-cardinality key domains:
+
+    - The replay snapshot is an UNDO LOG of only the entries the batch
+      touched — O(batch churn) per batch, never an O(total keys) copy
+      (update-mode early panes deliver only changed keys, so churn is
+      the natural batch size).
+    - Optional watermark eviction: pass ``evict_col`` (a key column
+      that is the window END — epoch number or timestamp) and
+      ``evict_lateness`` (same units / a timedelta). After each batch,
+      keys whose ``evict_col`` value <= max_seen - lateness are
+      dropped: their window is past the watermark, the trigger can
+      never fire another early pane for it. State is then bounded by
+      (active windows × keys per window). A key that reappears AFTER
+      eviction (later than allowed lateness) baselines at 0 and
+      re-emits its full value — consistent with Beam's at-least-once
+      pane delivery, and the final (append-mode) pane stays
+      authoritative.
+
     At-least-once discipline (ADVICE r2 #3): foreachBatch may redeliver
     a batch (task retry, or restart from checkpoint re-running the last
     uncommitted batch). A redelivered batch_id rolls the baseline back
-    to its pre-batch snapshot before recomputing, so the deltas come
-    out identical instead of being double-subtracted against an
-    already-advanced baseline. Caveat: the snapshot lives in driver
-    memory — a full PROCESS restart that replays the last batch from
-    the checkpoint starts with an empty baseline; panes delivered
-    before the restart are then re-emitted as full values, matching
-    Beam's own at-least-once pane delivery contract.
+    via the undo log (including entries evicted by the first delivery)
+    before recomputing, so the deltas come out identical instead of
+    being double-subtracted against an already-advanced baseline.
+    Caveat: the undo log lives in driver memory — a full PROCESS
+    restart that replays the last batch from the checkpoint starts with
+    an empty baseline; panes delivered before the restart are then
+    re-emitted as full values, matching Beam's contract.
     """
+    if (evict_col is None) != (evict_lateness is None):
+        raise ValueError("evict_col and evict_lateness must be passed together")
+    evict_idx = key_cols.index(evict_col) if evict_col is not None else None
+
     prev: dict[tuple, tuple] = {}
-    # Snapshot of the baseline before the most recent batch, for replay.
-    replay: dict = {"batch_id": None, "snapshot": None}
+    # Undo log for the most recent batch: touched key -> pre-batch
+    # value (or _EVICTED if absent), plus the pre-batch max watermark.
+    replay: dict = {"batch_id": None, "undo": None, "max_wm": None}
+    state: dict = {"max_wm": None}
 
     def wrapped(df, batch_id):
-        if replay["batch_id"] == batch_id and replay["snapshot"] is not None:
-            prev.clear()
-            prev.update(replay["snapshot"])
+        if replay["batch_id"] == batch_id and replay["undo"] is not None:
+            for k, v in replay["undo"].items():
+                if v is _EVICTED:
+                    prev.pop(k, None)
+                else:
+                    prev[k] = v
+            state["max_wm"] = replay["max_wm"]
+        undo: dict[tuple, tuple] = {}
         replay["batch_id"] = batch_id
-        replay["snapshot"] = dict(prev)
+        replay["undo"] = undo
+        replay["max_wm"] = state["max_wm"]
         rows = df.collect()
         if not rows:
             return sink(df, batch_id)
@@ -149,14 +189,33 @@ def discarding_early_sink(sink, key_cols: list[str], value_cols: list[str]):
             k = tuple(d[c] for c in key_cols)
             cur = tuple(d[c] for c in value_cols)
             last = prev.get(k, tuple(0 for _ in value_cols))
+            undo.setdefault(k, prev.get(k, _EVICTED))
             prev[k] = cur
             for c, cv, lv in zip(value_cols, cur, last):
                 d[c] = cv - lv
             out.append(d)
+        if evict_idx is not None:
+            batch_max = max(
+                (k[evict_idx] for k in undo if k[evict_idx] is not None),
+                default=None,
+            )
+            if batch_max is not None and (
+                state["max_wm"] is None or batch_max > state["max_wm"]
+            ):
+                state["max_wm"] = batch_max
+            if state["max_wm"] is not None:
+                # Strictly older than the horizon: at lateness=0 the
+                # newest window itself stays resident (it can still
+                # receive panes), windows that ended before it close.
+                horizon = state["max_wm"] - evict_lateness
+                for k in [k for k in prev if k[evict_idx] is not None and k[evict_idx] < horizon]:
+                    undo.setdefault(k, prev[k])
+                    del prev[k]
         spark = df.sparkSession
         yield_df = spark.createDataFrame(out, schema=df.schema)
         return sink(yield_df, batch_id)
 
+    wrapped.state_size = lambda: len(prev)  # test/observability hook
     return wrapped
 
 

@@ -57,3 +57,29 @@ def test_scd2_current_sentinel(spark):
     log = spark.createDataFrame([(1, "x", 10, 0)], "k long, s string, ts long, q long")
     r = scd2_intervals(log, ["k"], "ts", ["q"], current_sentinel=9999).collect()[0]
     assert (r["valid_to"], r["is_current"]) == (9999, True)
+
+
+def test_apply_changes_rejects_unknown_op(spark):
+    """ADVICE r4: an unrecognized op value (typo'd 'u', 'I', NULL) must
+    raise at execution, not silently delete the row."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    for bad in ["u", "I", None]:
+        changes = spark.createDataFrame(
+            [(2, "B", bad)], "k long, v string, op string"
+        )
+        with pytest.raises((Py4JJavaError, PySparkException), match="unrecognized|USER_RAISED"):
+            apply_changes(base, changes, ["k"]).collect()
+
+
+def test_apply_changes_valid_ops_unaffected_by_validation(spark):
+    """The raise_error branch must be dead for clean changesets."""
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    changes = spark.createDataFrame(
+        [(2, "B", "U"), (3, None, "D")], "k long, v string, op string"
+    )
+    got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
+    assert got == {1: "a", 2: "B"}

@@ -149,3 +149,29 @@ def test_resample_audio_real(spark):
     assert got.sample_rate == 4000
     assert got.samples == [0, 200, 400, 600]
     assert bytes(out[2]["content"]) == b"nope"
+
+
+def test_resize_images_batch_size_slicing(spark):
+    """ADVICE r4: batch_size must actually bound the rows processed per
+    yielded chunk — results are identical at batch_size=1 vs default,
+    and a batch_size smaller than the row count still covers all rows."""
+    from cloud_dataflow_batch_processing_spark.extensions import media_codecs as MC
+    from cloud_dataflow_batch_processing_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    bmp = MC.encode_bmp(4, 4, bytes(range(48)))
+    rows = [
+        (i, "image", bmp, {"mime": "image/bmp", "width": 4, "height": 4, "duration_ms": None})
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(1)
+    small = sorted(
+        (r["media_id"], bytes(r["content"])) for r in resize_images(df, 2, 2, batch_size=2).collect()
+    )
+    big = sorted(
+        (r["media_id"], bytes(r["content"])) for r in resize_images(df, 2, 2).collect()
+    )
+    assert small == big
+    assert len(small) == 7

@@ -600,3 +600,17 @@ def test_scale_docs_generator_deterministic():
     assert a == b
     assert len({r[1] for r in a}) < 2000  # exact dups are planted
     assert N_DOCS == 50_000
+
+
+def test_hll_register_table_accepts_expression_key(spark):
+    """ADVICE r4: key_col is documented as any SQL expression string —
+    the NULL filter must resolve it with F.expr, not F.col."""
+    from cloud_dataflow_batch_processing_spark.extensions.sketch import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(200)] + [(None,)], "k long")
+    regs = hll_register_table(df, "(k * 2 + 1)")  # expression, not a column name
+    est = hll_estimate(regs).collect()[0]["est"]
+    assert 150 <= est <= 260  # coarse: the point is it runs and is sane

@@ -305,3 +305,26 @@ def test_span_store_merge_composes(spark, corpus):
     b = SS.span_store(df.filter(F.col("doc_id") % 2 == 1))
     merged = sorted(map(tuple, SS.span_store_merge(a, b).collect()))
     assert merged == whole
+
+
+def test_plan_wide_node_walk_ignores_lookalike_names(spark):
+    """ADVICE r4: the scan-shape probe walks plan node CLASS names; a
+    column named 'window_start' or a relation alias containing 'Join'
+    must NOT make a plain scan-shaped frame look wide."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions.substring import (
+        _plan_has_wide_node,
+    )
+
+    plain = spark.createDataFrame(
+        [(1, "a b c")], "window_start long, JoinAggregateRepartition string"
+    ).select(F.col("window_start").alias("id"), F.col("JoinAggregateRepartition"))
+    assert not _plan_has_wide_node(plain)
+
+    agg = plain.groupBy("id").count()
+    assert _plan_has_wide_node(agg)
+    joined = plain.join(plain.select("id"), "id")
+    assert _plan_has_wide_node(joined)
+    repart = plain.repartition(4, F.col("id"))
+    assert _plan_has_wide_node(repart)
