@@ -113,6 +113,27 @@ def scale_bench(spark) -> dict:
     duck_pairs = {(r[0], r[1]) for r in duck_rows["dedup_minhash_pairs_fast"]}
     spark_sub = {tuple(r) for r in substring_q().collect()}
     duck_sub = {tuple(r) for r in duck_rows["substring_dedup_stats"]}
+
+    # corpus_build_full at 50k docs (VERDICT r4 #6): the heaviest
+    # headline composition gets its own sf1-equivalent point. The
+    # registry fn runs unmodified against the scale corpus dir (the
+    # lazy load_tables only touches documents.parquet), and DuckDB
+    # runs the registry's own composed oracle on the same parquet —
+    # exact value-set match, not just timing.
+    build_fn = REGISTRY["corpus_build_full"].fn
+    scale_dir = os.path.dirname(path)
+    runs = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        build_fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
+        runs.append(time.perf_counter() - t0)
+    release_managed_caches()
+    spark_t["corpus_build_full"] = {"cold": round(runs[0], 4), "warm": round(min(runs), 4)}
+    spark_build = {tuple(r) for r in build_fn(spark, scale_dir).collect()}
+    release_managed_caches()
+    t0 = time.perf_counter()
+    duck_build = {tuple(r) for r in con.execute(REGISTRY["corpus_build_full"].oracle).fetchall()}
+    duck_t["corpus_build_full"] = {"sec": round(time.perf_counter() - t0, 4)}
     def _soft(fn):
         try:
             return fn(spark)
@@ -128,6 +149,7 @@ def scale_bench(spark) -> dict:
         "n_near_dup_pairs": len(spark_pairs),
         "pairs_match_oracle": spark_pairs == duck_pairs,
         "substring_match_oracle": spark_sub == duck_sub,
+        "build_full_match_oracle": spark_build == duck_build,
         "spark": spark_t,
         "duckdb": duck_t,
     }

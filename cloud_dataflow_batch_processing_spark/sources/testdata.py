@@ -8,6 +8,7 @@ documents embeddings — one parquet per table under
 from __future__ import annotations
 
 import os
+from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
@@ -84,6 +85,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
-    sf_dir = sf_dir or DEFAULT_SF_DIR
-    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+class _LazyTables(Mapping):
+    """Mapping facade over :func:`load_table` that reads a table's
+    parquet footer only when the table is actually ACCESSED. Queries
+    touch 1-3 of the 10 tables, so the eager dict paid 7-9 needless
+    footer reads/schema inferences per call on a cold frame cache —
+    and it required every table to exist, which broke running a
+    registered query against a partial directory (e.g. the bench's
+    documents-only 50k scale corpus)."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in TABLES:
+            raise KeyError(name)
+        return load_table(self._spark, self._sf_dir, name)
+
+    def __iter__(self):
+        return iter(TABLES)
+
+    def __len__(self) -> int:
+        return len(TABLES)
+
+
+def load_tables(spark: SparkSession, sf_dir: str | None = None) -> Mapping[str, DataFrame]:
+    return _LazyTables(spark, sf_dir or DEFAULT_SF_DIR)
