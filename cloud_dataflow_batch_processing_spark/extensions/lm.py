@@ -1,0 +1,108 @@
+"""Corpus-trained unigram frequency-class scoring — the distributed
+shape of CCNet/Gopher-style LM quality filtering (score every document
+by how "typical" its tokens are; drop the tails before training).
+
+A production pipeline scores with a trained KenLM; no LM toolkit ships
+in this container, and a float log-probability would not survive the
+cross-engine value gate anyway (libm `ln` and float summation order
+both differ between engines). So the score here is the INTEGER-EXACT
+analog: each token's corpus frequency maps to its frequency class
+``floor(log2(count)) = length(bin(count)) - 1`` — a pure integer both
+engines compute identically — and a document scores the exact rational
+``sum(class) / n_tokens``, rounded once at the end. The *plumbing* is
+exactly the LM-filter plumbing (train = one hash-agg over the corpus,
+score = explode + join + per-doc agg); swapping the class column for a
+real LM's quantized logprob table changes nothing structural.
+
+Scale posture (100 TB):
+- Training is ONE hash aggregation: tokens shuffle once on the token
+  key with map-side partial counts; the freq table is vocab-sized
+  (millions of rows — orders of magnitude below the corpus) and
+  counter-sum MERGEABLE, so shards/days train independently and merge
+  (same incremental posture as the sketch family).
+- Scoring joins exploded tokens to the freq table on ``tok``: AQE
+  broadcasts the freq side when it fits, else it's a hash join keyed
+  by token — bounded by total token count, never all-pairs.
+- No collects, no UDFs — every expression is codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cloud_dataflow_batch_processing_spark.functions.text import tokens, tokens_sql
+
+
+def unigram_freq(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train: (tok, cnt) corpus frequency table — one hash-agg shuffle.
+    Mergeable: counter-sum two tables (any sharding) == training on
+    the union, exactly (unit-pinned)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def unigram_freq_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two frequency tables (shard/day increments): counter sum."""
+    return a.unionByName(b).groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+
+
+def freq_class(cnt: F.Column) -> F.Column:
+    """floor(log2(cnt)) via the binary-string length — integer-exact in
+    both engines (no float log), defined for cnt >= 1."""
+    return (F.length(F.bin(cnt)) - 1).cast("long")
+
+
+def unigram_score(
+    df: DataFrame,
+    freq: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    unseen_class: int = -1,
+) -> DataFrame:
+    """Score each document: exact mean frequency class of its tokens
+    (ROUND(sum(class)/n, 4) — integer sum and count, one double
+    division, so the VALUE is engine-identical). Tokens absent from
+    ``freq`` (scoring against a foreign/stale table) take
+    ``unseen_class``, one below the rarest real class. Token-less
+    documents produce no row (nothing to score — same contract as the
+    dedup family's empty-doc handling)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    classed = freq.select("tok", freq_class(F.col("cnt")).alias("cls"))
+    return (
+        toks.join(classed, "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(F.coalesce(F.col("cls"), F.lit(unseen_class)))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("lm_score"),
+        )
+    )
+
+
+def unigram_score_sql(
+    source: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of train-on-corpus + score-corpus (the self-scoring
+    shape the registered query uses; every token is seen by
+    construction, so the unseen branch is dead here and omitted)."""
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest({tokens_sql(text_col)}) AS tok FROM {source}
+    ),
+    freq AS (
+      SELECT tok, length(bin(COUNT(*))) - 1 AS cls FROM toks GROUP BY tok
+    )
+    SELECT t.{id_col},
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(f.cls) AS BIGINT) / COUNT(*), 4) AS lm_score
+    FROM toks t JOIN freq f USING (tok)
+    GROUP BY t.{id_col}
+    """

@@ -656,3 +656,28 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+from cloud_dataflow_batch_processing_spark.extensions import lm as LM  # noqa: E402
+
+
+@register(
+    "unigram_lm_quality",
+    # The quality-scoring class already holds a driver slot
+    # (text_quality_filter / corpus_clean_pipeline); the LM-filter
+    # variant registers late.
+    late=True,
+    oracle=LM.unigram_score_sql("documents"),
+)
+def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/Gopher-shaped LM quality filter, integer-exact: train a
+    unigram frequency table on the corpus (one mergeable hash-agg),
+    score every document by the exact mean frequency class
+    floor(log2(count)) of its tokens (extensions/lm.py — a trained
+    KenLM's quantized-logprob table would slot into the same join).
+    Train = 1 shuffle on tok; score = explode + AQE-broadcast join +
+    per-doc agg; the score VALUE is hash-certified (integer sums, one
+    double division)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    freq = LM.unigram_freq(d)
+    return LM.unigram_score(d, freq)

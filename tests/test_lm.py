@@ -1,0 +1,57 @@
+"""Unigram frequency-class LM scoring (extensions/lm.py): merge
+algebra, unseen-token smoothing, empty-doc contract, and the
+integer-exactness that makes the score cross-engine certifiable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.extensions import lm as LM
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_unigram_freq_merge_equals_whole(spark):
+    """Counter-sum merge of shard-trained tables == training on the
+    union — the incremental posture claimed in the module docstring."""
+    d = _docs(
+        spark,
+        [(1, "a b a"), (2, "b c"), (3, "a c c d"), (4, "d d a b")],
+    )
+    whole = {
+        (r["tok"], r["cnt"]) for r in LM.unigram_freq(d).collect()
+    }
+    a = LM.unigram_freq(d.filter(F.col("doc_id") <= 2))
+    b = LM.unigram_freq(d.filter(F.col("doc_id") > 2))
+    merged = {(r["tok"], r["cnt"]) for r in LM.unigram_freq_merge(a, b).collect()}
+    assert merged == whole
+
+
+def test_freq_class_is_floor_log2(spark):
+    rows = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,), (7,), (8,), (1023,), (1024,)], "cnt long"
+    ).select(LM.freq_class(F.col("cnt")).alias("cls"))
+    assert [r["cls"] for r in rows.collect()] == [0, 1, 1, 2, 2, 3, 9, 10]
+
+
+def test_unigram_score_self_corpus(spark):
+    """Self-scored corpus: every token seen; exact mean class. Corpus:
+    'a' appears 4x (class 2), 'b' 2x (class 1), 'c' 1x (class 0)."""
+    d = _docs(spark, [(1, "a a b"), (2, "a a b c")])
+    freq = LM.unigram_freq(d)
+    got = {r["doc_id"]: (r["n_tokens"], r["lm_score"]) for r in LM.unigram_score(d, freq).collect()}
+    # doc 1: classes 2,2,1 -> 5/3 = 1.6667 ; doc 2: 2,2,1,0 -> 5/4 = 1.25
+    assert got == {1: (3, 1.6667), 2: (4, 1.25)}
+
+
+def test_unigram_score_unseen_tokens_and_empty_docs(spark):
+    """Scoring against a FOREIGN freq table: unseen tokens take
+    unseen_class; docs with no tokens produce no row."""
+    train = _docs(spark, [(10, "a a b")])
+    freq = LM.unigram_freq(train)  # a->2 (cls 1), b->1 (cls 0)
+    score_me = _docs(spark, [(1, "a zzz"), (2, "   "), (3, "")])
+    got = {r["doc_id"]: (r["n_tokens"], r["lm_score"]) for r in LM.unigram_score(score_me, freq).collect()}
+    # doc 1: cls(a)=1, zzz unseen -> -1 ; mean = 0/2 = 0.0
+    assert got == {1: (2, 0.0)}
