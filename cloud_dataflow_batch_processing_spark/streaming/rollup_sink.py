@@ -20,6 +20,12 @@ Durability / delivery contract (the part foreachBatch makes YOU own):
   v=<b> is deterministic and double-merge is impossible.
 - Versions older than (latest, prev) are pruned — the store holds at
   most two snapshots.
+- The store is bound to ONE checkpoint lineage: batch_ids must be
+  monotonic, which Spark guarantees per checkpointLocation. Restarting
+  the stream with a FRESH checkpoint restarts batch_ids at 0 and would
+  fold batch 0 on top of the existing store — point a new checkpoint
+  at a new store (or a store seeded from a batch backfill via the
+  directly-invokable sink).
 
 Scale posture (100 TB): each micro-batch shuffles ONLY its own rows
 into (groups × shards) accumulator cells; the merge input is the

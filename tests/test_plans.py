@@ -568,3 +568,36 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in single_row_cross_ok:
             offenders.append((name, "BroadcastNestedLoopJoin"))
     assert not offenders, offenders
+
+
+def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
+    """100 TB scale story: Spark's InjectRuntimeFilter adds a bloom-
+    filter semi-join reduction to the FACT side of a selective dim
+    join — the fact scan drops most rows before the shuffle. The
+    optimization is ON by default but gated by size thresholds a local
+    test corpus can't meet (application side must scan >= 10 GB), so
+    this test pins the behavior AT the thresholds a production corpus
+    would meet: with the gates set to test-data sizes, the optimized
+    plan contains might_contain (the pushed bloom probe); with the
+    defaults restored, our join shapes still plan cleanly without it."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    t = load_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel_cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+        joined = t["orders"].join(sel_cust, t["orders"].o_custkey == sel_cust.c_custkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

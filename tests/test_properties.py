@@ -331,3 +331,32 @@ def test_hll_merge_associative_random_splits(spark):
     whole = S.hll_register_table(df, "k")
     t = lambda d: sorted(map(tuple, d.collect()))
     assert t(ab_c) == t(a_bc) == t(whole)
+
+
+def test_unigram_freq_merge_associative_random_corpus(spark):
+    """Unigram LM training merges like every mergeable structure here:
+    any seeded 3-way shard split, merged in any grouping, equals
+    training on the whole corpus — and scoring against the merged
+    table equals scoring against the whole-corpus table."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import lm as LM
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    parts = [df.filter(F.pmod(F.col("doc_id"), 3) == i) for i in range(3)]
+    freqs = [LM.unigram_freq(p) for p in parts]
+    ab_c = LM.unigram_freq_merge(LM.unigram_freq_merge(freqs[0], freqs[1]), freqs[2])
+    a_bc = LM.unigram_freq_merge(freqs[0], LM.unigram_freq_merge(freqs[1], freqs[2]))
+    whole = LM.unigram_freq(df)
+    t = lambda d: sorted(map(tuple, d.collect()))
+    assert t(ab_c) == t(a_bc) == t(whole)
+    s = lambda freq: sorted(map(tuple, LM.unigram_score(df, freq).collect()))
+    assert s(ab_c) == s(whole)
