@@ -80,13 +80,16 @@ def scale_bench(spark) -> dict:
         ("corpus_clean_pipeline", clean_q),
         ("substring_dedup_stats", substring_q),
     ):
+        # Three runs, warm = best of runs 2-3, same rationale as the
+        # headline loop's docstring (run 2 can land in the cold run's
+        # wake; min-of-2-including-cold can silently report cold).
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             q().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         release_managed_caches()
-        spark_t[name] = {"cold": round(runs[0], 4), "warm": round(min(runs), 4)}
+        spark_t[name] = {"cold": round(runs[0], 4), "warm": round(min(runs[1:]), 4)}
 
     con = duckdb.connect()
     con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
@@ -123,12 +126,12 @@ def scale_bench(spark) -> dict:
     build_fn = REGISTRY["corpus_build_full"].fn
     scale_dir = os.path.dirname(path)
     runs = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         build_fn(spark, scale_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
     release_managed_caches()
-    spark_t["corpus_build_full"] = {"cold": round(runs[0], 4), "warm": round(min(runs), 4)}
+    spark_t["corpus_build_full"] = {"cold": round(runs[0], 4), "warm": round(min(runs[1:]), 4)}
     spark_build = {tuple(r) for r in build_fn(spark, scale_dir).collect()}
     release_managed_caches()
     t0 = time.perf_counter()

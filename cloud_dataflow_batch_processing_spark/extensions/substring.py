@@ -58,7 +58,15 @@ SPAN_TOKENS = 8
 # (so the pre-hash fan-out repartition would be a pure pessimization,
 # and probing .rdd partition counts would force AQE to execute the
 # upstream stages just for metadata).
-_WIDE_NODE_PREFIXES = ("Join", "Aggregate", "Repartition", "Window", "Rebalance")
+_WIDE_NODE_PREFIXES = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "Window",
+    "Rebalance",
+    "Sort",         # global sort = range exchange
+    "Deduplicate",  # distinct() before optimization rewrites it
+)
 
 
 def _plan_has_wide_node(df: DataFrame) -> bool:
@@ -66,7 +74,10 @@ def _plan_has_wide_node(df: DataFrame) -> bool:
     node. Walks node CLASS names via py4j (Join, Aggregate,
     RepartitionByExpression, Window, ...) — never the rendered plan
     string, which false-positives on column/relation names that happen
-    to contain 'Join'/'Window' (ADVICE r4)."""
+    to contain 'Join'/'Window' (ADVICE r4). Subquery expressions carry
+    their own plans OUTSIDE children(), so each node's subqueries()
+    are walked too — a frame filtered on a scalar subquery whose only
+    Aggregate lives in the subquery is still shuffle-spread."""
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
@@ -75,6 +86,9 @@ def _plan_has_wide_node(df: DataFrame) -> bool:
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            stack.append(subqueries.apply(i))
     return False
 
 

@@ -15,9 +15,12 @@ Durability / delivery contract (the part foreachBatch makes YOU own):
   meta write is the commit point — a crash between the version write
   and the meta write leaves the old version live.
 - At-least-once redelivery (task retry, restart from checkpoint) is
-  idempotent: a redelivered batch_id rebases on the SAME predecessor
-  version recorded at first delivery (never on itself), so recomputing
-  v=<b> is deterministic and double-merge is impossible.
+  idempotent: a batch_id the meta already names as latest committed is
+  a NO-OP (its version is complete by the commit-point invariant, and
+  skipping means the live version directory is never rewritten in
+  place); a batch_id whose version write crashed before the meta
+  commit recomputes from the predecessor the meta still names —
+  deterministic, double-merge impossible.
 - Versions older than (latest, prev) are pruned — the store holds at
   most two snapshots.
 - The store is bound to ONE checkpoint lineage: batch_ids must be
@@ -84,6 +87,15 @@ def incremental_rollup_sink(
     The returned callable is also directly invokable with (DataFrame,
     batch_id) — that is how the redelivery tests drive it, and how a
     batch backfill can reuse the exact streaming code path."""
+    if "://" in store_dir:
+        # The meta/prune bookkeeping is driver-local POSIX I/O; on an
+        # object store os.path.exists() is silently False every batch
+        # and the store would degrade to last-batch-only totals. Refuse
+        # loudly (same posture as the avro fallback's non-local guard);
+        # a distributed store needs Hadoop-FS meta I/O.
+        raise ValueError(
+            f"incremental_rollup_sink requires a local filesystem store_dir, got {store_dir!r}"
+        )
     keys = list(keys)
     measures = list(measures)
 
@@ -91,11 +103,12 @@ def incremental_rollup_sink(
         spark = batch_df.sparkSession
         meta = _read_meta(store_dir)
         if meta is not None and meta["latest"] == batch_id:
-            base_version = meta["prev"]  # redelivery: rebase, never self
-        elif meta is not None:
-            base_version = meta["latest"]
-        else:
-            base_version = None
+            # Redelivery of a COMMITTED batch: its version is complete
+            # (meta is written only after the parquet write), so do
+            # nothing — rewriting the live directory in place would
+            # open a crash window the commit-point design forbids.
+            return
+        base_version = meta["latest"] if meta is not None else None
 
         partial = rollup_partial(batch_df, keys, measures)
         if base_version is not None:
@@ -130,7 +143,14 @@ def read_rollup(
 ) -> DataFrame:
     """Finalized view of the committed store (sum/count/min/max/mean
     per key) — what a dashboard or downstream join reads. Raises if
-    nothing has committed yet."""
+    nothing has committed yet.
+
+    Concurrency caveat: the returned frame is LAZY and pinned to the
+    version committed at call time; the pruner keeps only (latest,
+    prev), so against a LIVE stream the frame must be acted on within
+    one further commit (collect/write promptly, or pause the stream
+    for long analysis). A snapshot-isolated reader would need the
+    pruner disabled or a retention count knob."""
     meta = _read_meta(store_dir)
     if meta is None:
         raise FileNotFoundError(f"no committed rollup in {store_dir}")

@@ -138,14 +138,19 @@ def discarding_early_sink(
     - Optional watermark eviction: pass ``evict_col`` (a key column
       that is the window END — epoch number or timestamp) and
       ``evict_lateness`` (same units / a timedelta). After each batch,
-      keys whose ``evict_col`` value <= max_seen - lateness are
-      dropped: their window is past the watermark, the trigger can
-      never fire another early pane for it. State is then bounded by
-      (active windows × keys per window). A key that reappears AFTER
-      eviction (later than allowed lateness) baselines at 0 and
-      re-emits its full value — consistent with Beam's at-least-once
-      pane delivery, and the final (append-mode) pane stays
-      authoritative.
+      keys whose ``evict_col`` value is STRICTLY older than
+      max_seen - lateness are dropped (at lateness=0 the newest window
+      itself stays resident — it can still receive panes; windows that
+      ended before it close). State is then bounded by (active windows
+      × keys per window). A key that reappears AFTER eviction (later
+      than allowed lateness) baselines at 0 and re-emits its full
+      value — consistent with Beam's at-least-once pane delivery, and
+      the final (append-mode) pane stays authoritative. Keys whose
+      ``evict_col`` is NULL cannot participate in watermark ordering
+      and are evicted at the END of the batch that delivered them
+      (resident within the batch, full-value re-emit if they ever
+      reappear) — otherwise NULL-windowed keys would accumulate
+      forever, re-opening the leak this knob exists to close.
 
     At-least-once discipline (ADVICE r2 #3): foreachBatch may redeliver
     a batch (task retry, or restart from checkpoint re-running the last
@@ -211,6 +216,11 @@ def discarding_early_sink(
                 for k in [k for k in prev if k[evict_idx] is not None and k[evict_idx] < horizon]:
                     undo.setdefault(k, prev[k])
                     del prev[k]
+            # NULL window-ends are outside watermark ordering: evict at
+            # end of batch (see docstring) so they can't pool forever.
+            for k in [k for k in prev if k[evict_idx] is None]:
+                undo.setdefault(k, prev[k])
+                del prev[k]
         spark = df.sparkSession
         yield_df = spark.createDataFrame(out, schema=df.schema)
         return sink(yield_df, batch_id)

@@ -50,8 +50,8 @@ def test_streaming_rollup_matches_batch_aggregate(spark, tmp_path):
 
 
 def test_rollup_sink_redelivery_idempotent(spark, tmp_path):
-    """A redelivered batch_id rebases on the recorded predecessor —
-    the store after [b0, b1, b1 again] equals the store after [b0, b1]."""
+    """A redelivered already-committed batch_id is a no-op — the store
+    after [b0, b1, b1 again] equals the store after [b0, b1]."""
     store = str(tmp_path / "store")
     sink = incremental_rollup_sink(store, ["k"], ["v"])
     b0 = spark.createDataFrame(ROWS[:10], "k long, v double")
@@ -106,3 +106,13 @@ def test_rollup_sink_prunes_old_versions(spark, tmp_path):
     want = {tuple(r) for r in rollup_query(direct, ["k"], [], ["v"]).collect()}
     got = {tuple(r) for r in read_rollup(spark, store, ["k"], ["v"]).collect()}
     assert got == want
+
+
+def test_rollup_sink_rejects_non_local_store(spark):
+    """The meta/prune bookkeeping is driver-local POSIX; an object-
+    store path must be refused loudly, not silently degrade to
+    last-batch-only totals."""
+    import pytest
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        incremental_rollup_sink("s3a://bucket/rollup", ["k"], ["v"])

@@ -328,3 +328,23 @@ def test_plan_wide_node_walk_ignores_lookalike_names(spark):
     assert _plan_has_wide_node(joined)
     repart = plain.repartition(4, F.col("id"))
     assert _plan_has_wide_node(repart)
+
+
+def test_plan_wide_node_walk_sees_subqueries_sort_distinct(spark):
+    """Shapes the rendered-string probe caught but a naive children()
+    walk misses: an Aggregate living INSIDE a scalar-subquery
+    expression, a global sort (range exchange), and distinct()."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions.substring import (
+        _plan_has_wide_node,
+    )
+
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double")
+    df.createOrReplaceTempView("wide_probe_t")
+    sub = spark.sql(
+        "SELECT id, v FROM wide_probe_t WHERE v > (SELECT AVG(v) FROM wide_probe_t)"
+    )
+    assert _plan_has_wide_node(sub)  # Aggregate only inside the subquery
+    assert _plan_has_wide_node(df.orderBy("v"))
+    assert _plan_has_wide_node(df.distinct())

@@ -407,3 +407,37 @@ def test_discarding_sink_replay_restores_evicted_keys(spark):
     # the evicted window-0 baseline is restored before recompute.
     sink(batch([(1, 2, 1), (0, 1, 7)]), 1)
     assert seen[len(first):] == first[1:] or sorted(seen[len(first):]) == sorted(first[1:])
+
+
+def test_discarding_sink_evicts_null_window_keys(spark):
+    """Keys whose evict_col is NULL are outside watermark ordering —
+    they must be evicted at end of batch (resident within it) or they
+    would pool forever on a long stream."""
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        discarding_early_sink,
+    )
+
+    seen: list[tuple] = []
+    sink = discarding_early_sink(
+        lambda df, _id: seen.extend((r.w_end, r.k, r.n) for r in df.collect()),
+        ["w_end", "k"],
+        ["n"],
+        evict_col="w_end",
+        evict_lateness=0,
+    )
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "w_end long, k long, n long")
+
+    for b in range(20):
+        # Every batch ships one real window row and one NULL-window key
+        # (a fresh key each time — the unbounded-domain hazard).
+        sink(batch([(b, 1, b + 1), (None, 100 + b, 7)]), b)
+        assert sink.state_size() <= 1, f"batch {b}: {sink.state_size()}"
+    # NULL-window rows always re-emit their full value (baseline 0).
+    assert all(n == 7 for (w, k, n) in seen if w is None)
+    # Each batch's real window is a fresh (w_end, k) key (the prior
+    # one was evicted), so it emits its full value.
+    assert [(w, k, n) for (w, k, n) in seen if w is not None] == [
+        (b, 1, b + 1) for b in range(20)
+    ]
