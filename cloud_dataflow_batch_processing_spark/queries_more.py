@@ -1289,3 +1289,73 @@ def salted_join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
         )
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    late=True,  # filter-agg class is driver-covered by q1/filter_project
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): the canonical pure
+    filter-aggregate — every predicate reaches the parquet scan
+    (min/max row-group skipping on shipdate at scale), zero joins,
+    one partial+final agg, revenue decimal-exact."""
+    t = load_tables(spark, sf_dir)
+    l = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q4_order_priority_exists",
+    late=True,
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's shape (order priority checking) on this corpus's
+    columns: orders having AT LEAST ONE late-shipping lineitem
+    (shipdate > orderdate + 90 days), counted per priority. The EXISTS
+    becomes a LEFT SEMI hash join on orderkey with the date predicate
+    in the join condition — the probe side never duplicates orders
+    regardless of lineitem fan-out, and only (orderkey, shipdate)
+    ships from the fact scan."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    l = t["lineitem"].select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(l, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -59,7 +59,7 @@ def _gen_rows(n_docs: int = N_DOCS) -> list[tuple[int, str, str, str, int]]:
     ]
 
 
-def ensure_scale_docs(out_dir: str) -> str:
+def ensure_scale_docs(out_dir: str, n_docs: int = N_DOCS) -> str:
     """Generate the corpus parquet if absent; return the parquet path."""
     path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(path):
@@ -68,7 +68,7 @@ def ensure_scale_docs(out_dir: str) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = _gen_rows()
+    rows = _gen_rows(n_docs)
     table = pa.table(
         {
             "doc_id": pa.array([r[0] for r in rows], pa.int64()),

@@ -1,0 +1,97 @@
+"""One-off scaling-curve measurement (round 5): the three heaviest
+corpus operators at 50k AND 500k documents (sf1- and sf10-equivalent),
+same deterministic generator, warm + cold wall-clock, plus the naive
+scaling exponent log10(t_500k/t_50k) — direct evidence for the
+"would this still work at 100×" question the 100 TB posture makes.
+
+Not part of bench.py: the 500k corpus takes minutes to generate and
+the DuckDB oracle at that size would dominate the driver's per-round
+budget. Run by hand; results recorded in NOTES.md.
+
+    python scripts/scale_curve.py
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cloud_dataflow_batch_processing_spark.session import get_spark  # noqa: E402
+from scripts.gen_scale_docs import ensure_scale_docs  # noqa: E402
+
+BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data")
+
+
+def run_point(spark, path: str, scratch: str) -> dict[str, dict]:
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SUB
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        lang_id_fast,
+        quality_score_fast,
+    )
+
+    docs = spark.read.parquet(path)
+
+    def dedup_q():
+        return D.minhash_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.8,
+            materialize="checkpoint", scratch_dir=scratch,
+        )
+
+    def clean_q():
+        dropped = dedup_q().select(F.col("doc_b").alias("doc_id")).distinct()
+        kept = docs.filter(quality_score_fast(F.col("text")) >= 0.5).join(
+            dropped, on="doc_id", how="left_anti"
+        )
+        return kept.groupBy(lang_id_fast(F.col("text")).alias("pred_lang")).agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+        )
+
+    def substring_q():
+        return SUB.substring_dup_stats(docs)
+
+    out: dict[str, dict] = {"n_docs": {"value": docs.count()}}
+    for name, q in (
+        ("dedup_minhash_pairs_fast", dedup_q),
+        ("substring_dedup_stats", substring_q),
+        ("corpus_clean_pipeline", clean_q),
+    ):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        release_managed_caches()
+        out[name] = {"cold": round(runs[0], 2), "warm": round(min(runs[1:]), 2)}
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="cdbp-scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = {}
+    for label, n in (("50k", 50_000), ("500k", 500_000)):
+        sub = "sf1_docs" if n == 50_000 else "sf10_docs"
+        t0 = time.perf_counter()
+        path = ensure_scale_docs(os.path.join(BASE, sub), n_docs=n)
+        gen_sec = round(time.perf_counter() - t0, 1)
+        points[label] = run_point(spark, path, os.path.join(BASE, f"curve_ckpt_{label}"))
+        points[label]["gen_sec"] = gen_sec
+    exps = {}
+    for q in ("dedup_minhash_pairs_fast", "substring_dedup_stats", "corpus_clean_pipeline"):
+        for mode in ("cold", "warm"):
+            r = points["500k"][q][mode] / points["50k"][q][mode]
+            exps[f"{q}.{mode}"] = round(math.log10(r), 3)  # 1.0 == linear
+    print(json.dumps({"points": points, "scaling_exponent_log10x10": exps}))
+
+
+if __name__ == "__main__":
+    main()
