@@ -81,8 +81,16 @@ def _plan_has_wide_node(df: DataFrame) -> bool:
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
-        if node.getClass().getSimpleName().startswith(_WIDE_NODE_PREFIXES):
-            return True
+        name = node.getClass().getSimpleName()
+        if name.startswith(_WIDE_NODE_PREFIXES):
+            # The Sort logical class covers BOTH orderBy (global=true,
+            # range exchange) and sortWithinPartitions (global=false,
+            # narrow) — only the global one makes the frame wide.
+            # ('global' is a Python keyword, hence getattr.)
+            if name.startswith("Sort") and not getattr(node, "global")():
+                pass
+            else:
+                return True
         children = node.children()
         for i in range(children.size()):
             stack.append(children.apply(i))

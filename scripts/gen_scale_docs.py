@@ -31,19 +31,25 @@ LANGS = ["de", "en", "es", "fr", "zh"]
 
 def _gen_rows(n_docs: int = N_DOCS) -> list[tuple[int, str, str, str, int]]:
     rng = random.Random(SEED)
+    # Duplicate counts scale WITH the corpus so a larger n_docs is the
+    # same DISTRIBUTION, not a more-dilute one (constant ~0.5% near-dup
+    # density — at n_docs=50k these are exactly the historical 250/40,
+    # so the default corpus is byte-identical to earlier rounds).
+    near_dup_pairs = round(NEAR_DUP_PAIRS * n_docs / N_DOCS)
+    exact_dup_pairs = round(EXACT_DUP_PAIRS * n_docs / N_DOCS)
     texts: list[str] = []
     for _ in range(n_docs):
         n_tok = rng.randint(10, 100)
         texts.append(" ".join(rng.choice(VOCAB) for _ in range(n_tok)))
     # Plant near-duplicates: overwrite a later doc with an earlier doc's
     # text mutated in one token (high shingle-Jaccard), and exact dups.
-    for i in range(NEAR_DUP_PAIRS):
+    for i in range(near_dup_pairs):
         src = rng.randrange(0, n_docs // 2)
         dst = rng.randrange(n_docs // 2, n_docs)
         toks = texts[src].split(" ")
         toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
         texts[dst] = " ".join(toks)
-    for i in range(EXACT_DUP_PAIRS):
+    for i in range(exact_dup_pairs):
         src = rng.randrange(0, n_docs // 2)
         dst = rng.randrange(n_docs // 2, n_docs)
         texts[dst] = texts[src]
@@ -60,10 +66,17 @@ def _gen_rows(n_docs: int = N_DOCS) -> list[tuple[int, str, str, str, int]]:
 
 
 def ensure_scale_docs(out_dir: str, n_docs: int = N_DOCS) -> str:
-    """Generate the corpus parquet if absent; return the parquet path."""
+    """Generate the corpus parquet if absent; return the parquet path.
+    A cached file is reused only if its row count matches ``n_docs``
+    (a stale/partial corpus silently poisoning a measurement is worse
+    than a regeneration)."""
     path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(path):
-        return path
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(path).metadata.num_rows == n_docs:
+            return path
+        os.remove(path)
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow as pa
     import pyarrow.parquet as pq

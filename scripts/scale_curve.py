@@ -90,7 +90,7 @@ def main() -> None:
         for mode in ("cold", "warm"):
             r = points["500k"][q][mode] / points["50k"][q][mode]
             exps[f"{q}.{mode}"] = round(math.log10(r), 3)  # 1.0 == linear
-    print(json.dumps({"points": points, "scaling_exponent_log10x10": exps}))
+    print(json.dumps({"points": points, "scaling_exponent_log10": exps}))
 
 
 if __name__ == "__main__":

@@ -348,3 +348,17 @@ def test_plan_wide_node_walk_sees_subqueries_sort_distinct(spark):
     assert _plan_has_wide_node(sub)  # Aggregate only inside the subquery
     assert _plan_has_wide_node(df.orderBy("v"))
     assert _plan_has_wide_node(df.distinct())
+
+
+def test_plan_wide_node_walk_local_sort_is_narrow(spark):
+    """sortWithinPartitions shares the Sort logical class with orderBy
+    but is global=false (no range exchange) — it must NOT make a
+    scan-shaped frame look wide (that would silently skip the fan-out
+    repartition and single-task the span hashing)."""
+    from cloud_dataflow_batch_processing_spark.extensions.substring import (
+        _plan_has_wide_node,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, t string")
+    assert not _plan_has_wide_node(df.sortWithinPartitions("id"))
+    assert _plan_has_wide_node(df.orderBy("id"))
