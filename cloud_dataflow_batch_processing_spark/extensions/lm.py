@@ -106,3 +106,71 @@ def unigram_score_sql(
     FROM toks t JOIN freq f USING (tok)
     GROUP BY t.{id_col}
     """
+
+
+def vocab_coverage(
+    freq: DataFrame,
+    top_ks: list[int],
+) -> DataFrame:
+    """Tokenizer-design metric: for each candidate vocabulary size k,
+    the fraction of all corpus TOKEN OCCURRENCES covered by the k most
+    frequent types (the curve a team reads before fixing a tokenizer's
+    vocab budget). Ranking is deterministic: count desc, token asc on
+    ties — both engines order identically, so the coverage VALUES are
+    hash-certifiable (integer cumulative sums, one double division).
+
+    Cost: the freq table is vocab-sized (≪ corpus); the rank window
+    runs over it, not the corpus — at 100 TB this is a window over
+    millions of rows, not trillions. The corpus itself is touched only
+    by the one hash-agg that built ``freq``."""
+    from pyspark.sql import Window
+
+    order = (F.col("cnt").desc(), F.col("tok").asc())
+    w_cum = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Total in the SAME single-partition window pass (unbounded frame)
+    # instead of a scalar cross join — one window stage, no extra join.
+    w_all = Window.orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = freq.select(
+        F.row_number().over(Window.orderBy(*order)).alias("rank"),
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    ks = freq.sparkSession.createDataFrame([(k,) for k in top_ks], "top_k int")
+    return ranked.join(F.broadcast(ks), ranked.rank == ks.top_k).select(
+        "top_k",
+        F.col("cum_cnt").alias("covered_tokens"),
+        F.round(F.col("cum_cnt") / F.col("total"), 4).alias("coverage"),
+    )
+
+
+def vocab_coverage_sql(
+    source: str,
+    text_col: str,
+    top_ks: list[int],
+) -> str:
+    """DuckDB twin of train + :func:`vocab_coverage` over ``source``."""
+    ks = ", ".join(f"({k})" for k in top_ks)
+    return f"""
+    WITH toks AS (
+      SELECT unnest({tokens_sql(text_col)}) AS tok FROM {source}
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+      FROM freq
+    ),
+    ks(top_k) AS (VALUES {ks})
+    SELECT ks.top_k,
+           CAST(r.cum_cnt AS BIGINT) AS covered_tokens,
+           ROUND(CAST(r.cum_cnt AS BIGINT) / (SELECT CAST(SUM(cnt) AS BIGINT) FROM freq), 4) AS coverage
+    FROM ranked r JOIN ks ON r.rank = ks.top_k
+    """

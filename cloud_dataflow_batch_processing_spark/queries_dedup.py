@@ -904,3 +904,46 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 == 0)
     store = SUB.span_store(old)
     return SUB.incremental_substring_dup_stats(new, store)
+
+
+@register(
+    "dedup_quality_survivor",
+    late=True,
+    oracle=f"""
+    SELECT c.doc_id, c.component_id, c.cluster_size,
+           ROUND({quality_score_sql('d.text')}, 4) AS quality,
+           (ROW_NUMBER() OVER (
+              PARTITION BY c.component_id
+              ORDER BY ROUND({quality_score_sql('d.text')}, 4) DESC, c.doc_id ASC
+            ) = 1) AS keep
+    FROM ({D.duplicate_clusters_sql(threshold=0.8)}) c
+    JOIN documents d ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivor selection by QUALITY instead of min-id: within
+    each duplicate cluster keep the highest-quality document (rounded
+    score desc, doc_id asc tiebreak) — the wrinkle real corpus
+    pipelines add over `dedup_duplicate_clusters`' positional
+    canonical (a scraped mirror often has the cleaner copy under the
+    LATER id). One window per component over cluster members only
+    (cluster tables are tiny next to the corpus); quality is the
+    certified expression from the text family."""
+    from pyspark.sql import Window
+
+    from cloud_dataflow_batch_processing_spark.functions.text import quality_score
+
+    d = load_tables(spark, sf_dir)["documents"]
+    cl = D.duplicate_clusters(d, "doc_id", "text", threshold=0.8)
+    q = d.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
+    j = cl.join(q, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "component_id",
+        "cluster_size",
+        "quality",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -681,3 +681,20 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     freq = LM.unigram_freq(d)
     return LM.unigram_score(d, freq)
+
+
+@register(
+    "vocab_coverage_curve",
+    late=True,
+    oracle=LM.vocab_coverage_sql("documents", "text", [10, 20, 30]),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary-budget curve: fraction of corpus token
+    occurrences covered by the top-k most frequent types (k = 10/20/30
+    against this corpus's 31-word vocab; a real run sweeps 32k/64k/
+    128k). Train reuses the unigram hash-agg; the rank/cumsum window
+    runs over the vocab-sized frequency table, never the corpus.
+    Deterministic tie order (count desc, token asc) makes the coverage
+    values hash-certifiable."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return LM.vocab_coverage(LM.unigram_freq(d), [10, 20, 30])
