@@ -129,8 +129,9 @@ def vocab_coverage(
     w_cum = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # Total in the SAME single-partition window pass (unbounded frame)
-    # instead of a scalar cross join — one window stage, no extra join.
+    # Total and type count in the SAME single-partition window pass
+    # (unbounded frame) instead of a scalar cross join — one window
+    # stage, no extra join.
     w_all = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -138,12 +139,22 @@ def vocab_coverage(
         F.row_number().over(Window.orderBy(*order)).alias("rank"),
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
         F.sum("cnt").over(w_all).alias("total"),
+        F.count(F.lit(1)).over(w_all).alias("n_types"),
     )
     ks = freq.sparkSession.createDataFrame([(k,) for k in top_ks], "top_k int")
-    return ranked.join(F.broadcast(ks), ranked.rank == ks.top_k).select(
+    # A k beyond the vocabulary clamps to the last rank (coverage 1.0)
+    # instead of silently dropping the point.
+    ratio = F.col("cum_cnt") / F.col("total")
+    return ranked.join(
+        F.broadcast(ks), ranked.rank == F.least(ks.top_k, ranked.n_types)
+    ).select(
         "top_k",
         F.col("cum_cnt").alias("covered_tokens"),
-        F.round(F.col("cum_cnt") / F.col("total"), 4).alias("coverage"),
+        # floor-quantize, NOT round(): Spark's round() works on the
+        # double's shortest decimal repr while DuckDB rounds the true
+        # binary value — they disagree on e.g. 0.54175 (the same
+        # divergence functions/text.py::quality_score documents).
+        (F.floor(ratio * 10000 + F.lit(0.5)) / 10000.0).alias("coverage"),
     )
 
 
@@ -165,12 +176,14 @@ def vocab_coverage_sql(
       SELECT tok, cnt,
              ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank,
              SUM(cnt) OVER (ORDER BY cnt DESC, tok ASC
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt,
+             SUM(cnt) OVER () AS total,
+             COUNT(*) OVER () AS n_types
       FROM freq
     ),
     ks(top_k) AS (VALUES {ks})
     SELECT ks.top_k,
            CAST(r.cum_cnt AS BIGINT) AS covered_tokens,
-           ROUND(CAST(r.cum_cnt AS BIGINT) / (SELECT CAST(SUM(cnt) AS BIGINT) FROM freq), 4) AS coverage
-    FROM ranked r JOIN ks ON r.rank = ks.top_k
+           FLOOR(CAST(r.cum_cnt AS BIGINT) / CAST(r.total AS BIGINT) * 10000 + 0.5) / 10000.0 AS coverage
+    FROM ranked r JOIN ks ON r.rank = LEAST(ks.top_k, r.n_types)
     """

@@ -911,10 +911,10 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
     oracle=f"""
     SELECT c.doc_id, c.component_id, c.cluster_size,
-           ROUND({quality_score_sql('d.text')}, 4) AS quality,
+           {quality_score_sql('d.text')} AS quality,
            (ROW_NUMBER() OVER (
               PARTITION BY c.component_id
-              ORDER BY ROUND({quality_score_sql('d.text')}, 4) DESC, c.doc_id ASC
+              ORDER BY {quality_score_sql('d.text')} DESC, c.doc_id ASC
             ) = 1) AS keep
     FROM ({D.duplicate_clusters_sql(threshold=0.8)}) c
     JOIN documents d ON c.doc_id = d.doc_id
@@ -922,21 +922,23 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup survivor selection by QUALITY instead of min-id: within
-    each duplicate cluster keep the highest-quality document (rounded
-    score desc, doc_id asc tiebreak) — the wrinkle real corpus
+    each duplicate cluster keep the highest-quality document (score
+    desc, doc_id asc tiebreak; quality_score is already floor-quantized
+    to 4 decimals — no extra rounding) — the wrinkle real corpus
     pipelines add over `dedup_duplicate_clusters`' positional
     canonical (a scraped mirror often has the cleaner copy under the
-    LATER id). One window per component over cluster members only
-    (cluster tables are tiny next to the corpus); quality is the
-    certified expression from the text family."""
+    LATER id). The cluster table joins to the corpus FIRST so the
+    multi-regex quality expression evaluates on cluster members only
+    (a small fraction of the corpus), then one window per component."""
     from pyspark.sql import Window
 
     from cloud_dataflow_batch_processing_spark.functions.text import quality_score
 
     d = load_tables(spark, sf_dir)["documents"]
     cl = D.duplicate_clusters(d, "doc_id", "text", threshold=0.8)
-    q = d.select("doc_id", F.round(quality_score("text"), 4).alias("quality"))
-    j = cl.join(q, "doc_id")
+    j = cl.join(d.select("doc_id", "text"), "doc_id").withColumn(
+        "quality", quality_score("text")
+    )
     w = Window.partitionBy("component_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
     )

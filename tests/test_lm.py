@@ -55,3 +55,17 @@ def test_unigram_score_unseen_tokens_and_empty_docs(spark):
     got = {r["doc_id"]: (r["n_tokens"], r["lm_score"]) for r in LM.unigram_score(score_me, freq).collect()}
     # doc 1: cls(a)=1, zzz unseen -> -1 ; mean = 0/2 = 0.0
     assert got == {1: (2, 0.0)}
+
+
+def test_vocab_coverage_values_and_overlarge_k(spark):
+    """Exact coverage math, and a top_k beyond the vocabulary clamps to
+    full coverage (1.0) instead of silently dropping the point."""
+    from pyspark.sql import functions as F
+
+    d = _docs(spark, [(1, "a a a b"), (2, "a b c")])  # a:4 b:2 c:1, total 7
+    freq = LM.unigram_freq(d)
+    got = {r["top_k"]: (r["covered_tokens"], r["coverage"])
+           for r in LM.vocab_coverage(freq, [1, 2, 100]).collect()}
+    assert got[1] == (4, 0.5714)   # floor(4/7*1e4+0.5)/1e4
+    assert got[2] == (6, 0.8571)
+    assert got[100] == (7, 1.0)    # clamped to n_types=3
