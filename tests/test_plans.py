@@ -555,6 +555,10 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         "approx_distinct_hll",        # est x est: both sides 1 row
         "funnel_signup_click_purchase",  # 3 single-row stage aggregates crossed
         "dedup_ngram_jaccard",  # brute-force ground truth, doc_id < 40 slice
+        # rank == least(top_k, n_types) spans both sides, so Spark
+        # plans BNLJ — but the build side is the literal top-k list
+        # (a handful of broadcast rows), bounded by construction.
+        "vocab_coverage_curve",
     }
     offenders = []
     for name, q in REGISTRY.items():
