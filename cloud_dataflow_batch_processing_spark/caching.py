@@ -12,13 +12,24 @@ callers (benchmarks, query runners, services) call
 ``release_managed_caches()`` at their natural boundary — after
 consuming all branches of one invocation, or per query. Unpersisting
 is always safe: a still-referenced plan silently recomputes.
+
+The same boundary owns CHECKPOINT SCRATCH: operators that materialize
+an intermediate to parquet (dedup's band checkpoint) register the
+directory with ``register_managed_scratch``; ``release_managed_caches``
+deletes registered scratch after unpersisting — so a long session never
+accumulates orphan ``dedup_bands_ckpt/<uuid>`` dirs (VERDICT r5/r6).
+Deletion goes through the Hadoop FileSystem of the path, so it works
+for ``file:``, ``hdfs:``, ``s3a:`` etc., not just driver-local POSIX.
+Scratch a caller still needs must simply be consumed before the
+release boundary — identical to the cache contract above.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _MANAGED: list[DataFrame] = []
+_SCRATCH: list[tuple[SparkSession, str]] = []
 
 
 def managed_cache(df: DataFrame) -> DataFrame:
@@ -32,9 +43,28 @@ def managed_cache_count() -> int:
     return len(_MANAGED)
 
 
+def register_managed_scratch(spark: SparkSession, path: str) -> str:
+    """Register a checkpoint-scratch directory for deletion at the next
+    ``release_managed_caches()``. Returns ``path`` for chaining."""
+    _SCRATCH.append((spark, path))
+    return path
+
+
+def managed_scratch_count() -> int:
+    return len(_SCRATCH)
+
+
+def _delete_path(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def release_managed_caches() -> int:
-    """Unpersist every registered frame; returns how many were released.
-    Blocking=False: eviction proceeds asynchronously on the executors."""
+    """Unpersist every registered frame and delete every registered
+    scratch dir; returns how many frames were released. Blocking=False:
+    eviction proceeds asynchronously on the executors."""
     n = len(_MANAGED)
     for df in _MANAGED:
         try:
@@ -42,4 +72,15 @@ def release_managed_caches() -> int:
         except Exception:
             pass  # session already stopped — nothing to release
     _MANAGED.clear()
+    for spark, path in _SCRATCH:
+        try:
+            _delete_path(spark, path)
+        except Exception:
+            # Session already stopped: fall back to POSIX removal for
+            # local paths so driver-disk scratch still gets reclaimed.
+            if "://" not in path:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+    _SCRATCH.clear()
     return n

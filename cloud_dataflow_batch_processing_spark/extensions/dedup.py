@@ -254,9 +254,19 @@ def minhash_near_dup_pairs(
         import os
         import uuid
 
+        from cloud_dataflow_batch_processing_spark.caching import (
+            register_managed_scratch,
+        )
+
         path = os.path.join(
             scratch_dir or "spark-warehouse/dedup_bands_ckpt", uuid.uuid4().hex[:12]
         )
+        # Scratch follows the managed-cache lifecycle: the next
+        # release_managed_caches() deletes it, so repeated invocations
+        # in a long session never accumulate orphan checkpoint dirs
+        # (the caller just consumes the result before releasing, same
+        # contract as the cache mode above).
+        register_managed_scratch(df.sparkSession, path)
         to_write = guarded.repartition(checkpoint_files) if checkpoint_files else guarded
         to_write.write.mode("overwrite").parquet(path)
         bands = df.sparkSession.read.parquet(path)

@@ -71,16 +71,18 @@ def unigram_score(
     dedup family's empty-doc handling)."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     classed = freq.select("tok", freq_class(F.col("cnt")).alias("cls"))
+    ratio = F.sum(F.coalesce(F.col("cls"), F.lit(unseen_class))) / F.count(F.lit(1))
     return (
         toks.join(classed, "tok", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(F.coalesce(F.col("cls"), F.lit(unseen_class)))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("lm_score"),
+            # floor-quantize, NOT round(): Spark's round() works on the
+            # double's shortest decimal repr while DuckDB rounds the
+            # true binary value — they disagree on ...5-boundary values
+            # (e.g. 0.54175), reachable at realistic doc lengths. Same
+            # convention as vocab_coverage / functions/text.py.
+            (F.floor(ratio * 10000 + F.lit(0.5)) / 10000.0).alias("lm_score"),
         )
     )
 
@@ -102,7 +104,7 @@ def unigram_score_sql(
     )
     SELECT t.{id_col},
            COUNT(*) AS n_tokens,
-           ROUND(CAST(SUM(f.cls) AS BIGINT) / COUNT(*), 4) AS lm_score
+           FLOOR(CAST(SUM(f.cls) AS BIGINT) / COUNT(*) * 10000 + 0.5) / 10000.0 AS lm_score
     FROM toks t JOIN freq f USING (tok)
     GROUP BY t.{id_col}
     """
@@ -119,35 +121,69 @@ def vocab_coverage(
     ties — both engines order identically, so the coverage VALUES are
     hash-certifiable (integer cumulative sums, one double division).
 
-    Cost: the freq table is vocab-sized (≪ corpus); the rank window
-    runs over it, not the corpus — at 100 TB this is a window over
-    millions of rows, not trillions. The corpus itself is touched only
-    by the one hash-agg that built ``freq``."""
+    Cost: the freq table is vocab-sized (≪ corpus); and the GLOBAL
+    rank touches only a BOUNDED candidate set, never the whole vocab
+    in one partition. Only ranks ≤ kmax = max(top_ks) can ever join a
+    curve point, and any type in the global top-kmax is in the
+    top-kmax of whichever hash bucket holds it — so the vocab is
+    pre-reduced by a 64-bucket per-bucket top-kmax window (parallel,
+    deterministic: bucket = pmod(hash(tok), 64)) and the single-
+    partition window runs over ≤ 64·kmax rows regardless of vocab
+    size (10⁹ web-corpus types → the same ≤ 64·kmax-row final stage).
+    Totals come from a plain hash aggregate, not an unbounded window.
+
+    Empty-corpus contract: an empty ``freq`` yields an EMPTY curve —
+    no rank exists for any k, so no row is emitted (not coverage 0.0;
+    a curve of 0/0 points would be a fabrication). Unit-pinned."""
     from pyspark.sql import Window
 
+    if not top_ks:
+        raise ValueError("top_ks must be non-empty")
+    kmax = max(top_ks)
     order = (F.col("cnt").desc(), F.col("tok").asc())
+
+    # Stage 1 (parallel): per-bucket top-kmax. 64 buckets is plenty of
+    # parallelism for a vocab-sized table while keeping the candidate
+    # set (≤ 64·kmax rows) trivially broadcast/sort-able.
+    w_bucket = Window.partitionBy(F.pmod(F.hash("tok"), F.lit(64))).orderBy(*order)
+    cand = (
+        freq.withColumn("__brank", F.row_number().over(w_bucket))
+        .filter(F.col("__brank") <= kmax)
+        .drop("__brank")
+    )
+
+    # Stage 2 (bounded): global rank + cumulative count over the
+    # candidates. For rank ≤ kmax the candidate-set cumsum equals the
+    # full-vocab cumsum: every type excluded by stage 1 has ≥ kmax
+    # types above it in its own bucket, hence global rank > kmax.
     w_cum = Window.orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # Total and type count in the SAME single-partition window pass
-    # (unbounded frame) instead of a scalar cross join — one window
-    # stage, no extra join.
-    w_all = Window.orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = freq.select(
+    ranked = cand.select(
         F.row_number().over(Window.orderBy(*order)).alias("rank"),
         F.sum("cnt").over(w_cum).alias("cum_cnt"),
-        F.sum("cnt").over(w_all).alias("total"),
-        F.count(F.lit(1)).over(w_all).alias("n_types"),
+    )
+
+    # Totals via ONE hash aggregate (mergeable, distributed) — not an
+    # unbounded-frame window over the vocab.
+    totals = freq.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types")
     )
     ks = freq.sparkSession.createDataFrame([(k,) for k in top_ks], "top_k int")
     # A k beyond the vocabulary clamps to the last rank (coverage 1.0)
-    # instead of silently dropping the point.
+    # instead of silently dropping the point. Resolving the clamp on
+    # the tiny ks × totals side makes the main join an EQUI join
+    # (BroadcastHashJoin), not a BNLJ over the ranked frame.
+    points = (
+        ks.crossJoin(F.broadcast(totals))  # len(top_ks) × 1 row — bounded
+        .select(
+            "top_k",
+            F.least(F.col("top_k").cast("long"), F.col("n_types")).alias("want_rank"),
+            "total",
+        )
+    )
     ratio = F.col("cum_cnt") / F.col("total")
-    return ranked.join(
-        F.broadcast(ks), ranked.rank == F.least(ks.top_k, ranked.n_types)
-    ).select(
+    return ranked.join(F.broadcast(points), ranked.rank == points.want_rank).select(
         "top_k",
         F.col("cum_cnt").alias("covered_tokens"),
         # floor-quantize, NOT round(): Spark's round() works on the

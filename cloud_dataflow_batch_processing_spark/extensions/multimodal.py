@@ -117,6 +117,16 @@ def _decode_impl(kind: str, content: bytes) -> list[float]:
     return [b / 255.0 for b in digest[:FEATURE_DIM]]
 
 
+def _check_batch_size(batch_size: int) -> None:
+    """Validate up front, on the driver. Unvalidated, a non-positive
+    value either silently disables Arrow batch capping (conf path —
+    the OOM guard the parameter exists for) or dies as an opaque
+    ``range() arg 3 must not be zero`` inside an executor task (slice
+    path). Fail loudly before any job is launched instead."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+
+
 def decode_and_featurize(df: DataFrame, batch_size: int = 64) -> DataFrame:
     """Arrow-batched decode → feature pipeline over a MEDIA_SCHEMA frame.
 
@@ -125,6 +135,7 @@ def decode_and_featurize(df: DataFrame, batch_size: int = 64) -> DataFrame:
     batch size is capped via the Arrow config rather than element
     count so fat video rows don't blow executor memory.
     """
+    _check_batch_size(batch_size)
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
@@ -172,6 +183,7 @@ def extract_exact_features(df: DataFrame, batch_size: int = 64) -> DataFrame:
     sums, frame counts, sample sums) — the oracle-checkable twin of
     :func:`decode_and_featurize`'s float features. Unknown formats
     yield NULL features rather than fake values."""
+    _check_batch_size(batch_size)
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
@@ -219,6 +231,7 @@ def resize_images(df: DataFrame, width: int, height: int, batch_size: int = 64) 
     bounds how many decoded blobs are held at once: each incoming
     Arrow batch is re-sliced and yielded in ``batch_size``-row chunks
     (ADVICE r4 — the parameter used to be accepted but ignored)."""
+    _check_batch_size(batch_size)
     from collections.abc import Iterator
 
     import pandas as pd
@@ -262,6 +275,7 @@ def resample_audio(df: DataFrame, sample_rate: int, batch_size: int = 64) -> Dat
     re-encode, and stamp the new duration. Non-WAV rows pass through
     unchanged, same fault posture (and same ``batch_size`` re-slicing)
     as resize_images."""
+    _check_batch_size(batch_size)
     from collections.abc import Iterator
 
     import pandas as pd
@@ -346,6 +360,7 @@ def extract_exact_features_arrow(df: DataFrame, batch_size: int = 64) -> DataFra
     value-identical to the pandas path (unit-asserted)."""
     import pyarrow as pa
 
+    _check_batch_size(batch_size)
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 

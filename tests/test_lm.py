@@ -69,3 +69,46 @@ def test_vocab_coverage_values_and_overlarge_k(spark):
     assert got[1] == (4, 0.5714)   # floor(4/7*1e4+0.5)/1e4
     assert got[2] == (6, 0.8571)
     assert got[100] == (7, 1.0)    # clamped to n_types=3
+
+def test_vocab_coverage_empty_corpus_yields_empty_curve(spark):
+    """Empty-corpus contract: no rank exists for any k, so the curve is
+    EMPTY — not a fabricated 0/0 point (extensions/lm.py)."""
+    freq = LM.unigram_freq(_docs(spark, [(1, "   "), (2, "")]))
+    out = LM.vocab_coverage(freq, [1, 10])
+    assert out.count() == 0
+    assert out.columns == ["top_k", "covered_tokens", "coverage"]
+
+
+def test_vocab_coverage_rejects_empty_top_ks(spark):
+    import pytest
+
+    freq = LM.unigram_freq(_docs(spark, [(1, "a b")]))
+    with pytest.raises(ValueError, match="top_ks"):
+        LM.vocab_coverage(freq, [])
+
+
+def test_vocab_coverage_global_window_is_bounded(spark):
+    """Scale pin: the single-partition (unpartitioned) rank window must
+    run AFTER the 64-bucket partial top-kmax reduction — the plan's
+    bucketed window (partitioned, parallel) feeds the global one, so
+    the global sort sees <= 64*kmax rows regardless of vocab size."""
+    d = _docs(spark, [(i, f"tok{i} tok{i % 7} x y") for i in range(50)])
+    out = LM.vocab_coverage(LM.unigram_freq(d), [5, 10])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # The per-bucket partial plans as WindowGroupLimit (Spark's top-K
+    # pushdown: per-partition Partial + per-bucket Final limit), so the
+    # rows entering the unpartitioned global window are <= 64*kmax.
+    assert "WindowGroupLimit" in plan
+    assert "__brank" in plan  # the partial filter between the two windows
+    # The curve points attach via an EQUI broadcast join, not a BNLJ
+    # over the ranked frame.
+    assert "BroadcastHashJoin" in plan
+    # And the curve is still exact after the reduction.
+    got = {r["top_k"]: r["covered_tokens"] for r in out.collect()}
+    full = (
+        LM.unigram_freq(d)
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .collect()
+    )
+    assert got[5] == sum(r["cnt"] for r in full[:5])
+    assert got[10] == sum(r["cnt"] for r in full[:10])

@@ -175,3 +175,29 @@ def test_resize_images_batch_size_slicing(spark):
     )
     assert small == big
     assert len(small) == 7
+
+
+def test_batch_size_validated_up_front(spark):
+    """ADVICE r5: a non-positive batch_size must fail loudly on the
+    driver before any job launches — not silently disable the Arrow
+    batch cap (conf path) or die as an opaque range() error inside an
+    executor task (slice path)."""
+    import pytest
+
+    from cloud_dataflow_batch_processing_spark.extensions import multimodal as MM
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", content=bytearray(b"x"), meta=None)],
+        MM.MEDIA_SCHEMA,
+    )
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="batch_size"):
+            MM.decode_and_featurize(df, batch_size=bad)
+        with pytest.raises(ValueError, match="batch_size"):
+            MM.resize_images(df, 4, 4, batch_size=bad)
+        with pytest.raises(ValueError, match="batch_size"):
+            MM.resample_audio(df, 8000, batch_size=bad)
+        with pytest.raises(ValueError, match="batch_size"):
+            MM.extract_exact_features(df.select("media_id", "content"), batch_size=bad)
+        with pytest.raises(ValueError, match="batch_size"):
+            MM.extract_exact_features_arrow(df.select("media_id", "content"), batch_size=bad)

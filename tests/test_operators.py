@@ -614,3 +614,37 @@ def test_hll_register_table_accepts_expression_key(spark):
     regs = hll_register_table(df, "(k * 2 + 1)")  # expression, not a column name
     est = hll_estimate(regs).collect()[0]["est"]
     assert 150 <= est <= 260  # coarse: the point is it runs and is sane
+
+
+def test_checkpoint_scratch_released_with_caches(spark, tmp_path):
+    """Scratch lifecycle (VERDICT r5/r6 #5): dedup's checkpoint
+    materialization registers its <uuid> scratch dir, and
+    release_managed_caches() deletes it — N invocations leave ZERO
+    orphan directories after the caller's release boundary."""
+    import os
+
+    from cloud_dataflow_batch_processing_spark.caching import (
+        managed_scratch_count,
+        release_managed_caches,
+    )
+    from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+
+    release_managed_caches()
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " + str(i % 3))
+         for i in range(12)],
+        "doc_id long, text string",
+    )
+    scratch_root = str(tmp_path / "bands_ckpt")
+    for _ in range(3):
+        pairs = D.minhash_near_dup_pairs(
+            docs, "doc_id", "text",
+            materialize="checkpoint", scratch_dir=scratch_root,
+        )
+        pairs.count()  # consume before the release boundary
+    assert managed_scratch_count() == 3
+    assert len(os.listdir(scratch_root)) == 3  # one <uuid> dir per run
+    release_managed_caches()
+    assert managed_scratch_count() == 0
+    remaining = os.listdir(scratch_root) if os.path.isdir(scratch_root) else []
+    assert remaining == []
