@@ -1,11 +1,13 @@
 """Streaming incremental rollup store (streaming/rollup_sink.py):
 end-to-end availableNow run, redelivery idempotency, crash-before-
-commit recovery, and equality with the direct batch aggregate."""
+commit recovery, fresh-checkpoint regression guard, URI (Hadoop-FS)
+store paths, and equality with the direct batch aggregate."""
 
 from __future__ import annotations
 
-import json
 import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -75,11 +77,13 @@ def test_rollup_sink_crash_before_commit_recovers(spark, tmp_path):
     sink(b0, 0)
     before = {tuple(r) for r in read_rollup(spark, store, ["k"], ["v"]).collect()}
 
-    # Simulate the crash: v=1 parquet exists, meta still points at v=0.
-    meta_path = os.path.join(store, "_meta")
-    saved = json.load(open(meta_path))
-    sink(b1, 1)
-    json.dump(saved, open(meta_path, "w"))  # roll the commit back
+    # Simulate the crash: the batch-1 fold wrote its v=1 parquet but
+    # died before the meta commit — _meta.0 is still the latest. The
+    # orphan's CONTENT is garbage on purpose: redelivery must not read
+    # it (it recomputes from the predecessor and overwrites).
+    spark.createDataFrame([(99, 99.0)], "k long, v double").write.parquet(
+        os.path.join(store, "v=1")
+    )
 
     got = {tuple(r) for r in read_rollup(spark, store, ["k"], ["v"]).collect()}
     assert got == before  # uncommitted version invisible
@@ -99,6 +103,8 @@ def test_rollup_sink_prunes_old_versions(spark, tmp_path):
         )
     versions = sorted(e for e in os.listdir(store) if e.startswith("v="))
     assert versions == ["v=3", "v=4"]  # latest + prev only
+    metas = sorted(e for e in os.listdir(store) if e.startswith("_meta."))
+    assert metas == ["_meta.4"]  # stale metas pruned with the versions
     # And the kept chain still finalizes to the full history's totals.
     direct = spark.createDataFrame(
         [(b % 3, float(b)) for b in range(5)], "k long, v double"
@@ -108,11 +114,38 @@ def test_rollup_sink_prunes_old_versions(spark, tmp_path):
     assert got == want
 
 
-def test_rollup_sink_rejects_non_local_store(spark):
-    """The meta/prune bookkeeping is driver-local POSIX; an object-
-    store path must be refused loudly, not silently degrade to
-    last-batch-only totals."""
-    import pytest
+def test_rollup_sink_rejects_fresh_checkpoint_batch_id_regression(spark, tmp_path):
+    """ADVICE r5: a batch_id BELOW the committed latest means the
+    stream restarted with a fresh checkpoint against an existing store;
+    silently folding batch 0 again would double-count — hard error."""
+    store = str(tmp_path / "store")
+    sink = incremental_rollup_sink(store, ["k"], ["v"])
+    sink(spark.createDataFrame(ROWS[:10], "k long, v double"), 0)
+    sink(spark.createDataFrame(ROWS[10:], "k long, v double"), 1)
+    with pytest.raises(ValueError, match="checkpoint lineage"):
+        sink(spark.createDataFrame(ROWS[:10], "k long, v double"), 0)
+    # The committed store is untouched by the refused fold.
+    got = {tuple(r) for r in read_rollup(spark, store, ["k"], ["v"]).collect()}
+    assert got == _expected(spark)
 
-    with pytest.raises(ValueError, match="local filesystem"):
-        incremental_rollup_sink("s3a://bucket/rollup", ["k"], ["v"])
+
+def test_rollup_sink_works_through_filesystem_uri(spark, tmp_path):
+    """The meta/prune bookkeeping goes through the Hadoop FileSystem of
+    the store URI (VERDICT r5/r6 #4) — a ``file://`` URI exercises the
+    exact non-POSIX code path an s3a/gs/hdfs store would take, end to
+    end with redelivery."""
+    store = f"file://{tmp_path}/store_uri"
+    sink = incremental_rollup_sink(store, ["k"], ["v"])
+    b0 = spark.createDataFrame(ROWS[:10], "k long, v double")
+    b1 = spark.createDataFrame(ROWS[10:], "k long, v double")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # redelivery no-op through the FS path too
+    got = {tuple(r) for r in read_rollup(spark, store, ["k"], ["v"]).collect()}
+    assert got == _expected(spark)
+    local = str(tmp_path / "store_uri")
+    assert sorted(e for e in os.listdir(local) if e.startswith("v=")) == [
+        "v=0",
+        "v=1",
+    ]
+    assert [e for e in os.listdir(local) if e.startswith("_meta.")] == ["_meta.1"]
