@@ -78,3 +78,65 @@ def count_shuffles(df: DataFrame) -> int:
     return len(
         re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan)
     )
+
+
+def _jwalk(node):
+    """Depth-first walk of an executed SparkPlan via py4j, digging
+    through AQE wrapper nodes (AdaptiveSparkPlanExec → its final plan,
+    QueryStageExec → its materialized subplan)."""
+    yield node
+    name = node.nodeName()
+    if "AdaptiveSparkPlan" in name:
+        yield from _jwalk(node.executedPlan())
+        return
+    if "QueryStage" in name:
+        yield from _jwalk(node.plan())
+        return
+    it = node.children().iterator()
+    while it.hasNext():
+        yield from _jwalk(it.next())
+
+
+def _metric(node, key: str):
+    mets = node.metrics()
+    opt = mets.get(key)
+    return opt.get().value() if not opt.isEmpty() else None
+
+
+def stage_profile(df: DataFrame, execute: bool = True) -> dict:
+    """Deterministic WORK profile of a query: rows written into every
+    shuffle exchange (plan order), rows out of every broadcast
+    exchange, and final result rows.
+
+    These counts depend only on the input data and the plan — never on
+    wall-clock, GC pauses, or session load — so a pinned baseline
+    catches *real* regressions (a lost broadcast, an extra shuffle, a
+    filter that stopped pushing down, a partial aggregate that stopped
+    combining) that the measured ±15% same-code timing noise
+    (VERDICT r6) would otherwise mask. The wall-clock bench (bench.py)
+    answers "how fast"; this answers "how much work", exactly.
+
+    ``execute`` collects the frame first (metrics populate only on the
+    frame's own query execution) — call at small SF.
+    """
+    rows_out = len(df.collect()) if execute else None
+    shuffles: list[int] = []
+    broadcasts: list[int] = []
+    for node in _jwalk(df._jdf.queryExecution().executedPlan()):
+        name = node.nodeName()
+        if name.startswith("ReusedExchange"):
+            continue  # points at an already-counted exchange's metrics
+        if name.startswith("BroadcastExchange"):
+            v = _metric(node, "numOutputRows")
+            if v is not None:
+                broadcasts.append(v)
+        elif name.startswith("Exchange"):
+            v = _metric(node, "shuffleRecordsWritten")
+            if v is not None:
+                shuffles.append(v)
+    return {
+        "rows_out": rows_out,
+        "n_shuffles": len(shuffles),
+        "shuffle_records": shuffles,
+        "broadcast_rows": broadcasts,
+    }

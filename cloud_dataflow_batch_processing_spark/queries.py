@@ -168,6 +168,10 @@ def flat_map_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "union_all",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
     UNION ALL
@@ -186,6 +190,10 @@ def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "distinct_values",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="SELECT DISTINCT o_orderpriority FROM orders",
 )
 def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +206,10 @@ def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kv_swap",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="SELECT n_name AS key, n_nationkey AS value FROM nation",
 )
 def kv_swap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +230,10 @@ def kv_swap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "group_by_key_lists",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     SELECT o_custkey,
            array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
@@ -297,6 +313,10 @@ def count_per_element_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "top_n_global",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     SELECT o_orderkey, o_custkey, o_totalprice FROM orders
     ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -341,6 +361,10 @@ def top_n_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_deterministic",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem WHERE l_orderkey % 97 = 0",
 )
 def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,6 +520,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json_extract",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -245,6 +245,10 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle=f"""
     WITH th_t AS (
       SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents WHERE doc_id < 40
@@ -577,10 +581,9 @@ def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ({S.hll_estimate_sql('l_orderkey', 'lineitem')}) o,
          ({S.hll_estimate_sql('l_partkey', 'lineitem')}) p
     """,
-    # approx_distinct (HLL++ envelope check) holds the driver slot for
     # the approximate-distinct class; this deterministic twin registers
-    # late.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic engine-mirrored HyperLogLog (extensions/sketch.py):
@@ -908,7 +911,8 @@ def substring_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_quality_survivor",
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle=f"""
     SELECT c.doc_id, c.component_id, c.cluster_size,
            {quality_score_sql('d.text')} AS quality,

@@ -108,8 +108,8 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Same roundtrip-through-exact-aggregate class as avro_roundtrip_agg
     # (which keeps the primary slot: it exercises our own codec; JSONL
-    # is Spark-native). Registers late.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzip'd JSON-lines write→read roundtrip — the interchange layout

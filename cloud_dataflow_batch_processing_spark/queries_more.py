@@ -71,6 +71,10 @@ def intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "combine_globally",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
@@ -321,6 +325,10 @@ def combine_fn_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="SELECT true AS orders_in_bound, true AS parts_in_bound",
 )
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +359,10 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_percentile",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="SELECT o_orderpriority, true AS p50_in_bound, true AS p90_in_bound "
     "FROM orders GROUP BY o_orderpriority",
 )
@@ -447,6 +459,10 @@ def heavy_hitters_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_fingerprint",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle=f"""
     WITH h AS (
       SELECT l_returnflag,
@@ -705,8 +721,8 @@ def group_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     # Join/agg/topk classes all have primary carriers
     # (multi_table_join_chain, q1_pricing_summary, top_n_global); the
-    # extra TPC-H shape registers late for breadth.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle="""
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -869,7 +885,8 @@ from cloud_dataflow_batch_processing_spark.extensions import rollup as RU  # noq
 @register(
     "incremental_rollup_orders",
     oracle=RU.rollup_finalize_sql("orders", ["o_orderstatus"], ["o_totalprice"]),
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental materialized rollup (extensions/rollup.py): orders
@@ -949,7 +966,8 @@ _CDC_CHANGES_SQL = """
     changes AS ({_CDC_CHANGES_SQL})
     {CDC.apply_changes_sql('base', 'changes', ['o_orderkey'])}
     """,
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO / upsert-apply (extensions/cdc.py::apply_changes —
@@ -985,7 +1003,8 @@ def cdc_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         ["event_id"],
     ),
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 validity intervals (extensions/cdc.py::scd2_intervals):
@@ -1003,7 +1022,8 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle="""
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1044,7 +1064,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume_customers",
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle="""
     WITH big AS (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
@@ -1126,7 +1147,8 @@ _PR_EDGES_SQL = (
 @register(
     "pagerank_supplier_customer",
     oracle=G.pagerank_sql(_PR_EDGES_SQL, iters=3),
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
 )
 def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (extensions/graph.py) over the supplier→customer

@@ -82,6 +82,10 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_pairs",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle=f"""
     WITH sig AS (
       SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket

@@ -85,6 +85,10 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_session",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle="""
     WITH ordered AS (
       SELECT user_id, ts,

@@ -189,8 +189,8 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min
     "sessionize_events",
     # Session-window class is driver-carried by `window_session`
     # (merge-on-touch aggregate); this id-assigning batch variant
-    # registers late.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle=f"""
     WITH o AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us,
@@ -280,8 +280,8 @@ def rolling_avg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "funnel_signup_click_purchase",
     # Product-analytics composition of driver-carried classes
-    # (conditional aggregates + broadcast-size joins); registers late.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle="""
     WITH s AS (
       SELECT user_id, MIN(epoch_us(ts)) AS t_signup
@@ -352,8 +352,8 @@ _WEEK_US = 7 * 86_400_000_000
 @register(
     "retention_cohorts",
     # Cohort retention = two narrow aggregates over carried classes;
-    # registers late alongside the funnel.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle=f"""
     WITH first_seen AS (
       SELECT user_id, MIN(epoch_us(ts)) // {_WEEK_US} AS cohort_week

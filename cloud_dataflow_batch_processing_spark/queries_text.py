@@ -123,6 +123,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_chunks",
+    # r7 window rotation: class long driver-certified (green in
+    # CORRECTNESS r02-r06); registers late to free a slot for a
+    # class that never saw the driver gate.
+    late=True,
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, {X.tokens_sql('text')} AS t FROM documents WHERE doc_id < 200
@@ -663,10 +667,9 @@ from cloud_dataflow_batch_processing_spark.extensions import lm as LM  # noqa: E
 
 @register(
     "unigram_lm_quality",
-    # The quality-scoring class already holds a driver slot
     # (text_quality_filter / corpus_clean_pipeline); the LM-filter
-    # variant registers late.
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle=LM.unigram_score_sql("documents"),
 )
 def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +688,8 @@ def unigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_coverage_curve",
-    late=True,
+    # r7: promoted into the driver's 50-query window (window rotation
+    # — this operator class had only local-oracle coverage before).
     oracle=LM.vocab_coverage_sql("documents", "text", [10, 20, 30]),
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
