@@ -43,6 +43,27 @@ def managed_cache_count() -> int:
     return len(_MANAGED)
 
 
+def materialize_stage(df: DataFrame) -> DataFrame:
+    """``managed_cache`` + eager population, for STAGE BOUNDARIES whose
+    cache feeds several downstream branches that are composed into one
+    final plan.
+
+    Lazy caches in that shape are a measured nondeterminism source:
+    with AQE, whether a consumer branch reads the InMemoryRelation or
+    replans the boundary's subtree raw (re-executing its shuffle inside
+    a broadcast subtree) depends on cache-materialization timing —
+    byte-identical corpus_build_full flipped between 3 and 4 shuffles
+    run-to-run, duplicating the exact-dedup exchange. Populating the
+    cache BEFORE any downstream plan is constructed removes the race:
+    8/8 runs produce the identical work profile, and the duplicate
+    shuffle never executes. The count() costs one job that the first
+    consumer would have paid anyway.
+    """
+    df = managed_cache(df)
+    df.count()
+    return df
+
+
 def register_managed_scratch(spark: SparkSession, path: str) -> str:
     """Register a checkpoint-scratch directory for deletion at the next
     ``release_managed_caches()``. Returns ``path`` for chaining."""

@@ -207,8 +207,23 @@ def _dup_spans(
     if materialize == "checkpoint":
         if not scratch_dir:
             raise ValueError("materialize='checkpoint' needs scratch_dir")
-        spans.write.mode("overwrite").parquet(scratch_dir)
-        spans = df.sparkSession.read.parquet(scratch_dir)
+        import os
+        import uuid
+
+        from cloud_dataflow_batch_processing_spark.caching import (
+            register_managed_scratch,
+        )
+
+        # Engine-owned <uuid> subdir, registered for deletion at the
+        # caller's release_managed_caches() boundary — same lifecycle
+        # as the minhash band checkpoint (VERDICT r5 #4: span-store
+        # scratch must not accumulate across a long session). The
+        # caller's scratch_dir itself is never deleted.
+        path = register_managed_scratch(
+            df.sparkSession, os.path.join(scratch_dir, uuid.uuid4().hex[:12])
+        )
+        spans.write.mode("overwrite").parquet(path)
+        spans = df.sparkSession.read.parquet(path)
     else:
         from cloud_dataflow_batch_processing_spark.caching import managed_cache
 

@@ -701,27 +701,31 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_fast,
     )
 
-    from cloud_dataflow_batch_processing_spark.caching import managed_cache
+    from cloud_dataflow_batch_processing_spark.caching import materialize_stage
 
     d = load_tables(spark, sf_dir)["documents"]
     q1 = d.filter((F.col("doc_id") % 97 != 0) & (quality_score_fast(F.col("text")) >= 0.5)).select(
         "doc_id", "text", "source"
     )
     keep = q1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    # Stage boundaries are CACHED: each survivor frame feeds several
-    # downstream branches (q2 -> near-dup + anti-join; q3 -> shingle
-    # probe + q4; q4 -> substring stats base/intervals + final join).
-    # Without the materialization the minhash/decontaminate subtrees
-    # replicate into every consumer of the final plan — measured 58 s
-    # vs 6 s warm at sf0.1. At 100 TB the same boundaries would be
-    # checkpoint writes (the dedup family's materialize knob).
-    q2 = managed_cache(q1.join(keep, "doc_id"))
+    # Stage boundaries are EAGERLY cached (materialize_stage): each
+    # survivor frame feeds several downstream branches (q2 -> near-dup
+    # + anti-join; q3 -> shingle probe + q4; q4 -> substring stats
+    # base/intervals + final join). Without the materialization the
+    # minhash/decontaminate subtrees replicate into every consumer of
+    # the final plan — measured 58 s vs 6 s warm at sf0.1. Eager (not
+    # lazy .cache()) because a lazily-populated multi-consumer boundary
+    # races AQE's cache replacement: byte-identical runs flipped
+    # between reusing and re-executing the exact-dedup exchange
+    # (work-profile 3 vs 4 shuffles). At 100 TB the same boundaries
+    # would be checkpoint writes (the dedup family's materialize knob).
+    q2 = materialize_stage(q1.join(keep, "doc_id"))
     nd = (
         D.minhash_near_dup_pairs(q2, "doc_id", "text", threshold=0.8)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    q3 = managed_cache(q2.join(nd, "doc_id", "left_anti"))
+    q3 = materialize_stage(q2.join(nd, "doc_id", "left_anti"))
 
     staged_ev = (
         d.filter(F.col("doc_id") % 97 == 0)
@@ -730,7 +734,7 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.array_distinct("__shl")).alias("h"))
         .distinct()
     )
-    staged_ex = managed_cache(
+    staged_ex = materialize_stage(
         q3.select("doc_id", D.token_hashes("text").alias("__th"))
         .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
         .select("doc_id", F.array_distinct("__shl").alias("sh"))
@@ -744,7 +748,7 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o").cast("double") / F.col("n") > 0.2)
         .select("doc_id")
     )
-    q4 = managed_cache(q3.join(contaminated, "doc_id", "left_anti"))
+    q4 = materialize_stage(q3.join(contaminated, "doc_id", "left_anti"))
     st = _SUB.substring_dup_stats(q4)
     return (
         q4.join(st, "doc_id")

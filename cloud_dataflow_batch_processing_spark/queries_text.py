@@ -696,8 +696,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary-budget curve: fraction of corpus token
     occurrences covered by the top-k most frequent types (k = 10/20/30
     against this corpus's 31-word vocab; a real run sweeps 32k/64k/
-    128k). Train reuses the unigram hash-agg; the rank/cumsum window
-    runs over the vocab-sized frequency table, never the corpus.
+    128k). Train reuses the unigram hash-agg; the global rank/cumsum
+    window runs over a 64-bucket partial-top-K candidate set bounded
+    by 64*max(k) rows, never the vocab (let alone the corpus).
     Deterministic tie order (count desc, token asc) makes the coverage
     values hash-certifiable."""
     d = load_tables(spark, sf_dir)["documents"]

@@ -39,6 +39,21 @@ def get_spark(
     spark-submit.
     """
     cpus = default_parallelism()
+    # Library citizenship: if a session already exists (a host
+    # application, spark-submit, or a test harness owns it), do NOT
+    # silently rewrite its conf with OUR defaults — builder.config on
+    # an existing session mutates shared runtime SQL conf (measured:
+    # cli.run() inside the local[8]/8-shuffle test session reset
+    # spark.sql.shuffle.partitions to 32 for every later test,
+    # shifting downstream partial-aggregate work profiles). Only
+    # settings the caller EXPLICITLY asked for are applied.
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        if shuffle_partitions is not None:
+            active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        for k, v in (extra_conf or {}).items():
+            active.conf.set(k, v)
+        return active
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

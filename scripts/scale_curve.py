@@ -74,24 +74,38 @@ def run_point(spark, path: str, scratch: str) -> dict[str, dict]:
     return out
 
 
-def main() -> None:
+POINTS = {
+    "50k": (50_000, "sf1_docs"),
+    "500k": (500_000, "sf10_docs"),
+    # Third decade (VERDICT r6 #8): 5M docs = sf100-equivalent, run to
+    # pin corpus_clean_pipeline's exponent after the verify-then-dedup
+    # reorder removed its super-linear wide shuffle.
+    "5m": (5_000_000, "sf100_docs"),
+}
+
+
+def main(labels: list[str] | None = None) -> None:
+    labels = labels or ["50k", "500k"]
     spark = get_spark(app_name="cdbp-scale-curve")
     spark.sparkContext.setLogLevel("ERROR")
     points = {}
-    for label, n in (("50k", 50_000), ("500k", 500_000)):
-        sub = "sf1_docs" if n == 50_000 else "sf10_docs"
+    for label in labels:
+        n, sub = POINTS[label]
         t0 = time.perf_counter()
         path = ensure_scale_docs(os.path.join(BASE, sub), n_docs=n)
         gen_sec = round(time.perf_counter() - t0, 1)
         points[label] = run_point(spark, path, os.path.join(BASE, f"curve_ckpt_{label}"))
         points[label]["gen_sec"] = gen_sec
     exps = {}
-    for q in ("dedup_minhash_pairs_fast", "substring_dedup_stats", "corpus_clean_pipeline"):
-        for mode in ("cold", "warm"):
-            r = points["500k"][q][mode] / points["50k"][q][mode]
-            exps[f"{q}.{mode}"] = round(math.log10(r), 3)  # 1.0 == linear
+    for lo, hi, decade in (("50k", "500k", ""), ("500k", "5m", ".x10")):
+        if lo not in points or hi not in points:
+            continue
+        for q in ("dedup_minhash_pairs_fast", "substring_dedup_stats", "corpus_clean_pipeline"):
+            for mode in ("cold", "warm"):
+                r = points[hi][q][mode] / points[lo][q][mode]
+                exps[f"{q}.{mode}{decade}"] = round(math.log10(r), 3)  # 1.0 == linear
     print(json.dumps({"points": points, "scaling_exponent_log10": exps}))
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1:] or None)

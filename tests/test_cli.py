@@ -81,3 +81,24 @@ def test_cli_query_explain_flag(capsys):
          "--explain"])
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_get_spark_does_not_mutate_existing_session(spark):
+    """Library citizenship: get_spark() with defaults must return the
+    host's session UNCHANGED — builder.config on an existing session
+    mutates shared runtime SQL conf, which is how cli.run() inside the
+    8-shuffle test session used to reset shuffle.partitions to 32 for
+    every later test (shifting downstream partial-agg work profiles).
+    Explicitly-requested settings still apply."""
+    from cloud_dataflow_batch_processing_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    s = get_spark(app_name="some-other-app")  # defaults would say 32
+    assert s is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+    s = get_spark(shuffle_partitions=int(before), extra_conf={
+        "spark.sql.session.timeZone": spark.conf.get("spark.sql.session.timeZone")
+    })  # explicit asks are applied (values chosen = current, a no-op)
+    assert s is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -243,9 +243,20 @@ def test_checkpoint_materialization_identical(spark, corpus, tmp_path):
         )
     )
     assert a == b
-    assert os.path.isdir(scratch) and any(
-        f.endswith(".parquet") for f in os.listdir(scratch)
+    # The span frame checkpoints into an engine-owned <uuid> subdir of
+    # the caller's scratch_dir...
+    subdirs = os.listdir(scratch)
+    assert subdirs and all(
+        any(f.endswith(".parquet") for f in os.listdir(os.path.join(scratch, d)))
+        for d in subdirs
     )
+    # ...and is deleted at the managed-cache release boundary (same
+    # lifecycle as the minhash band checkpoint), leaving the caller's
+    # dir itself intact.
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+
+    release_managed_caches()
+    assert os.path.isdir(scratch) and os.listdir(scratch) == []
 
 
 def test_stats_corr_ols_matches_numpy(spark, sf_dir):
