@@ -554,6 +554,7 @@ def _load_submodule_registries() -> None:
     from cloud_dataflow_batch_processing_spark import queries_streaming  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_io  # noqa: F401
     from cloud_dataflow_batch_processing_spark import queries_multimodal  # noqa: F401
+    from cloud_dataflow_batch_processing_spark import queries_tpch  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,830 @@
+"""TPC-H completion wave: the 15 queries (Q2, Q7–Q9, Q11–Q17,
+Q19–Q22) not yet in the registry, each adapted to the driver's
+TPC-H-ish schema (no partsupp table; lineitem lacks
+commitdate/receiptdate/shipmode/shipinstruct; part lacks
+mfgr/container; customer lacks phone) while preserving the query's
+defining *operator shape* — that shape, not the exact spec text, is
+what exercises the planner:
+
+- Q2   correlated-min over a derived offer table (agg-then-join)
+- Q7   two-role dimension join (nation aliased twice) + year rollup
+- Q8   conditional-share aggregation (CASE inside SUM, ratio)
+- Q9   LIKE-filtered profit rollup by nation x year
+- Q11  HAVING against a scalar subquery (group share of total)
+- Q12  conditional counts by class after a date-arithmetic join
+- Q13  left-outer join with ON-clause filter + double aggregation
+- Q14  single-row conditional ratio
+- Q15  view-style derived table + scalar MAX equality
+- Q16  anti-join exclusion + COUNT(DISTINCT) rollup
+- Q17  correlated AVG subquery (per-group threshold)
+- Q19  disjunction-of-conjunctions pushdown
+- Q20  nested IN with aggregate HAVING threshold
+- Q21  EXISTS / NOT-EXISTS self-join (Spark side: the equivalent
+       one-pass per-order aggregate rewrite)
+- Q22  scalar-subquery threshold + NOT EXISTS anti-join
+
+Reference parity: the reference's engine (vendored Beam 2.5 SDK,
+beam/transforms/core.py) expresses none of these directly — they are
+capability supersets carried by Catalyst, same as the set-op /
+window-function waves (SURVEY.md §2.2 "notably absent"). All entries
+register ``late=True``: the driver's 50-query window was rotated this
+round and stays pinned; these are covered by the in-suite DuckDB
+oracle gate at sf0.001 (and the dual-scale sweep).
+
+Cross-engine determinism rules (house conventions, NOTES.md):
+money sums in DECIMAL(18,2) then cast DOUBLE; thresholds derived as
+exact-decimal-sum / exact-count (never AVG over doubles, whose
+addition order varies); years cast to INT on both sides; integer
+conditional sums cast BIGINT in DuckDB (whose SUM(int) is HUGEINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cloud_dataflow_batch_processing_spark.queries import _dec, register
+from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+
+def _rev() -> F.Column:
+    """Decimal-exact extended revenue: price * (1 - discount)."""
+    return _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+)
+
+
+@register(
+    "q2_min_cost_supplier",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    eo AS (
+      SELECT o.l_partkey, o.cost, eu.s_name, eu.s_acctbal, eu.n_name
+      FROM offers o JOIN eu ON o.l_suppkey = eu.s_suppkey
+    ),
+    best AS (SELECT l_partkey, MIN(cost) AS best_cost FROM eo GROUP BY l_partkey)
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal, eo.cost
+    FROM part
+    JOIN eo ON p_partkey = eo.l_partkey
+    JOIN best ON best.l_partkey = eo.l_partkey AND eo.cost = best.best_cost
+    WHERE p_size = 15 AND p_type = 'STANDARD'
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    subquery expressed as agg-then-join — compute the per-part best
+    cost over the region-filtered offer table once (a tiny frame),
+    then equi-join it back; never a per-row re-aggregation. Adapted:
+    no partsupp table, so the offer table is MIN(l_extendedprice) per
+    (part, supplier) derived from lineitem. Ties return every best
+    supplier (deterministic without LIMIT). region/nation broadcast;
+    MIN over doubles is order-independent, so cross-engine exact."""
+    t = load_tables(spark, sf_dir)
+    offers = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    eu = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eo = offers.join(eu, F.col("l_suppkey") == F.col("s_suppkey")).select(
+        "l_partkey", "cost", "s_name", "s_acctbal", "n_name"
+    )
+    best = eo.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))
+    p = t["part"].filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+    return (
+        p.join(eo, F.col("p_partkey") == eo["l_partkey"])
+        .join(
+            best,
+            (best["l_partkey"] == eo["l_partkey"])
+            & (F.col("cost") == F.col("best_cost")),
+        )
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", "cost")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+             {_REV_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN (SELECT n_nationkey, n_name, r_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey) n1
+        ON s_nationkey = n1.n_nationkey
+      JOIN (SELECT n_nationkey, n_name, r_name FROM nation
+            JOIN region ON n_regionkey = r_regionkey) n2
+        ON c_nationkey = n2.n_nationkey
+      WHERE n1.r_name IN ('ASIA', 'EUROPE')
+        AND n2.r_name IN ('ASIA', 'EUROPE')
+        AND n1.r_name <> n2.r_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): the two-role dimension join —
+    nation joined twice under different aliases (supplier side and
+    customer side), the either-direction pair predicate, per-year
+    revenue rollup by nation pair. Adapted: the pair predicate is at
+    *region* granularity (nation-pair selectivity on the synthetic
+    uniform generator leaves zero rows at sf0.001, which would make
+    the small-scale gate vacuous) — the operator shape (aliased
+    dimension x2, either-direction inequality, year rollup) is
+    unchanged. Both dimension copies broadcast; the region filter
+    prunes before the fact joins so the big chain carries only
+    matching rows."""
+    t = load_tables(spark, sf_dir)
+    regions = ["ASIA", "EUROPE"]
+    ndim = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name").isin(regions))),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    n1 = ndim.select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("r_name").alias("supp_region"),
+    )
+    n2 = ndim.select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+        F.col("r_name").alias("cust_region"),
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_region") != F.col("cust_region"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ) GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): conditional-share aggregation
+    — one nation's revenue as a fraction of the regional total per
+    year, CASE folded inside the SUM so a single pass computes both
+    numerator and denominator. Both sums stay decimal-exact and the
+    division happens once per group in double (deterministic IEEE on
+    both engines). The market-region filter is on the *customer*
+    nation, the share nation on the *supplier* nation — the same
+    two-role dimension as Q7."""
+    t = load_tables(spark, sf_dir)
+    n1 = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("n1_key"))
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    vol = _rev()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        t["part"].filter(F.col("p_type") == "ECONOMY")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+             {_REV_SQL} AS amount
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%gear%'
+    ) GROUP BY nation, o_year
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): LIKE-filtered part slice joined
+    through the full fact chain, profit rolled up by supplier nation x
+    order year. Adapted: profit = extended revenue (no partsupp, so no
+    supplycost term). The part filter is the selective one — it joins
+    first so the lineitem scan's join input is already pruned; nation
+    broadcasts."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["part"].filter(F.col("p_name").like("%gear%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    WITH v AS (
+      SELECT l_partkey, SUM({_REV_SQL}) AS value
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT 1.5 * CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM v)
+    """,
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): per-group value filtered against a
+    scalar subquery over the same derived table. Adapted: value =
+    revenue per part from one region's suppliers (no partsupp; region
+    rather than the spec's single nation so the slice is non-empty at
+    sf0.001), and the threshold is 1.5x the mean per-part value rather
+    than the spec's fixed fraction — scale-INVARIANT, so the query
+    returns a stable slice at every SF (the spec's 0.0001/SF constant
+    would thin to nothing as data grows). The threshold is
+    exact-decimal-sum / count, never AVG over doubles
+    (addition-order-dependent). Spark plans the scalar subquery as a
+    one-row broadcast computed once."""
+    t = load_tables(spark, sf_dir)
+    v = (
+        t["lineitem"]
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    t["region"].filter(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("value"))
+    )
+    v.createOrReplaceTempView("__tpch_q11_value")
+    return spark.sql(
+        """
+        SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+        FROM __tpch_q11_value
+        WHERE CAST(value AS DOUBLE) >
+              (SELECT 1.5 * CAST(SUM(value) AS DOUBLE) / COUNT(*)
+               FROM __tpch_q11_value)
+        """
+    )
+
+
+@register(
+    "q12_priority_lines_by_class",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def q12_priority_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority): conditional counts by
+    class after a date-arithmetic join predicate. Adapted: no
+    l_shipmode or receipt/commit dates, so the class is l_returnflag
+    and "late" is shipdate > orderdate + 30 days. The date-range
+    filter pushes to the lineitem scan; the cross-table date
+    comparison evaluates at the join; CASE-in-SUM gives both counts
+    in one aggregation pass."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 30 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): LEFT OUTER join
+    with a non-key predicate *inside the ON clause* (filtering the
+    right side without dropping order-less customers — the semantics
+    a WHERE clause would break), then the two-level aggregation:
+    count per customer, histogram of those counts. Adapted: the
+    excluded class is an order priority (no o_comment column).
+    COUNT(col) over the null-extended rows gives 0 for order-less
+    customers on both engines."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"].select("c_custkey")
+    o = t["orders"].select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q14_promo_revenue_share",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+             / CAST(SUM(volume) AS DOUBLE) AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT p_type, {_REV_SQL} AS volume
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        AND l_shipdate <  TIMESTAMP '1996-10-01'
+    )
+    """,
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the single-row conditional ratio
+    — promo revenue share of one month. Both sums decimal-exact in
+    one aggregation pass; the *100/total arithmetic runs in double
+    with the same association on both engines. The month filter
+    pushes to the lineitem scan (row-group skipping at scale); part
+    joins after the filter so only the month's lines shuffle."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    vol = _rev()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero))
+                .cast("double")
+                * F.lit(100.0)
+                / F.sum(vol).cast("double")
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey, SUM({_REV_SQL}) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the view-style derived revenue table
+    consumed twice — once as the join input, once inside the scalar
+    MAX subquery — with equality against that scalar. Decimal-exact
+    sums make the MAX comparison bit-identical cross-engine (the spec
+    query has the same tie semantics: every supplier at the max
+    returns). Catalyst computes the subquery once and broadcasts the
+    one-row result."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).groupBy("l_suppkey").agg(
+        F.sum(_rev()).alias("total_revenue")
+    ).createOrReplaceTempView("__tpch_q15_rev")
+    t["supplier"].createOrReplaceTempView("__tpch_q15_supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM __tpch_q15_supplier JOIN __tpch_q15_rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM __tpch_q15_rev)
+        """
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT
+    supplier) per part classification with a NOT-IN exclusion list.
+    Adapted: the part-supplier relation comes from lineitem (no
+    partsupp) and the excluded suppliers are negative-balance ones
+    (no s_comment). The exclusion list is supplier-table-sized →
+    broadcast LEFT ANTI join (s_suppkey is non-null, so NOT IN and
+    anti-join agree); part filters push to the scan before the fact
+    join."""
+    t = load_tables(spark, sf_dir)
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "MEDIUM")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    li = t["lineitem"].join(
+        F.broadcast(bad),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_anti",
+    )
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+        SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated AVG
+    subquery — each line compared against 0.2x the mean quantity *of
+    its own part*. Catalyst decorrelates this into an aggregate +
+    equi-join (visible in the plan: no per-row re-scan), exactly the
+    rewrite a hand-written version would do. Quantities are
+    integer-valued doubles, so AVG = exact-sum/count is
+    order-independent and the 0.2x threshold is bit-identical
+    cross-engine."""
+    t = load_tables(spark, sf_dir)
+    t["lineitem"].createOrReplaceTempView("__tpch_q17_lineitem")
+    t["part"].createOrReplaceTempView("__tpch_q17_part")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                 AS avg_yearly,
+               COUNT(*) AS n_lines
+        FROM __tpch_q17_lineitem JOIN __tpch_q17_part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (
+            SELECT 0.2 * AVG(l_quantity) FROM __tpch_q17_lineitem l2
+            WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle=f"""
+    SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the disjunction-of-conjunctions
+    workout. Catalyst extracts the common sub-predicates each side of
+    the OR implies (p_size <= 15, l_quantity <= 30, the brand IN-list)
+    and pushes them below the join into both scans, so the join sees
+    pre-pruned inputs even though the full predicate can only evaluate
+    after it — the optimization this query exists to test."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    arm1 = (F.col("p_brand") == "Brand#12") & size.between(1, 5) & qty.between(1, 11)
+    arm2 = (F.col("p_brand") == "Brand#2") & size.between(1, 10) & qty.between(10, 20)
+    arm3 = (F.col("p_brand") == "Brand#21") & size.between(1, 15) & qty.between(20, 30)
+    return (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arm1 | arm2 | arm3)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q20_excess_shipped_suppliers",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped
+      WHERE qty > (SELECT 1.5 * SUM(qty) / COUNT(*) FROM shipped))
+    """,
+)
+def q20_excess_shipped_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion): the nested-IN shape —
+    suppliers selected by an aggregate-HAVING inner query that itself
+    compares against a scalar subquery. Adapted: "excess availability"
+    becomes shipped-quantity above 1.5x the per-supplier mean for one
+    part family and year (no partsupp availqty); the 1.5x-mean
+    threshold is scale-invariant where the spec's 0.5x-fixed constant
+    assumes availqty. Quantities are integer-valued doubles → the
+    threshold is exact. Spark: IN → broadcast semi-join of the tiny
+    qualifying-supplier set."""
+    t = load_tables(spark, sf_dir)
+    (
+        t["lineitem"]
+        .join(
+            t["part"].filter(F.col("p_name").like("small%")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    ).createOrReplaceTempView("__tpch_q20_shipped")
+    t["supplier"].createOrReplaceTempView("__tpch_q20_supplier")
+    t["nation"].createOrReplaceTempView("__tpch_q20_nation")
+    return spark.sql(
+        """
+        SELECT s_name, n_name
+        FROM __tpch_q20_supplier JOIN __tpch_q20_nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM __tpch_q20_shipped
+          WHERE qty > (SELECT 1.5 * SUM(qty) / COUNT(*) FROM __tpch_q20_shipped))
+        """
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the EXISTS /
+    NOT-EXISTS double self-join — late lines on multi-supplier orders
+    where the line's supplier is the *only* late one. Adapted: "late"
+    is shipdate > orderdate + 60 days (no receipt/commit dates).
+
+    The Spark side is the equivalent one-pass aggregate rewrite — per
+    order, count distinct suppliers and distinct *late* suppliers,
+    then keep late lines with supp_cnt > 1 AND late_supp_cnt = 1:
+    l1 late + sole-late-supplier <=> NOT EXISTS other late supplier,
+    and supp_cnt > 1 <=> EXISTS another supplier. One aggregation +
+    one equi-join-back instead of two correlated lineitem re-scans —
+    the formulation that survives 100 TB (the self-join EXISTS pair
+    would scan lineitem three times; this scans it once)."""
+    t = load_tables(spark, sf_dir)
+    o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("supp_cnt"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "late_supp_cnt"
+        ),
+    )
+    waiting = (
+        li.filter(F.col("is_late"))
+        .join(per_order.withColumnRenamed("l_orderkey", "po_orderkey"),
+              F.col("l_orderkey") == F.col("po_orderkey"))
+        .filter((F.col("supp_cnt") > 1) & (F.col("late_supp_cnt") == 1))
+    )
+    return (
+        waiting.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q22_idle_customer_balance",
+    late=True,  # capability-superset wave; driver window pinned this round
+    oracle="""
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*)
+          FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    )
+    GROUP BY cntrycode
+    """,
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no recent orders, grouped by a substring-derived
+    code. Adapted: the code is the last two digits of c_name (no
+    c_phone); "idle" means no order since 1999-01-01 (this generator
+    gives every customer at least one order, so the spec's
+    no-orders-ever predicate is vacuously empty — the date-bounded
+    NOT EXISTS keeps the anti-join-with-filtered-right-side shape and
+    a non-empty result); the threshold is the positive-balance mean
+    as decimal-exact sum / count (deterministic where a double AVG is
+    not). Catalyst plans the scalar threshold as a one-row subquery
+    computed once (never a nested-loop join) and the NOT EXISTS as a
+    LEFT ANTI join on the orders key; both anti-join inputs shuffle
+    once on custkey."""
+    t = load_tables(spark, sf_dir)
+    c = t["customer"]
+    thresh = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("bal_cut")
+    )
+    thresh.createOrReplaceTempView("__tpch_q22_thresh")
+    c.createOrReplaceTempView("__tpch_q22_customer")
+    rich = spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal FROM __tpch_q22_customer
+        WHERE c_acctbal > (SELECT bal_cut FROM __tpch_q22_thresh)
+        """
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    idle = rich.join(
+        recent.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    code = F.col("c_name").substr(F.length("c_name") - 1, F.lit(2))
+    return idle.groupBy(code.alias("cntrycode")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+    )
