@@ -27,7 +27,13 @@ from scripts.gen_scale_docs import ensure_scale_docs  # noqa: E402
 BASE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data")
 
 
-def run_point(spark, path: str, scratch: str) -> dict[str, dict]:
+def run_point(
+    spark,
+    path: str,
+    scratch: str,
+    only: tuple[str, ...] | None = None,
+    n_runs: int = 3,
+) -> dict[str, dict]:
     from pyspark.sql import functions as F
 
     from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
@@ -64,8 +70,10 @@ def run_point(spark, path: str, scratch: str) -> dict[str, dict]:
         ("substring_dedup_stats", substring_q),
         ("corpus_clean_pipeline", clean_q),
     ):
+        if only is not None and name not in only:
+            continue
         runs = []
-        for _ in range(3):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             q().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -94,13 +102,27 @@ def main(labels: list[str] | None = None) -> None:
         t0 = time.perf_counter()
         path = ensure_scale_docs(os.path.join(BASE, sub), n_docs=n)
         gen_sec = round(time.perf_counter() - t0, 1)
-        points[label] = run_point(spark, path, os.path.join(BASE, f"curve_ckpt_{label}"))
+        # The 5M point exists to pin corpus_clean_pipeline's exponent
+        # (VERDICT r6 #8) — one cold + one warm run of just that query
+        # keeps the third decade affordable (its cold run alone is
+        # minutes; the other two queries' exponents are already pinned
+        # sub-linear by the 50k→500k decade).
+        only = ("corpus_clean_pipeline",) if label == "5m" else None
+        points[label] = run_point(
+            spark,
+            path,
+            os.path.join(BASE, f"curve_ckpt_{label}"),
+            only=only,
+            n_runs=2 if label == "5m" else 3,
+        )
         points[label]["gen_sec"] = gen_sec
     exps = {}
     for lo, hi, decade in (("50k", "500k", ""), ("500k", "5m", ".x10")):
         if lo not in points or hi not in points:
             continue
         for q in ("dedup_minhash_pairs_fast", "substring_dedup_stats", "corpus_clean_pipeline"):
+            if q not in points[lo] or q not in points[hi]:
+                continue
             for mode in ("cold", "warm"):
                 r = points[hi][q][mode] / points[lo][q][mode]
                 exps[f"{q}.{mode}{decade}"] = round(math.log10(r), 3)  # 1.0 == linear
