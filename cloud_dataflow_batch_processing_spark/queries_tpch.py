@@ -735,8 +735,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l1 late + sole-late-supplier <=> NOT EXISTS other late supplier,
     and supp_cnt > 1 <=> EXISTS another supplier. One aggregation +
     one equi-join-back instead of two correlated lineitem re-scans —
-    the formulation that survives 100 TB (the self-join EXISTS pair
-    would scan lineitem three times; this scans it once)."""
+    the formulation that survives 100 TB: two lineitem passes (stats
+    + probe) and zero per-row correlated probing, where the literal
+    EXISTS pair needs three passes with the NOT-EXISTS side carrying
+    the order-date comparison through a non-equi correlated join."""
     t = load_tables(spark, sf_dir)
     o = t["orders"].filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
