@@ -37,6 +37,11 @@ def main() -> None:
         "heavy_hitters_countmin",
         "table_fingerprint",
         "snapshot_diff_orders",
+        # TPC-H wave: the planner capabilities each exists to exercise
+        # (decorrelation, disjunction pushdown, aggregate rewrite).
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_predicates",
+        "q21_waiting_suppliers",
     ]
     audited = dict(headline_queries())
     audited.update({n: REGISTRY[n].fn for n in extra})
@@ -45,7 +50,22 @@ def main() -> None:
         out.append(f"## {name}")
         out.append(f"shuffle exchanges: **{count_shuffles(df)}**")
         out.append("```")
-        out.append(executed_plan(df).strip())
+        plan_lines = executed_plan(df).strip().splitlines()
+        # Eagerly-cached stage boundaries (materialize_stage) embed each
+        # upstream stage's full plan inside every InMemoryRelation they
+        # feed, so multi-stage pipelines repeat subtrees combinatorially
+        # in toString (corpus_build_full: ~35k lines). The review value
+        # is in the top of the final stage — cap the dump and say so.
+        cap = 200
+        if len(plan_lines) > cap:
+            dropped = len(plan_lines) - cap
+            plan_lines = plan_lines[:cap] + [
+                f"... ({dropped} more lines elided: repeated InMemoryRelation"
+                " subtrees from eager stage caches; the executed stages are"
+                " cached once each — see tests/test_stage_profile.py for the"
+                " pinned per-stage work counts)"
+            ]
+        out.extend(plan_lines)
         out.append("```")
         out.append("")
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "EXPLAINS.md"), "w") as f:
