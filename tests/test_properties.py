@@ -360,3 +360,56 @@ def test_unigram_freq_merge_associative_random_corpus(spark):
     assert t(ab_c) == t(a_bc) == t(whole)
     s = lambda freq: sorted(map(tuple, LM.unigram_score(df, freq).collect()))
     assert s(ab_c) == s(whole)
+
+
+@given(st.data())
+@settings(max_examples=6, deadline=None)
+def test_minhash_pairs_verify_then_dedup_invariants(spark, data):
+    """The round-7 verify-then-dedup reorder's contract on arbitrary
+    small dense-vocab corpora: (1) NO false positives — every returned
+    pair's TRUE distinct-shingle-set Jaccard clears the threshold (the
+    map-side array_intersect verify is exact); (2) no duplicate pair
+    rows — a pair colliding in several LSH bands is emitted once
+    (dropDuplicates now runs AFTER the filter; a regression here
+    double-counts drops downstream); (3) deterministic recall for
+    identical shingle sets — same set => same 16 minhash lanes => all
+    bands collide; (4) doc_a < doc_b ordering. Ground-truth sets come
+    from the engine's own shingle_hashes column (the property isolates
+    the join/dedup logic, not the hashing — the hash twins have their
+    own bit-identity property above)."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+
+    vocab = ["a", "b", "c", "d", "e"]
+    n = data.draw(st.integers(6, 24))
+    texts = [
+        " ".join(
+            data.draw(st.lists(st.sampled_from(vocab), min_size=3, max_size=12))
+        )
+        for _ in range(n)
+    ]
+    texts[n - 1] = texts[0]  # plant one exact duplicate
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = df.select(
+        "doc_id", F.array_distinct(D.shingle_hashes("text")).alias("sh")
+    ).collect()
+    sets = {r.doc_id: frozenset(r.sh) for r in rows}
+
+    thr = 0.5
+    out = D.minhash_near_dup_pairs(df, "doc_id", "text", threshold=thr).collect()
+    keys = [(r.doc_a, r.doc_b) for r in out]
+    assert len(keys) == len(set(keys)), "duplicate pair rows survived"
+    for r in out:
+        assert r.doc_a < r.doc_b
+        sa, sb = sets[r.doc_a], sets[r.doc_b]
+        true_j = len(sa & sb) / len(sa | sb)
+        assert abs(r.jaccard - true_j) < 5e-5
+        assert true_j >= thr - 1e-4, (r.doc_a, r.doc_b, true_j)
+    got = set(keys)
+    for a in range(n):
+        for b in range(a + 1, n):
+            if sets[a] and sets[a] == sets[b]:
+                assert (a, b) in got, f"identical-set pair ({a},{b}) missed"
