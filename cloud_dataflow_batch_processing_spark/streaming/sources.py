@@ -86,6 +86,21 @@ def read_stream(
         return raw.select(
             F.col("timestamp").alias("ts"), F.col("value").cast("string").alias("value")
         )
+    if kind == "kafka_replay":
+        # The jar-free executable kafka twin (streaming/kafka_replay.py):
+        # same output schema, offset JSON, and per-partition microbatch
+        # planning as the connector — normalized to the same (ts, value)
+        # surface as the kafka branch above.
+        from cloud_dataflow_batch_processing_spark.streaming import kafka_replay
+
+        kafka_replay.register(spark)
+        opts = dict(options)
+        if path_or_topic and "subscribe" not in opts:
+            opts["subscribe"] = path_or_topic
+        raw = spark.readStream.format("kafka_replay").options(**opts).load()
+        return raw.select(
+            F.col("timestamp").alias("ts"), F.col("value").cast("string").alias("value")
+        )
     if kind == "rate":
         raw = spark.readStream.format("rate").options(**options).load()
         return raw.select(
