@@ -49,6 +49,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()  # one scalar; every PageRank needs N
+    if n == 0:
+        # Empty graph: no nodes, no ranks — return the empty (node,
+        # rank) frame with the right schema instead of dividing by N.
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = out_degrees(edges)
     base = 1.0 - damping
     rank = nodes.withColumn("rank", F.lit(1.0 / n))

@@ -347,13 +347,18 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("l_partkey").alias("x_prt"),
     )
     bound = 2 * rsd
+
+    def in_bound(a: str, x: str) -> F.Column:
+        # Empty input: both the sketch and the exact count are 0 — in
+        # bound by definition (the bare ratio would be 0/0, an ANSI
+        # DIVIDE_BY_ZERO; CASE guards evaluation of the untaken arm).
+        return F.when(F.col(x) == 0, F.col(a) == 0).otherwise(
+            F.abs(F.col(a) - F.col(x)) / F.col(x) <= bound
+        )
+
     return agg.select(
-        (F.abs(F.col("a_ord") - F.col("x_ord")) / F.col("x_ord") <= bound).alias(
-            "orders_in_bound"
-        ),
-        (F.abs(F.col("a_prt") - F.col("x_prt")) / F.col("x_prt") <= bound).alias(
-            "parts_in_bound"
-        ),
+        in_bound("a_ord", "x_ord").alias("orders_in_bound"),
+        in_bound("a_prt", "x_prt").alias("parts_in_bound"),
     )
 
 

@@ -12,6 +12,16 @@ from cloud_dataflow_batch_processing_spark.queries import register
 from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
 
 
+def _query_vector(emb) -> list[float]:
+    """The vec_id=0 probe, materialized driver-side (one row by
+    contract). An empty corpus cannot supply a probe — refuse loudly
+    instead of dying with a NoneType subscript."""
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").head()
+    if row is None:
+        raise ValueError("ANN probe vec_id=0 not found (empty embeddings corpus?)")
+    return list(row[0])
+
+
 @register(
     "ann_brute_topk",
     oracle=f"""
@@ -26,8 +36,8 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 against the vec_id=0 query vector: per-row
     codegen score + TakeOrderedAndProject (no corpus shuffle)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.cosine_topk(emb, list(qv), 10)
+    qv = _query_vector(emb)
+    return S.cosine_topk(emb, qv, 10)
 
 
 @register(
@@ -57,8 +67,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest partitions, brute-force cosine inside them only — the
     corpus-pruning scale path (vs ann_brute_topk's full scan)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.ivf_topk(emb, list(qv), 10, nprobe=3)
+    qv = _query_vector(emb)
+    return S.ivf_topk(emb, qv, 10, nprobe=3)
 
 
 @register(

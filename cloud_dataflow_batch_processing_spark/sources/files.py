@@ -202,6 +202,14 @@ def write_avro(
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(write_partition).count()
+    if not any(f.endswith(".avro") for f in os.listdir(out_dir)):
+        # Empty dataset: still commit one header-only OCF so the output
+        # is a READABLE empty avro dataset (schema preserved), matching
+        # what the JVM writer does — otherwise a downstream read of the
+        # written glob dies with PATH_NOT_FOUND instead of yielding 0
+        # rows.
+        with open(os.path.join(out_dir, "part-00000.avro"), "wb") as f:
+            f.write(A.write_container([], schema, codec=codec))
 
 
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:

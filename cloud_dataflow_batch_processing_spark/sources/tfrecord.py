@@ -136,3 +136,9 @@ def write_tfrecord(df: DataFrame, value_col: str, out_dir: str) -> None:
 
     rdd = df.select(F.col(value_col)).rdd.map(lambda r: r[0])
     rdd.mapPartitionsWithIndex(write_partition).count()
+    if not any(f.endswith(".tfrecord") for f in os.listdir(out_dir)):
+        # Empty dataset: commit one zero-record file (valid TFRecord —
+        # decode_records(b"") == []) so a downstream read of the
+        # written glob yields 0 rows instead of PATH_NOT_FOUND.
+        with open(os.path.join(out_dir, "part-00000.tfrecord"), "wb") as f:
+            f.write(encode_records([]))
