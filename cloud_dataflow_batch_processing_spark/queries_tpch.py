@@ -90,13 +90,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     no partsupp table, so the offer table is MIN(l_extendedprice) per
     (part, supplier) derived from lineitem. Ties return every best
     supplier (deterministic without LIMIT). region/nation broadcast;
-    MIN over doubles is order-independent, so cross-engine exact."""
+    MIN over doubles is order-independent, so cross-engine exact.
+
+    Plan note: the EUROPE supplier restriction is applied as a
+    broadcast SEMI-join BELOW the offers aggregate — legal because the
+    aggregate is keyed on l_suppkey, but a pushdown Catalyst does not
+    derive across a groupBy, so it is done by hand: the per-(part,
+    supplier) MIN then processes only the region's share of lineitem
+    (~1/5 here, region-fraction at scale) instead of the full table.
+    The oracle keeps the literal aggregate-then-filter order; MIN
+    commutes with the key-preserving semi-join, so values are
+    identical."""
     t = load_tables(spark, sf_dir)
-    offers = (
-        t["lineitem"]
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").alias("cost"))
-    )
     eu = (
         t["supplier"]
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -106,7 +111,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eo = offers.join(eu, F.col("l_suppkey") == F.col("s_suppkey")).select(
+    offers = (
+        t["lineitem"]
+        .join(
+            F.broadcast(eu.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    eo = offers.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey")).select(
         "l_partkey", "cost", "s_name", "s_acctbal", "n_name"
     )
     best = eo.groupBy("l_partkey").agg(F.min("cost").alias("best_cost"))

@@ -100,11 +100,16 @@ def test_q7_q8_dimensions_broadcast(spark, sf_dir):
 
 def test_q2_agg_then_join_shuffle_budget(spark, sf_dir):
     """Q2's correlated-MIN-as-agg-then-join must stay within its
-    semantic shuffle minimum: the offers aggregate, the best-cost
-    aggregate, and the final join alignments — no hidden extra
-    exchange from a missed reuse."""
+    semantic shuffle minimum (offers aggregate, best-cost aggregate,
+    final join alignments) AND keep the hand-pushed supplier
+    restriction BELOW the offers aggregate: a broadcast LeftSemi on
+    the lineitem side, so the per-(part, supplier) MIN only processes
+    the region's share of the fact table — the pushdown Catalyst
+    doesn't derive across a groupBy."""
     df = REGISTRY["q2_min_cost_supplier"].fn(spark, sf_dir)
-    assert count_shuffles(df) <= 6, count_shuffles(df)
+    assert count_shuffles(df) <= 5, count_shuffles(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
     assert_no_cartesian(df)
 
 
