@@ -256,3 +256,71 @@ def register(spark) -> None:
     if key not in _REGISTERED:
         spark.dataSource.register(KafkaReplayDataSource)
         _REGISTERED.add(key)
+
+
+# ---------------------------------------------------------------------------
+# Producer half: exactly-once foreachBatch writer into the replay log
+# ---------------------------------------------------------------------------
+
+
+def foreach_batch_producer(
+    path: str,
+    topic: str,
+    num_partitions: int = 1,
+    key_col: str | None = "key",
+    value_col: str = "value",
+    ts_col: str | None = None,
+):
+    """The WriteStringsToPubSub twin for the replay log: returns a
+    ``(batch_df, batch_id)`` function for ``writeStream.foreachBatch``.
+
+    Exactly-once where kafka's plain producer is only at-least-once:
+    the last committed batch_id is kept in ``_producer_meta.json``
+    (write-tmp-then-rename, the rollup store's commit pattern), so a
+    replayed microbatch after a crash/restart is skipped instead of
+    double-appended — offsets in the log never repeat.
+
+    Partition routing mirrors the connector's default partitioner:
+    rows with a key hash to ``hash(key) % num_partitions`` (Python
+    ``zlib.crc32`` — deterministic across runs, unlike ``hash()``),
+    NULL-key rows round-robin. Appends happen driver-side in batch_id
+    order — the single-producer control-plane posture (documented like
+    the SimpleDataSourceStreamReader socket source); a firehose
+    producer would be the jar-gated connector's executor-side path.
+    """
+    import zlib
+
+    meta_path = os.path.join(path, "_producer_meta.json")
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        last = -1
+        if os.path.exists(meta_path):
+            with open(meta_path, encoding="utf-8") as f:
+                last = json.load(f)["last_batch"]
+        if batch_id <= last:
+            return  # replayed microbatch: already committed
+        cols = [value_col] + ([key_col] if key_col else []) + ([ts_col] if ts_col else [])
+        rows = batch_df.select(*cols).collect()
+        buckets: dict[int, list[tuple[str | None, str, int]]] = {}
+        for i, r in enumerate(rows):
+            key = r[key_col] if key_col else None
+            pid = (
+                zlib.crc32(str(key).encode("utf-8")) % num_partitions
+                if key is not None
+                else i % num_partitions
+            )
+            ts = (
+                int(r[ts_col].timestamp() * 1000)
+                if ts_col and r[ts_col] is not None
+                else 0
+            )
+            buckets.setdefault(pid, []).append((key, str(r[value_col]), ts))
+        for pid in sorted(buckets):
+            append_records(path, topic, pid, buckets[pid])
+        tmp = meta_path + ".tmp"
+        os.makedirs(path, exist_ok=True)
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"last_batch": batch_id}, f)
+        os.replace(tmp, meta_path)
+
+    return write_batch
