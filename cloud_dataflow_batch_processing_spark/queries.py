@@ -61,10 +61,81 @@ def register(
     return deco
 
 
+# Driver-window rotation (round 8). The external CORRECTNESS gate
+# certifies the FIRST 50 entries of ``_ordered()`` each round; rounds
+# 1-7 certified 83 of the 136 registered queries, leaving 53 that had
+# never seen the hard external signal. This tuple fronts 50 of those
+# never-certified names (priority: the corpus_build_full headliner, the
+# 15 newest TPC-H analogs, q4/q6/q10, the salted skew ops, the
+# ORC/TFRecord roundtrips, then the rest). The three remaining
+# never-certified names — semantic_kmeans_assign_arrow (Arrow twin of
+# certified semantic_kmeans_assign), dedup_near_exact_keep and
+# unpivot_roundtrip (variants of certified entries) — queue for the
+# round-9 window. tests/test_window_rotation.py enforces the rotation
+# mechanically: overlap(first-50, previous CORRECTNESS file) <= 25.
+DRIVER_WINDOW: tuple[str, ...] = (
+    "corpus_build_full",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "q11_important_part_value",
+    "q12_priority_lines_by_class",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_shipped_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customer_balance",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "salted_join_lineitem_orders",
+    "salted_aggregate_lineitem",
+    "orc_roundtrip_agg",
+    "tfrecord_roundtrip_agg",
+    "udtf_split_segments",
+    "dedup_incremental_minhash",
+    "substring_dedup_incremental",
+    "corpus_split_train_val",
+    "text_repetition_ratio",
+    "pii_redact_roundtrip",
+    "token_length_histogram",
+    "tfidf_top_terms",
+    "corpus_mix_temperature",
+    "dedup_segments",
+    "boilerplate_ngrams",
+    "bloom_decontaminate",
+    "fuzzy_match_part_names",
+    "substring_dedup_clean",
+    "approx_quantile_histogram",
+    "approx_distinct_hll_by_type",
+    "corpus_audit_report",
+    "zorder_curve",
+    "pivot_event_matrix",
+    "group_sorted_values",
+    "dq_violation_summary",
+    "sequential_ids_orders",
+    "scalar_subquery_above_avg",
+    "stats_corr_ols_lineitem",
+    "embedding_normalize_quantize",
+    "resample_ffill_events",
+    "rolling_avg_events",
+)
+
+
 def _ordered() -> list[Query]:
-    """Registration order with ``late`` variants moved to the back
-    (stable within each group)."""
-    return sorted(REGISTRY.values(), key=lambda q: q.late)
+    """``DRIVER_WINDOW`` names first (in window order), then the rest in
+    registration order with ``late`` variants moved to the back (stable
+    within each group)."""
+    pos = {n: i for i, n in enumerate(DRIVER_WINDOW)}
+    return sorted(
+        REGISTRY.values(),
+        key=lambda q: (pos.get(q.name, len(DRIVER_WINDOW)), q.late),
+    )
 
 
 def _dec(c) -> F.Column:
