@@ -48,7 +48,19 @@ def get_spark(
     # shifting downstream partial-aggregate work profiles). Only
     # settings the caller EXPLICITLY asked for are applied.
     active = SparkSession.getActiveSession()
+    if active is not None and active.sparkContext._jsc is None:
+        # getActiveSession can hand back a STOPPED session, whose
+        # conf.set raises; treat it as no session.
+        active = None
     if active is not None:
+        # Builder-only args cannot be applied to a live session; raise
+        # rather than silently ignoring an explicit request (ADVICE r7).
+        if master is not None and active.sparkContext.master != master:
+            raise RuntimeError(
+                f"get_spark(master={master!r}) conflicts with the active "
+                f"session's master {active.sparkContext.master!r}; stop it "
+                "first or omit master to adopt the active session"
+            )
         if shuffle_partitions is not None:
             active.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
         for k, v in (extra_conf or {}).items():

@@ -1,5 +1,5 @@
 """kafka_replay — an executor-parallel, offset-faithful Kafka twin
-over a directory-of-JSONL "broker log", via PySpark 4's Python Data
+over a directory-of-segments "broker log", via PySpark 4's Python Data
 Source API (full partitioned ``DataSourceStreamReader``, unlike the
 driver-side ``SimpleDataSourceStreamReader`` socket source).
 
@@ -18,7 +18,9 @@ architecture:
   (pinned by test: the same consumer function drives both schemas).
 - **Offset model identical to kafka's own JSON** — offsets are
   ``{"topic": {"0": n}}``; ``startingOffsets`` accepts ``earliest`` /
-  ``latest`` / per-partition JSON with kafka's -2/-1 sentinels.
+  ``latest`` / per-partition JSON with kafka's -2/-1 sentinels, and
+  (like the connector) an explicit JSON must name EVERY partition
+  present in the log for its topics.
 - **Partition-parallel microbatches** — ``partitions(start, end)``
   returns one ``InputPartition`` per topic-partition offset range and
   ``read()`` runs on executors, exactly how the kafka connector plans
@@ -32,17 +34,29 @@ architecture:
   so topic-partitions created after the query starts are picked up
   with start offset 0, mirroring the connector's partition discovery.
 
-Log layout: ``<path>/<topic>-<partition>.jsonl``; line N (0-based) IS
-offset N of that partition — one JSON object ``{"key": str|null,
-"value": str, "ts": epoch_millis}``. ``append_records`` is the
-producer twin.
+Log layout (kafka's own on-disk shape — a partition is a directory of
+immutable, base-offset-named segments)::
 
-SCALE POSTURE: line-counting per microbatch is O(log size) per
-partition here for simplicity; a production variant tracks byte
-offsets in a sidecar (the rollup store's Hadoop-FS bookkeeping
-pattern). The *architecture* — per-partition offset ranges planned on
-the driver, data read on executors — is the part that matters at
-100 TB and is the same as the jar-gated connector's.
+    <path>/<topic>-<partition>/<base:020d>.<count:010d>.<tag>.jsonl
+
+Segment line k (0-based) IS offset ``base + k`` of that partition; a
+line is one JSON object ``{"key": str|null, "value": str, "ts":
+epoch_millis}``. ``tag`` records provenance (``m`` = manual
+``append_records``; ``b<id>`` = producer batch <id>, used for
+crash-remnant cleanup). Because a segment's END offset is derivable
+from its NAME, microbatch planning (``latestOffset``) is a pure
+directory listing — O(#segments) stats, zero file reads — which is
+the production answer to per-plan line counting; and because segments
+are published by atomic tmp+rename, a reader can never observe a torn
+line. Range reads open only the segments overlapping [start, end).
+
+SCALE POSTURE: the driver plans per-partition offset ranges from a
+listing; executors read only overlapping segments; the producer stages
+record files ON EXECUTORS and the driver publishes them by RENAME
+only — no record bytes ever pass through the driver. At 100 TB the
+same layout works on any Hadoop filesystem with atomic rename
+(HDFS; on S3-like stores, swap the renames for the rollup store's
+manifest-commit pattern).
 """
 
 from __future__ import annotations
@@ -50,8 +64,10 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import shutil
+import uuid
 from collections.abc import Iterator, Sequence
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -68,25 +84,64 @@ KAFKA_SCHEMA = (
     "offset long, timestamp timestamp, timestampType int"
 )
 
+_SEG_SUFFIX = ".jsonl"
+
+
+def _parse_segment(fname: str) -> tuple[int, int, str] | None:
+    """``<base>.<count>.<tag>.jsonl`` -> (base, count, tag)."""
+    if not fname.endswith(_SEG_SUFFIX):
+        return None
+    parts = fname[: -len(_SEG_SUFFIX)].split(".")
+    if len(parts) != 3 or not (parts[0].isdigit() and parts[1].isdigit()):
+        return None
+    return int(parts[0]), int(parts[1]), parts[2]
+
+
+def _segment_name(base: int, count: int, tag: str) -> str:
+    return f"{base:020d}.{count:010d}.{tag}{_SEG_SUFFIX}"
+
+
+def _list_segments(part_dir: str) -> list[tuple[int, int, str]]:
+    """Sorted (base, count, fname) for one topic-partition directory."""
+    segs = []
+    try:
+        names = os.listdir(part_dir)
+    except FileNotFoundError:
+        return []
+    for fname in names:
+        parsed = _parse_segment(fname)
+        if parsed is not None:
+            segs.append((parsed[0], parsed[1], fname))
+    segs.sort()
+    return segs
+
 
 def _scan_log(path: str, topics: set[str]) -> dict[str, dict[str, int]]:
     """End offsets per subscribed topic-partition: {topic: {"0": n}}.
-    Partition ids are STRING keys so the offset dict is byte-identical
-    in shape to kafka's own startingOffsets/checkpoint JSON."""
+    Pure listing — the end offset is (last segment base + count), read
+    from segment NAMES, never file contents. Partition ids are STRING
+    keys so the offset dict is byte-identical in shape to kafka's own
+    startingOffsets/checkpoint JSON."""
     out: dict[str, dict[str, int]] = {}
     if not os.path.isdir(path):
         return out
-    for fname in sorted(os.listdir(path)):
-        if not fname.endswith(".jsonl"):
-            continue
-        stem = fname[: -len(".jsonl")]
-        topic, sep, part = stem.rpartition("-")
+    for dname in sorted(os.listdir(path)):
+        topic, sep, part = dname.rpartition("-")
         if not sep or not part.isdigit() or topic not in topics:
             continue
-        with open(os.path.join(path, fname), "rb") as f:
-            n = sum(1 for _ in f)
-        out.setdefault(topic, {})[part] = n
+        segs = _list_segments(os.path.join(path, dname))
+        end = segs[-1][0] + segs[-1][1] if segs else 0
+        out.setdefault(topic, {})[part] = end
     return out
+
+
+def _publish_segment(part_dir: str, base: int, count: int, tag: str,
+                     src_path: str) -> None:
+    """Atomically move a fully-written record file into the log as the
+    segment [base, base+count). Readers either see the whole segment or
+    none of it — no torn lines, ever."""
+    os.makedirs(part_dir, exist_ok=True)
+    os.replace(src_path, os.path.join(part_dir, _segment_name(base, count, tag)))
 
 
 def append_records(
@@ -95,44 +150,61 @@ def append_records(
     partition: int,
     records: Sequence[tuple[str | None, str, int]],
 ) -> None:
-    """Producer twin: append (key, value, ts_millis) records to one
-    topic-partition log. Offsets are assigned by append order."""
-    os.makedirs(path, exist_ok=True)
-    fpath = os.path.join(path, f"{topic}-{partition}.jsonl")
-    with open(fpath, "a", encoding="utf-8") as f:
+    """Manual producer twin: append (key, value, ts_millis) records to
+    one topic-partition as ONE new segment. Offsets continue from the
+    current end (listing-derived); the segment appears atomically."""
+    if not records:
+        return
+    part_dir = os.path.join(path, f"{topic}-{partition}")
+    segs = _list_segments(part_dir)
+    base = segs[-1][0] + segs[-1][1] if segs else 0
+    os.makedirs(part_dir, exist_ok=True)
+    tmp = os.path.join(part_dir, f"_tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
         for key, value, ts in records:
             f.write(json.dumps({"key": key, "value": value, "ts": ts}) + "\n")
+    _publish_segment(part_dir, base, len(records), "m", tmp)
 
 
 @dataclass
 class KafkaReplayPartition(InputPartition):
-    """One topic-partition offset range of one microbatch."""
+    """One topic-partition offset range of one microbatch. The segment
+    list is resolved at PLAN time on the driver, so executors read a
+    consistent snapshot even if a producer publishes concurrently."""
 
-    file_path: str
+    part_dir: str
     topic: str
     partition: int
     start: int
     end: int
+    # (base, count, fname) for segments overlapping [start, end)
+    segments: list[tuple[int, int, str]] = field(default_factory=list)
 
 
 def _read_range(p: KafkaReplayPartition) -> Iterator[tuple]:
-    with open(p.file_path, encoding="utf-8") as f:
-        for offset, line in enumerate(f):
-            if offset < p.start:
-                continue
-            if offset >= p.end:
-                break
-            rec = json.loads(line)
-            key = rec.get("key")
-            yield (
-                key.encode("utf-8") if key is not None else None,
-                rec["value"].encode("utf-8"),
-                p.topic,
-                p.partition,
-                offset,
-                _dt.datetime.fromtimestamp(rec["ts"] / 1000.0, tz=_dt.timezone.utc),
-                0,  # CreateTime
-            )
+    for base, count, fname in p.segments:
+        if base + count <= p.start or base >= p.end:
+            continue
+        with open(os.path.join(p.part_dir, fname), encoding="utf-8") as f:
+            for k, line in enumerate(f):
+                offset = base + k
+                if offset < p.start:
+                    continue
+                if offset >= p.end:
+                    break
+                rec = json.loads(line)
+                key = rec.get("key")
+                yield (
+                    key.encode("utf-8") if key is not None else None,
+                    rec["value"].encode("utf-8"),
+                    p.topic,
+                    p.partition,
+                    offset,
+                    _dt.datetime.fromtimestamp(
+                        rec["ts"] / 1000.0, tz=_dt.timezone.utc
+                    ),
+                    0,  # CreateTime
+                )
 
 
 def _plan_partitions(
@@ -144,14 +216,14 @@ def _plan_partitions(
         for pid, hi in ends.items():
             lo = starts.get(pid, 0)  # discovered mid-stream -> from 0
             if hi > lo:
+                part_dir = os.path.join(path, f"{topic}-{pid}")
+                segs = [
+                    s
+                    for s in _list_segments(part_dir)
+                    if s[0] + s[1] > lo and s[0] < hi
+                ]
                 parts.append(
-                    KafkaReplayPartition(
-                        os.path.join(path, f"{topic}-{pid}.jsonl"),
-                        topic,
-                        int(pid),
-                        lo,
-                        hi,
-                    )
+                    KafkaReplayPartition(part_dir, topic, int(pid), lo, hi, segs)
                 )
     return parts
 
@@ -176,6 +248,17 @@ def _resolve_starting(
             elif off == -1:  # kafka sentinel: latest
                 off = latest.get(topic, {}).get(pid, 0)
             out[topic][pid] = int(off)
+    # Connector fidelity: an explicit JSON must cover every partition
+    # that exists for its topics ("you must specify all TopicPartitions"
+    # — kafka connector's startingOffsets contract). Silently starting
+    # omitted partitions at 0 would diverge from format("kafka").
+    for topic, ps in latest.items():
+        missing = set(ps) - set(out.get(topic, {}))
+        if topic in explicit and missing:
+            raise ValueError(
+                "startingOffsets JSON must specify all partitions of "
+                f"topic {topic!r}; missing: {sorted(missing)}"
+            )
     return out
 
 
@@ -259,8 +342,47 @@ def register(spark) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Producer half: exactly-once foreachBatch writer into the replay log
+# Producer half: executor-parallel, exactly-once foreachBatch writer
 # ---------------------------------------------------------------------------
+
+
+def _stage_partition(staging: str, num_partitions: int):
+    """Executor-side stage function: write this task's rows into one
+    record file per (log-partition, spark-task) pair under the staging
+    dir. Runs via ``foreachPartition`` — record bytes never touch the
+    driver. The final rename makes each staged file appear atomically,
+    so a retried/speculative task attempt simply re-renames identical
+    content over itself."""
+
+    def stage(rows) -> None:
+        handles: dict[int, tuple] = {}
+        task_id = None
+        for row in rows:
+            if task_id is None:
+                from pyspark import TaskContext
+
+                ctx = TaskContext.get()
+                task_id = ctx.partitionId() if ctx is not None else 0
+            pid = int(row["__pid"])
+            if pid not in handles:
+                tmp = os.path.join(
+                    staging, f"_tmp-{uuid.uuid4().hex}"
+                )
+                handles[pid] = (tmp, open(tmp, "w", encoding="utf-8"), [0])
+            tmp, fh, counter = handles[pid]
+            fh.write(
+                json.dumps(
+                    {"key": row["__key"], "value": row["__value"], "ts": row["__ts"]}
+                )
+                + "\n"
+            )
+            counter[0] += 1
+        for pid, (tmp, fh, counter) in handles.items():
+            fh.close()
+            final = os.path.join(staging, f"{pid:05d}.{task_id:05d}.{counter[0]:010d}")
+            os.replace(tmp, final)
+
+    return stage
 
 
 def foreach_batch_producer(
@@ -274,21 +396,30 @@ def foreach_batch_producer(
     """The WriteStringsToPubSub twin for the replay log: returns a
     ``(batch_df, batch_id)`` function for ``writeStream.foreachBatch``.
 
-    Exactly-once where kafka's plain producer is only at-least-once:
-    the last committed batch_id is kept in ``_producer_meta.json``
-    (write-tmp-then-rename, the rollup store's commit pattern), so a
-    replayed microbatch after a crash/restart is skipped instead of
-    double-appended — offsets in the log never repeat.
+    Exactly-once where kafka's plain producer is only at-least-once,
+    via a two-phase, rename-only commit:
 
-    Partition routing mirrors the connector's default partitioner:
-    rows with a key hash to ``hash(key) % num_partitions`` (Python
-    ``zlib.crc32`` — deterministic across runs, unlike ``hash()``),
-    NULL-key rows round-robin. Appends happen driver-side in batch_id
-    order — the single-producer control-plane posture (documented like
-    the SimpleDataSourceStreamReader socket source); a firehose
-    producer would be the jar-gated connector's executor-side path.
+    1. **Stage (executors):** rows are routed to log partitions inside
+       the Spark plan (``crc32(key) % num_partitions``, JVM codegen;
+       NULL keys spread by ``monotonically_increasing_id``) and each
+       task writes one record file per log partition under
+       ``_staging/<batch_id>/`` — no ``collect()``, no driver funnel.
+    2. **Publish (driver, metadata-only):** staged files are renamed
+       into the partition directories as base-offset-named segments
+       tagged ``b<batch_id>`` (deterministic order: log partition,
+       then task id), then ``_producer_meta.json`` commits the batch
+       id tmp+rename.
+
+    Crash safety: a replayed microbatch whose batch_id is already in
+    the meta is skipped (no double-append); a crash BETWEEN publish
+    renames and the meta commit leaves segments tagged with this
+    batch_id, which the replay deletes before re-publishing — the
+    re-published segments land on the same base offsets with the same
+    contents, so even a consumer that read the orphans re-reads
+    identical data. Torn lines are impossible: a segment is visible
+    only after its atomic rename.
     """
-    import zlib
+    from pyspark.sql import functions as F
 
     meta_path = os.path.join(path, "_producer_meta.json")
 
@@ -299,28 +430,77 @@ def foreach_batch_producer(
                 last = json.load(f)["last_batch"]
         if batch_id <= last:
             return  # replayed microbatch: already committed
-        cols = [value_col] + ([key_col] if key_col else []) + ([ts_col] if ts_col else [])
-        rows = batch_df.select(*cols).collect()
-        buckets: dict[int, list[tuple[str | None, str, int]]] = {}
-        for i, r in enumerate(rows):
-            key = r[key_col] if key_col else None
-            pid = (
-                zlib.crc32(str(key).encode("utf-8")) % num_partitions
-                if key is not None
-                else i % num_partitions
+
+        tag = f"b{batch_id}"
+        # Crash remnants: segments published by a previous attempt of
+        # THIS batch (crash before the meta commit) are deleted so the
+        # re-publish below reproduces them at identical offsets.
+        if os.path.isdir(path):
+            for dname in os.listdir(path):
+                if not dname.startswith(f"{topic}-"):
+                    continue
+                part_dir = os.path.join(path, dname)
+                for base, count, fname in _list_segments(part_dir):
+                    if _parse_segment(fname)[2] == tag:
+                        os.remove(os.path.join(part_dir, fname))
+
+        staging = os.path.join(path, "_staging", str(batch_id))
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging, exist_ok=True)
+
+        # Routing + coercion inside the plan (JVM codegen, executor-side).
+        # Keys/values always serialize as str|None — matching
+        # append_records' contract regardless of the input column types.
+        key = (
+            F.col(key_col).cast("string")
+            if key_col
+            else F.lit(None).cast("string")
+        )
+        ts = (
+            F.coalesce(
+                F.unix_millis(F.col(ts_col).cast("timestamp")), F.lit(0)
             )
-            ts = (
-                int(r[ts_col].timestamp() * 1000)
-                if ts_col and r[ts_col] is not None
-                else 0
+            if ts_col
+            else F.lit(0)
+        )
+        routed = batch_df.select(
+            key.alias("__key"),
+            F.col(value_col).cast("string").alias("__value"),
+            ts.cast("long").alias("__ts"),
+        ).withColumn(
+            "__pid",
+            F.when(
+                F.col("__key").isNotNull(),
+                F.crc32(F.col("__key").cast("binary")) % num_partitions,
+            ).otherwise(
+                F.pmod(F.monotonically_increasing_id(), F.lit(num_partitions))
+            ).cast("int"),
+        )
+        routed.foreachPartition(_stage_partition(staging, num_partitions))
+
+        # Publish: rename staged files into the log in deterministic
+        # (pid, task) order so offsets are reproducible across replays.
+        staged = sorted(
+            f for f in os.listdir(staging) if not f.startswith("_tmp-")
+        )
+        next_base: dict[int, int] = {}
+        for fname in staged:
+            pid_s, _task_s, count_s = fname.split(".")
+            pid, count = int(pid_s), int(count_s)
+            part_dir = os.path.join(path, f"{topic}-{pid}")
+            if pid not in next_base:
+                segs = _list_segments(part_dir)
+                next_base[pid] = segs[-1][0] + segs[-1][1] if segs else 0
+            _publish_segment(
+                part_dir, next_base[pid], count, tag, os.path.join(staging, fname)
             )
-            buckets.setdefault(pid, []).append((key, str(r[value_col]), ts))
-        for pid in sorted(buckets):
-            append_records(path, topic, pid, buckets[pid])
+            next_base[pid] += count
+
         tmp = meta_path + ".tmp"
         os.makedirs(path, exist_ok=True)
         with open(tmp, "w", encoding="utf-8") as f:
             json.dump({"last_batch": batch_id}, f)
         os.replace(tmp, meta_path)
+        shutil.rmtree(staging, ignore_errors=True)
 
     return write_batch

@@ -102,3 +102,16 @@ def test_get_spark_does_not_mutate_existing_session(spark):
     })  # explicit asks are applied (values chosen = current, a no-op)
     assert s is spark
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_get_spark_conflicting_master_raises(spark):
+    """ADVICE r7: an explicitly passed master that conflicts with the
+    active session must raise, not be silently ignored."""
+    import pytest
+
+    from cloud_dataflow_batch_processing_spark.session import get_spark
+
+    with pytest.raises(RuntimeError, match="conflicts with the active"):
+        get_spark(master="local[1]")
+    # matching master is fine
+    assert get_spark(master=spark.sparkContext.master) is spark
