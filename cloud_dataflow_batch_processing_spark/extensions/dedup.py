@@ -224,9 +224,16 @@ def minhash_near_dup_pairs(
             for b in range(NUM_BANDS)
         ]
     )
-    bands = base.select("__id", "__sh", F.explode(band_structs).alias("__b")).select(
-        "__id", "__sh", "__b.band_id", "__b.bh"
+    # NARROW bands: (__id, band_id, bh) only. The shingle arrays stay in
+    # the signature frame and are fetched ONCE per distinct candidate
+    # pair after the self-join (see the fetch-then-verify note below) —
+    # carrying __sh through the band explosion duplicated every array
+    # NUM_BANDS times through the guard, the materialization, and the
+    # self-join's exchange/broadcast.
+    bands = base.select("__id", F.explode(band_structs).alias("__b")).select(
+        "__id", "__b.band_id", "__b.bh"
     )
+    sigs = base.select("__id", "__sh")
 
     # Guard degenerate buckets before the pair join: count per bucket
     # key (a NARROW shuffle — (band_id, bh) only, ~20x fewer bytes than
@@ -268,15 +275,42 @@ def minhash_near_dup_pairs(
         # contract as the cache mode above).
         register_managed_scratch(df.sparkSession, path)
         to_write = guarded.repartition(checkpoint_files) if checkpoint_files else guarded
-        to_write.write.mode("overwrite").parquet(path)
-        bands = df.sparkSession.read.parquet(path)
+        to_write.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+        bands = df.sparkSession.read.parquet(os.path.join(path, "bands"))
+        # The fault-isolation posture covers the verify stage too: the
+        # signature frame (one copy of each shingle array — vs the
+        # NUM_BANDS copies the wide-bands layout used to checkpoint) is
+        # cut to storage so the pair fetch below never re-runs the hash
+        # pipeline after executor loss.
+        sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+        sigs = df.sparkSession.read.parquet(os.path.join(path, "sigs"))
     elif materialize is None:
         bands = guarded
     else:
         raise ValueError(f"unknown materialize mode {materialize!r}")
 
     a, b_ = bands.alias("a"), bands.alias("b")
-    pairs = (
+    # Dedup-then-fetch-then-verify (round 8; supersedes both prior
+    # orders). The self-join and the candidate dedup move only
+    # (doc_a, doc_b) — two longs — and the exact-Jaccard verify runs
+    # exactly ONCE per distinct candidate, on shingle sets fetched by
+    # joining back to the signature frame:
+    #   * round-6 order (dedup WIDE candidates, then verify) shuffled
+    #     every band-duplicated candidate with BOTH arrays (14.2M wide
+    #     rows, ~GBs, at the 500k dense-vocab corpus);
+    #   * round-7 order (verify on the join output, then dedup
+    #     survivors) shuffled almost nothing but recomputed the
+    #     array_intersect per band-duplicated candidate (<= NUM_BANDS
+    #     times per pair) and dragged the arrays through the band
+    #     explosion, the checkpoint (4x each array), and the
+    #     self-join's exchange/broadcast — measured +47% warm at the
+    #     50k bench corpus (same-session interleaved A/B, NOTES.md).
+    # This order's wide data volume is O(corpus) — the signature frame
+    # crosses each fetch join once — never O(candidates); the
+    # O(candidates) shuffles are narrow; intersects are O(distinct
+    # candidates). Strictly less work than either prior order at every
+    # scale.
+    cand = (
         a.join(
             b_,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -286,9 +320,15 @@ def minhash_near_dup_pairs(
         .select(
             F.col("a.__id").alias("doc_a"),
             F.col("b.__id").alias("doc_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    pairs = cand.join(
+        sigs.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a")),
+        on="doc_a",
+    ).join(
+        sigs.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b")),
+        on="doc_b",
     )
     # __sh is a DISTINCT set (array_distinct at :213), so the
     # hash-lookup array_intersect is exactly the HOF
@@ -300,24 +340,10 @@ def minhash_near_dup_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 4)
-    # Verify-then-dedup, NOT dedup-then-verify: the exact Jaccard is
-    # map-side codegen ON THE JOIN OUTPUT (no shuffle), and a pair's
-    # value is band-invariant, so filtering first and dropDuplicates
-    # after is semantically identical — but the dedup shuffle now
-    # carries only the (doc_a, doc_b, jaccard) SURVIVORS instead of
-    # every band-duplicated candidate pair dragging BOTH shingle
-    # arrays. Measured at 500k docs (dense-vocab corpus): the old
-    # order shuffled 14.2M wide rows (~GBs) to deduplicate 15.4M
-    # candidates down to 9.6M before verifying; the new order shuffles
-    # only the few-thousand above-threshold survivors. A pair matching
-    # in b bands recomputes the intersection b<=NUM_BANDS times —
-    # bounded, embarrassingly parallel, and far cheaper than the wide
-    # shuffle at any scale.
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .dropDuplicates(["doc_a", "doc_b"])
     )
 
 
