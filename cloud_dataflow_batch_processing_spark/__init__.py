@@ -20,10 +20,14 @@ library of:
 - ``extensions`` — LLM-data-pipeline operators: dedup (exact/MinHash-LSH/
                    SimHash), ANN similarity search, multimodal binary columns
 - ``streaming``  — Structured Streaming windows/watermark layer
+- ``sql``        — SQL entry façade: engine tables as temp views, any
+                   ANSI SQL straight to Catalyst (a superset of the
+                   reference, which has no SQL surface)
 - ``plans``      — plan-inspection helpers (pushdown/broadcast assertions)
 """
 
 from cloud_dataflow_batch_processing_spark.session import get_spark
+from cloud_dataflow_batch_processing_spark.sql import register_views, sql
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "register_views", "sql"]
 __version__ = "0.1.0"

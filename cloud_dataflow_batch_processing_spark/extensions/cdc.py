@@ -103,7 +103,13 @@ def scd2_intervals_sql(
     tiebreak_cols: Sequence[str] = (),
 ) -> str:
     keys = ", ".join(key_cols)
-    order = ", ".join([ts_col, *tiebreak_cols])
+    # NULLS FIRST pins the NULL-timestamp rows to the Spark side's
+    # ordering (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
+    # LAST): a change row with an unknown timestamp sorts as the
+    # earliest version on both engines (adversarial sweep).
+    order = ", ".join(
+        [f"{ts_col} NULLS FIRST", *tiebreak_cols]
+    )
     return f"""
     SELECT *,
            {ts_col} AS valid_from,

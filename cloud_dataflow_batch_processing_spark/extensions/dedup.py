@@ -323,11 +323,22 @@ def minhash_near_dup_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # The fetch joins carry the wide arrays on the SIGNATURE side only,
+    # hinted shuffle-hash: a sort-merge join would SORT the wide rows
+    # (measured: SparkOutOfMemoryError in the SMJ sort at the 5M-doc
+    # corpus under local[32]'s per-task memory), and a broadcast would
+    # build a corpus-sized wide hash table on every executor. With
+    # unique __id keys the hash build per partition is |corpus|/P rows
+    # — the one shape that stays bounded at 100 TB by sizing P.
     pairs = cand.join(
-        sigs.select(F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a")),
+        sigs.select(
+            F.col("__id").alias("doc_a"), F.col("__sh").alias("sh_a")
+        ).hint("shuffle_hash"),
         on="doc_a",
     ).join(
-        sigs.select(F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b")),
+        sigs.select(
+            F.col("__id").alias("doc_b"), F.col("__sh").alias("sh_b")
+        ).hint("shuffle_hash"),
         on="doc_b",
     )
     # __sh is a DISTINCT set (array_distinct at :213), so the
@@ -339,7 +350,12 @@ def minhash_near_dup_pairs(
     # HOF fold ~50x more comparisons).
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 4)
+    # Two EMPTY shingle sets (zero-length / sub-k-token docs all share
+    # the all-sentinel signature, so they band-collide) leave Jaccard
+    # undefined: NULL, matching the oracle's division-by-zero NULL, and
+    # the threshold filter drops the pair on both engines — never an
+    # ANSI DIVIDE_BY_ZERO (adversarial empty-text sweep).
+    jac = F.when(union > 0, F.round(inter.cast("double") / union, 4))
     return (
         pairs.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -897,7 +913,12 @@ def incremental_near_dups(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 4)
+    # Two EMPTY shingle sets (zero-length / sub-k-token docs all share
+    # the all-sentinel signature, so they band-collide) leave Jaccard
+    # undefined: NULL, matching the oracle's division-by-zero NULL, and
+    # the threshold filter drops the pair on both engines — never an
+    # ANSI DIVIDE_BY_ZERO (adversarial empty-text sweep).
+    jac = F.when(union > 0, F.round(inter.cast("double") / union, 4))
     return cand.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= threshold
     )

@@ -299,7 +299,12 @@ def substring_dup_stats(
         "n_remove_intervals",
         "removed_tokens",
         (F.col("n_tokens") - F.col("removed_tokens")).alias("kept_tokens"),
-        F.round(F.col("removed_tokens") / F.col("n_tokens"), 4).alias("removed_frac"),
+        # n_tokens = 0 (empty / whitespace-only doc) leaves the fraction
+        # undefined: NULL, matching the oracle's division-by-zero NULL
+        # (adversarial sweep) — never an ANSI DIVIDE_BY_ZERO.
+        F.round(
+            F.col("removed_tokens") / F.nullif(F.col("n_tokens"), F.lit(0)), 4
+        ).alias("removed_frac"),
     )
 
 
@@ -430,11 +435,16 @@ def substring_dedup_text_sql(source: str = "documents", k: int = SPAN_TOKENS) ->
       SELECT doc_id, {tokens_sql('text')} AS t FROM {source}
     )
     SELECT b.doc_id,
-           COALESCE(array_to_string(
+           -- NULL text stays NULL (matches the engine); the COALESCE
+           -- maps DuckDB's NULL for array_to_string([]) back to '' for
+           -- fully-removed and empty docs, which is what the engine's
+           -- array_join emits
+           CASE WHEN b.t IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
              [b.t[p] FOR p IN range(1, len(b.t) + 1)
               IF len(list_filter(COALESCE(d.ivs, []),
                     i -> p >= i.start_pos AND p < i.end_pos)) = 0],
-             ' '), '') AS clean_text
+             ' '), '') END AS clean_text
     FROM base b LEFT JOIN iv_doc d USING (doc_id)
     """
 
@@ -549,9 +559,11 @@ def incremental_substring_dup_stats(
         F.coalesce("n_remove_intervals", F.lit(0)).alias("n_remove_intervals"),
         F.coalesce("removed_tokens", F.lit(0)).alias("removed_tokens"),
         (F.col("n_tokens") - F.coalesce("removed_tokens", F.lit(0))).alias("kept_tokens"),
-        F.round(F.coalesce("removed_tokens", F.lit(0)) / F.col("n_tokens"), 4).alias(
-            "removed_frac"
-        ),
+        F.round(
+            F.coalesce("removed_tokens", F.lit(0))
+            / F.nullif(F.col("n_tokens"), F.lit(0)),
+            4,
+        ).alias("removed_frac"),
     )
 
 

@@ -88,6 +88,15 @@ def partial_accumulators(
         accs: dict[Any, Any] = {}
         for pdf in batches:
             for k, v in zip(pdf[key], pdf[value]):
+                # SQL-aggregate NULL semantics: a NULL input contributes
+                # nothing, but the group still exists (identity
+                # accumulator). Arrow hands NULL to pandas as None/NaN —
+                # without this skip a numeric CombineFn crashes on
+                # int(NaN) (adversarial sweep).
+                if v is None or (isinstance(v, float) and v != v):
+                    if k not in accs:
+                        accs[k] = fn.create_accumulator()
+                    continue
                 acc = accs.get(k)
                 if acc is None:
                     acc = fn.create_accumulator()

@@ -597,7 +597,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,

@@ -436,7 +436,10 @@ _BLOOM_M, _BLOOM_K = 4096, 3
     )
     SELECT c.doc_id,
            COALESCE(h.n_set, 0) = {_BLOOM_K} AS bloom_hit,
-           c.fp IN (SELECT fp FROM ev) AS exact_hit
+           -- NULL fingerprint (NULL text): not a member, FALSE — the
+           -- engine's left-join membership flag says false, and a bare
+           -- IN returns NULL here (adversarial sweep).
+           COALESCE(c.fp IN (SELECT fp FROM ev), FALSE) AS exact_hit
     FROM cand c LEFT JOIN hits h USING (doc_id)
     """,
     # Sketch/approximate class is driver-covered by approx_distinct and

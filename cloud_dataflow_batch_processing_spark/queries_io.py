@@ -143,24 +143,29 @@ def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,
     oracle="""
     SELECT COUNT(*) AS n_records,
-           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def tfrecord_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TFRecord write→read roundtrip (beam/io/tfrecordio.py:224,281
-    parity): every document's text serialized as a masked-CRC framed
-    record, read back via the binaryFile+Arrow parser, and aggregated
-    to exact integers (the corpus is ASCII, so byte length == n_chars;
-    doc ids ride in a header prefix and round-trip through the framing
-    too)."""
+    parity): every non-NULL document's text serialized as a masked-CRC
+    framed record, read back via the binaryFile+Arrow parser, and
+    aggregated to exact integers (utf-8 BYTE totals, so non-ASCII docs
+    round-trip correctly; doc ids ride in a header prefix and
+    round-trip through the framing too)."""
     from cloud_dataflow_batch_processing_spark.sources.tfrecord import (
         read_tfrecord,
         write_tfrecord,
     )
 
-    d = load_tables(spark, sf_dir)["documents"]
+    # NULL text is excluded on both engines: a NULL record has no
+    # byte-framing (the writer refuses loudly — unit-pinned); the
+    # oracle counts utf-8 BYTES (octet_length(encode(..))), which is
+    # what the framed payload actually carries — equal to n_chars only
+    # for ASCII corpora, not e.g. astral-plane docs (adversarial sweep).
+    d = load_tables(spark, sf_dir)["documents"].filter(F.col("text").isNotNull())
     # Pack (doc_id, text) into one binary record: 8-byte big-endian id
     # header + utf-8 payload — the id survives the roundtrip inside the
     # record bytes, not via file naming.

@@ -169,7 +169,8 @@ def multi_table_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey, o_totalprice,
            RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS price_rank,
-           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS prev_order
+           CAST(LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS BIGINT) AS prev_order
     FROM orders WHERE o_custkey < 100
     """,
 )
@@ -369,7 +370,7 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class that never saw the driver gate.
     late=True,
     oracle="SELECT o_orderpriority, true AS p50_in_bound, true AS p90_in_bound "
-    "FROM orders GROUP BY o_orderpriority",
+    "FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority",
 )
 def approx_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (Greenwald-Khanna sketch) — completes the
@@ -382,7 +383,12 @@ def approx_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowless counting (count of rows <= estimate), so a driver hash
     match certifies the sketch honors its published bound per group."""
     acc = 1000  # rank error <= n / acc
-    o = load_tables(spark, sf_dir)["orders"]
+    # Non-NULL groups only (both engines): the sketch skips NULL values
+    # anyway, and the join back on the group key cannot match a NULL
+    # key without null-safe equality — adversarial sweep.
+    o = load_tables(spark, sf_dir)["orders"].filter(
+        F.col("o_orderpriority").isNotNull()
+    )
     est = o.groupBy("o_orderpriority").agg(
         F.expr(f"approx_percentile(o_totalprice, 0.5, {acc})").alias("e50"),
         F.expr(f"approx_percentile(o_totalprice, 0.9, {acc})").alias("e90"),
@@ -658,15 +664,22 @@ def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     late=True,  # superset class, same posture as pivot_event_matrix
     oracle="""
     SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
-    FROM events GROUP BY event_type
+    FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY event_type
     """,
+    # Defined over identified, typed events on both engines: an
+    # explicit-values pivot cannot represent a NULL type column, and a
+    # NULL user would be a pivot row but never a COUNT(DISTINCT) value
+    # (adversarial sweep).
 )
 def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the pivoted matrix unpivots back to long form
     and re-aggregates to per-type totals — a pivot→unpivot roundtrip
     whose oracle is the direct long-form aggregation, so the pair of
     reshapes must be lossless (0-fill rows contribute nothing)."""
-    ev = load_tables(spark, sf_dir)["events"]
+    ev = load_tables(spark, sf_dir)["events"].filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
     wide = (
         ev.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
@@ -676,9 +689,18 @@ def unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     long = wide.unpivot(
         ["user_id"], _EVENT_TYPES, "event_type", "n"
     )
-    return long.groupBy("event_type").agg(
-        F.sum("n").alias("n_events"),
-        F.count(F.when(F.col("n") > 0, 1)).alias("n_users"),
+    return (
+        long.groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.when(F.col("n") > 0, 1)).alias("n_users"),
+        )
+        # "0-fill rows contribute nothing": an event type ABSENT from
+        # the corpus exists only as pivot 0-columns — dropping its
+        # all-zero group is what makes the roundtrip lossless against
+        # the direct long-form aggregation (single-row sweep found the
+        # phantom rows).
+        .filter(F.col("n_events") > 0)
     )
 
 
@@ -835,6 +857,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orders_null_keys',
            (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL OR o_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_non_finite_money',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE (l_quantity IS NOT NULL AND (isnan(l_quantity) OR isinf(l_quantity)))
+               OR (l_extendedprice IS NOT NULL AND (isnan(l_extendedprice) OR isinf(l_extendedprice)))
+               OR (l_discount IS NOT NULL AND (isnan(l_discount) OR isinf(l_discount)))
+               OR (l_tax IS NOT NULL AND (isnan(l_tax) OR isinf(l_tax))))
+    UNION ALL
+    SELECT 'orders_non_finite_money',
+           (SELECT COUNT(*) FROM orders
+            WHERE o_totalprice IS NOT NULL
+              AND (isnan(o_totalprice) OR isinf(o_totalprice)))
     """,
 )
 def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,7 +915,40 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n")
         ),
     )
-    return pk_dup.unionByName(li_orphan).unionByName(o_orphan).unionByName(rng).unionByName(nulls)
+
+    # Non-finite money quarantine counts (round 8): NaN/Inf in a money
+    # column is a DQ class, not an analytics input — the documented
+    # 100 TB posture is "gate quarantines, analytics stays loud" (ANSI
+    # cast of a non-finite to DECIMAL raises rather than producing
+    # silent garbage; pinned by tests/test_adversarial_inputs.py).
+    # Spark has no isinf(); |x| = +Inf is the exact equivalent.
+    def non_finite(c: str) -> F.Column:
+        col = F.col(c)
+        return col.isNotNull() & (
+            F.isnan(col) | (F.abs(col) == F.lit(float("inf")))
+        )
+
+    li_nf = one(
+        "lineitem_non_finite_money",
+        li.filter(
+            non_finite("l_quantity")
+            | non_finite("l_extendedprice")
+            | non_finite("l_discount")
+            | non_finite("l_tax")
+        ).agg(F.count(F.lit(1)).alias("n")),
+    )
+    o_nf = one(
+        "orders_non_finite_money",
+        o.filter(non_finite("o_totalprice")).agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (
+        pk_dup.unionByName(li_orphan)
+        .unionByName(o_orphan)
+        .unionByName(rng)
+        .unionByName(nulls)
+        .unionByName(li_nf)
+        .unionByName(o_nf)
+    )
 
 
 from cloud_dataflow_batch_processing_spark.extensions import rollup as RU  # noqa: E402
@@ -914,7 +981,7 @@ def incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequential_ids_orders",
     oracle="""
     SELECT o_orderkey,
-           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice NULLS FIRST, o_orderkey) - 1
                 AS BIGINT) AS seq_id
     FROM orders
     """,
@@ -1218,26 +1285,23 @@ def _stat_sums_sql(x: str, y: str, source: str) -> str:
     "stats_corr_ols_lineitem",
     late=True,
     oracle=f"""
-    WITH s AS ({_stat_sums_sql('l_quantity', 'l_extendedprice', 'lineitem')})
+    WITH s AS ({_stat_sums_sql('l_quantity', 'l_extendedprice', 'lineitem')}),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s)
     SELECT n,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8)
-             AS corr_qty_price,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 8) AS ols_slope,
-           ROUND((CAST(sy AS DOUBLE)
-                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 8) AS ols_intercept
-    FROM s
+           ROUND(cov_n / NULLIF(SQRT(var_x) * SQRT(var_y), 0), 8) AS corr_qty_price,
+           ROUND(cov_n / NULLIF(var_x, 0), 8) AS ols_slope,
+           ROUND((syd - (cov_n / NULLIF(var_x, 0)) * sxd)
+                 / CAST(n AS DOUBLE), 8) AS ols_intercept
+    FROM d
     """,
 )
 def stats_corr_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1272,10 +1336,15 @@ def stats_corr_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n * sxy - sx * sy
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
-    slope = cov_n / var_x
+    # Zero variance (n=1, or a constant column) leaves the statistics
+    # undefined: NULL on both engines (NULLIF-guarded in the oracle),
+    # never an ANSI DIVIDE_BY_ZERO — found by the single-row sweep.
+    slope = cov_n / F.nullif(var_x, F.lit(0.0))
     return s.select(
         "n",
-        F.round(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)), 8).alias("corr_qty_price"),
+        F.round(
+            cov_n / F.nullif(F.sqrt(var_x) * F.sqrt(var_y), F.lit(0.0)), 8
+        ).alias("corr_qty_price"),
         F.round(slope, 8).alias("ols_slope"),
         F.round((sy - slope * sx) / n, 8).alias("ols_intercept"),
     )

@@ -28,6 +28,7 @@ def _query_vector(emb) -> list[float]:
     WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
     SELECT vec_id, ROUND({S.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
     FROM embeddings, q
+    WHERE {S.vec_is_valid_sql('embedding')}
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
     headline=True,
@@ -46,7 +47,8 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
                FROM embeddings WHERE vec_id = 0),
     expl AS (SELECT label, pos, CAST(embedding[pos] AS DOUBLE) AS val
-             FROM embeddings, range(1, {S.DIM + 1}) t(pos)),
+             FROM embeddings, range(1, {S.DIM + 1}) t(pos)
+             WHERE {S.vec_is_valid_sql('embedding')}),
     cent AS (SELECT label, pos,
                     CAST(SUM(CAST(val AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*) AS comp
              FROM expl GROUP BY label, pos),
@@ -59,6 +61,7 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe AS (SELECT label FROM dists ORDER BY d2, label LIMIT 3)
     SELECT vec_id, ROUND({S.cosine_sql('embedding', 'qv')}, 6) AS cos_sim
     FROM embeddings JOIN probe USING (label), q
+    WHERE {S.vec_is_valid_sql('embedding')}
     ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
 )
@@ -99,7 +102,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS (
       SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket
-      FROM embeddings WHERE vec_id < 200
+      FROM embeddings WHERE vec_id < 200 AND {S.vec_is_valid_sql('embedding')}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND({S.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cos_sim
@@ -124,7 +127,7 @@ def ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS (
       SELECT vec_id, embedding, {S.lsh_signature_sql('embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings WHERE {S.vec_is_valid_sql('embedding')}
     ),
     pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b

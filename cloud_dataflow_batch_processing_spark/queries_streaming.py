@@ -32,8 +32,11 @@ from cloud_dataflow_batch_processing_spark.streaming.windows import session, sli
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2, 3
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
+    # WHERE ts IS NOT NULL: event-time windowing excludes rows without
+    # an event time — Spark's window() drops them (watermark
+    # semantics); DuckDB's time_bucket would fabricate a NULL window.
     headline=True,
 )
 def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +99,7 @@ def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE OR
                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events WHERE user_id < 50
+      FROM events WHERE user_id < 50 AND ts IS NOT NULL
     ),
     numbered AS (
       SELECT user_id, ts,

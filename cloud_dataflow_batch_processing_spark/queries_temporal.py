@@ -197,11 +197,11 @@ _SESSION_GAP_US = 1_800_000_000  # 30 min
              CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS brk
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) NULLS FIRST, event_id)
     ),
     s AS (
       SELECT user_id, event_id, ts_us,
-             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
       FROM o
     )

@@ -581,8 +581,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, ps, unnest(range(0, len(ps))) AS i FROM parts
     )
     SELECT doc_id, CAST(i AS INT) AS seg_idx, ps[i + 1] AS segment,
-           CAST(CASE WHEN trim(ps[i + 1]) = '' THEN 0
-                ELSE len(string_split_regex(trim(ps[i + 1]), '\s+')) END AS INT) AS n_tokens
+           -- trim the full ASCII-whitespace set: Python's str.split()
+           -- drops ALL leading/trailing whitespace, while bare trim()
+           -- strips spaces only — a tab-only segment must count 0
+           -- tokens on both engines (adversarial sweep)
+           CAST(CASE WHEN trim(ps[i + 1], ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) = '' THEN 0
+                ELSE len(string_split_regex(trim(ps[i + 1], ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), '\s+')) END AS INT) AS n_tokens
     FROM idx
     """,
 )

@@ -128,7 +128,14 @@ def write_tfrecord(df: DataFrame, value_col: str, out_dir: str) -> None:
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partition(idx: int, it):
-        records = [bytes(r) for r in it]
+        records = []
+        for r in it:
+            if r is None:
+                raise ValueError(
+                    "NULL record cannot be TFRecord-framed; filter or "
+                    "coalesce upstream"
+                )
+            records.append(bytes(r))
         if records:
             with open(os.path.join(out_dir, f"part-{idx:05d}.tfrecord"), "wb") as f:
                 f.write(encode_records(records))

@@ -249,15 +249,18 @@ def _resolve_starting(
                 off = latest.get(topic, {}).get(pid, 0)
             out[topic][pid] = int(off)
     # Connector fidelity: an explicit JSON must cover every partition
-    # that exists for its topics ("you must specify all TopicPartitions"
-    # — kafka connector's startingOffsets contract). Silently starting
-    # omitted partitions at 0 would diverge from format("kafka").
+    # that exists for every subscribed topic ("you must specify all
+    # TopicPartitions" — kafka connector's startingOffsets contract).
+    # Silently starting an omitted partition — or a whole omitted
+    # topic — at 0 would diverge from format("kafka"). (Partitions
+    # that appear AFTER the stream starts are a different case:
+    # discovery legitimately starts those at 0.)
     for topic, ps in latest.items():
         missing = set(ps) - set(out.get(topic, {}))
-        if topic in explicit and missing:
+        if missing:
             raise ValueError(
                 "startingOffsets JSON must specify all partitions of "
-                f"topic {topic!r}; missing: {sorted(missing)}"
+                f"subscribed topic {topic!r}; missing: {sorted(missing)}"
             )
     return out
 

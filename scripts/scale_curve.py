@@ -91,6 +91,14 @@ POINTS = {
     "5m": (5_000_000, "sf100_docs"),
 }
 
+# Shuffle partitions grow with the data — the same sizing a real
+# cluster submit does, and the contract the minhash fetch joins'
+# shuffle-hash hint documents ("bounded at 100 TB by sizing P"): the
+# per-task hash build is |corpus|/P rows, so holding P at the local
+# default while the corpus grows 100x would concentrate 2 x 5M/32
+# wide rows per task (measured: Java heap OOM at the 5M point).
+SHUFFLE_PARTITIONS = {"50k": 32, "500k": 64, "5m": 128}
+
 
 def main(labels: list[str] | None = None) -> None:
     labels = labels or ["50k", "500k"]
@@ -99,15 +107,17 @@ def main(labels: list[str] | None = None) -> None:
     points = {}
     for label in labels:
         n, sub = POINTS[label]
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(SHUFFLE_PARTITIONS[label])
+        )
         t0 = time.perf_counter()
         path = ensure_scale_docs(os.path.join(BASE, sub), n_docs=n)
         gen_sec = round(time.perf_counter() - t0, 1)
-        # The 5M point exists to pin corpus_clean_pipeline's exponent
-        # (VERDICT r6 #8) — one cold + one warm run of just that query
-        # keeps the third decade affordable (its cold run alone is
-        # minutes; the other two queries' exponents are already pinned
-        # sub-linear by the 50k→500k decade).
-        only = ("corpus_clean_pipeline",) if label == "5m" else None
+        # The third decade runs every query but with one cold + one
+        # warm run (a 5M cold run is minutes each; round 7 gated this
+        # to corpus_clean_pipeline, round 8 extended it to the two
+        # heavy-shuffle dedup headliners per VERDICT r7 #4).
+        only = None
         points[label] = run_point(
             spark,
             path,

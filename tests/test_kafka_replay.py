@@ -358,6 +358,29 @@ def test_starting_offsets_must_cover_all_partitions(spark, tmp_path):
         )
 
 
+def test_starting_offsets_must_cover_omitted_topic(spark, tmp_path):
+    """Same contract at topic granularity: subscribing to two topics but
+    giving explicit offsets for only one must fail — the connector
+    refuses, it does not silently start the other topic at 0."""
+    import pytest
+
+    path = str(tmp_path / "log")
+    _mk_log(path)  # clicks
+    append_records(path, "views", 0, [(None, "v0", 0)])
+    register(spark)
+    with pytest.raises(Exception, match="all partitions"):
+        (
+            spark.read.format("kafka_replay")
+            .options(
+                path=path,
+                subscribe="clicks,views",
+                startingOffsets=json.dumps({"clicks": {"0": 0, "1": 0}}),
+            )
+            .load()
+            .collect()
+        )
+
+
 def test_producer_non_string_key_and_value(spark, tmp_path):
     """Keys/values of any type are coerced to strings inside the plan,
     so the written log always matches append_records' str|None contract
