@@ -83,6 +83,42 @@ def run_query(argv: list[str]) -> None:
         df.show(args.limit, truncate=40)
 
 
+def run_sql(argv: list[str]) -> None:
+    """``sql`` subcommand: run ad-hoc ANSI SQL against the engine
+    tables (sql.py façade) — the SQL surface the reference never had.
+
+        python -m cloud_dataflow_batch_processing_spark.cli sql \\
+            "SELECT l_returnflag, COUNT(*) n FROM lineitem GROUP BY 1"
+    """
+    import os
+
+    from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
+
+    p = argparse.ArgumentParser(prog="cloud_dataflow_batch_processing_spark.cli sql")
+    p.add_argument("query", help="ANSI SQL over the engine tables")
+    p.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="table directory (TESTDATA.md layout)",
+    )
+    p.add_argument("--limit", type=int, default=20, help="rows to show")
+    p.add_argument("--output", default=None, help="write full result as parquet here")
+    p.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark(app_name="cdbp-sql", master=args.master)
+    df = engine_sql(spark, args.query, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+        return
+    if args.output:
+        df.write.mode("overwrite").parquet(args.output)
+        print(f"wrote {args.output}")
+    else:
+        df.show(args.limit, truncate=40)
+
+
 def run(argv: list[str] | None = None) -> None:
     if argv is None:
         import sys as _sys
@@ -91,6 +127,8 @@ def run(argv: list[str] | None = None) -> None:
     argv = list(argv)
     if argv and argv[0] == "query":
         return run_query(argv[1:])
+    if argv and argv[0] == "sql":
+        return run_sql(argv[1:])
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="cdbp-reference-pipeline", master=args.master)
     st = bq_schema_file_to_struct(args.schema)

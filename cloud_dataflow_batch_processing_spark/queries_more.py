@@ -869,6 +869,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT COUNT(*) FROM orders
             WHERE o_totalprice IS NOT NULL
               AND (isnan(o_totalprice) OR isinf(o_totalprice)))
+    UNION ALL
+    SELECT 'events_non_finite_value',
+           (SELECT COUNT(*) FROM events
+            WHERE value IS NOT NULL AND (isnan(value) OR isinf(value)))
     """,
 )
 def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -941,6 +945,11 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_non_finite_money",
         o.filter(non_finite("o_totalprice")).agg(F.count(F.lit(1)).alias("n")),
     )
+    ev = t["events"]
+    ev_nf = one(
+        "events_non_finite_value",
+        ev.filter(non_finite("value")).agg(F.count(F.lit(1)).alias("n")),
+    )
     return (
         pk_dup.unionByName(li_orphan)
         .unionByName(o_orphan)
@@ -948,6 +957,7 @@ def dq_violation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nulls)
         .unionByName(li_nf)
         .unionByName(o_nf)
+        .unionByName(ev_nf)
     )
 
 

@@ -265,17 +265,128 @@ def _resolve_starting(
     return out
 
 
+def _resolve_starting_by_timestamp(
+    by_ts: str, path: str, topics: set[str]
+) -> dict[str, dict[str, int]]:
+    """``startingOffsetsByTimestamp`` (connector semantics): for each
+    named topic-partition, start at the FIRST offset whose record
+    timestamp is >= the given epoch-millis; if no such record exists,
+    start at latest. Record timestamps are stored per line, so this is
+    a one-time scan of the named partitions' segments at stream start
+    (the connector likewise asks the broker once via offsetsForTimes).
+    Unnamed partitions of a topic that exists in the log are rejected,
+    same contract as explicit startingOffsets."""
+    latest = _scan_log(path, topics)
+    explicit = json.loads(by_ts)
+    out: dict[str, dict[str, int]] = {}
+    for topic, ps in explicit.items():
+        if topic not in topics:
+            raise ValueError(
+                f"startingOffsetsByTimestamp names unsubscribed topic {topic!r}"
+            )
+        out[topic] = {}
+        for pid, ts_ms in ps.items():
+            part_dir = os.path.join(path, f"{topic}-{pid}")
+            found = latest.get(topic, {}).get(pid, 0)  # default: latest
+            for base, count, fname in _list_segments(part_dir):
+                hit = None
+                with open(os.path.join(part_dir, fname), encoding="utf-8") as f:
+                    for k, line in enumerate(f):
+                        if json.loads(line)["ts"] >= int(ts_ms):
+                            hit = base + k
+                            break
+                if hit is not None:
+                    found = hit
+                    break
+            out[topic][pid] = found
+    for topic, ps in latest.items():
+        missing = set(ps) - set(out.get(topic, {}))
+        if missing:
+            raise ValueError(
+                "startingOffsetsByTimestamp must specify all partitions of "
+                f"subscribed topic {topic!r}; missing: {sorted(missing)}"
+            )
+    return out
+
+
+def _resolve_start(
+    starting: str, starting_by_ts: str | None, path: str, topics: set[str]
+) -> dict[str, dict[str, int]]:
+    if starting_by_ts is not None:
+        return _resolve_starting_by_timestamp(starting_by_ts, path, topics)
+    return _resolve_starting(starting, path, topics)
+
+
 class KafkaReplayStreamReader(DataSourceStreamReader):
-    def __init__(self, path: str, topics: set[str], starting: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        topics: set[str],
+        starting: str,
+        starting_by_ts: str | None = None,
+        max_offsets_per_trigger: int | None = None,
+    ) -> None:
         self.path, self.topics, self.starting = path, topics, starting
+        self.starting_by_ts = starting_by_ts
+        self.max_per_trigger = max_offsets_per_trigger
+        # Driver-side rate-limit state: the end of the last planned
+        # microbatch. Rebuilt from the checkpoint via initialOffset /
+        # the engine's start argument on restart — latestOffset caps
+        # RELATIVE to it, so a restarted query resumes its pacing.
+        self._last_end: dict[str, dict[str, int]] | None = None
 
     def initialOffset(self) -> dict:
-        return _resolve_starting(self.starting, self.path, self.topics)
+        start = _resolve_start(self.starting, self.starting_by_ts, self.path, self.topics)
+        self._last_end = start
+        return start
 
     def latestOffset(self) -> dict:
-        return _scan_log(self.path, self.topics)
+        latest = _scan_log(self.path, self.topics)
+        if self.max_per_trigger is None:
+            return latest
+        if self._last_end is None:
+            # Checkpoint restart: the engine restores the start offset
+            # itself and never calls initialOffset, so the cap has no
+            # base yet — capping from offset 0 could plan an end BELOW
+            # the restored start (an offset rewind). First post-restart
+            # batch runs uncapped; partitions() then re-syncs the base
+            # from the engine's authoritative range and pacing resumes.
+            return latest
+        # maxOffsetsPerTrigger (connector semantics): cap the total new
+        # records this microbatch, apportioned across partitions
+        # PROPORTIONALLY to their lag.
+        base = self._last_end
+        lags: dict[tuple[str, str], int] = {}
+        for topic, ps in latest.items():
+            for pid, hi in ps.items():
+                lo = base.get(topic, {}).get(pid, 0)
+                if hi > lo:
+                    lags[(topic, pid)] = hi - lo
+        total = sum(lags.values())
+        if total > self.max_per_trigger:
+            scale = self.max_per_trigger / total
+            capped = {t: dict(ps) for t, ps in latest.items()}
+            budget = self.max_per_trigger
+            # floor-apportion, then hand out the remainder
+            # deterministically (topic, partition) order
+            take = {k: max(1, int(lag * scale)) for k, lag in lags.items()}
+            while sum(take.values()) > self.max_per_trigger:
+                for k in sorted(take, reverse=True):
+                    if sum(take.values()) <= self.max_per_trigger:
+                        break
+                    if take[k] > 0:
+                        take[k] -= 1
+            for (topic, pid), n in take.items():
+                lo = base.get(topic, {}).get(pid, 0)
+                capped[topic][pid] = lo + n
+            latest = capped
+        self._last_end = latest
+        return latest
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # The engine's planned range is authoritative (it includes the
+        # checkpoint-restored start) — re-sync the rate-limit base.
+        self._last_end = end
         return _plan_partitions(self.path, start, end)
 
     def read(self, partition: KafkaReplayPartition) -> Iterator[tuple]:
@@ -286,16 +397,46 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
 
 
 class KafkaReplayBatchReader(DataSourceReader):
-    """Batch twin (``spark.read.format("kafka_replay")``): the full
-    startingOffsets..latest range, same schema, same partition plan."""
+    """Batch twin (``spark.read.format("kafka_replay")``): the
+    startingOffsets..endingOffsets range (default ..latest), same
+    schema, same partition plan."""
 
-    def __init__(self, path: str, topics: set[str], starting: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        topics: set[str],
+        starting: str,
+        starting_by_ts: str | None = None,
+        ending: str = "latest",
+    ) -> None:
         self.path, self.topics, self.starting = path, topics, starting
+        self.starting_by_ts = starting_by_ts
+        self.ending = ending
+
+    def _resolve_ending(self) -> dict[str, dict[str, int]]:
+        latest = _scan_log(self.path, self.topics)
+        if self.ending == "latest":
+            return latest
+        if self.ending == "earliest":
+            raise ValueError("endingOffsets cannot be 'earliest'")  # connector contract
+        explicit = json.loads(self.ending)
+        out = {t: dict(ps) for t, ps in latest.items()}
+        for topic, ps in explicit.items():
+            if topic not in self.topics:
+                raise ValueError(f"endingOffsets names unsubscribed topic {topic!r}")
+            for pid, off in ps.items():
+                if off == -2:
+                    raise ValueError(
+                        "endingOffsets does not accept the earliest sentinel (-2)"
+                    )  # connector contract
+                if off == -1:
+                    off = latest.get(topic, {}).get(pid, 0)
+                out.setdefault(topic, {})[pid] = int(off)
+        return out
 
     def partitions(self) -> Sequence[InputPartition]:
-        start = _resolve_starting(self.starting, self.path, self.topics)
-        end = _scan_log(self.path, self.topics)
-        return _plan_partitions(self.path, start, end)
+        start = _resolve_start(self.starting, self.starting_by_ts, self.path, self.topics)
+        return _plan_partitions(self.path, start, self._resolve_ending())
 
     def read(self, partition: KafkaReplayPartition) -> Iterator[tuple]:
         return _read_range(partition)
@@ -304,8 +445,12 @@ class KafkaReplayBatchReader(DataSourceReader):
 class KafkaReplayDataSource(DataSource):
     """``format("kafka_replay")`` — options: ``path`` (the log dir,
     required), ``subscribe`` (comma-separated topics, required),
-    ``startingOffsets`` (earliest | latest | kafka-style JSON;
-    default earliest)."""
+    ``startingOffsets`` (earliest | latest | kafka-style JSON; default
+    earliest), ``startingOffsetsByTimestamp`` (kafka-style JSON of
+    epoch-millis; mutually exclusive with startingOffsets),
+    ``endingOffsets`` (batch only: latest | JSON with -1 sentinels),
+    ``maxOffsetsPerTrigger`` (stream only: records per microbatch,
+    apportioned by lag)."""
 
     @classmethod
     def name(cls) -> str:
@@ -314,23 +459,35 @@ class KafkaReplayDataSource(DataSource):
     def schema(self) -> str:
         return KAFKA_SCHEMA
 
-    def _conf(self) -> tuple[str, set[str], str]:
+    def _conf(self) -> tuple[str, set[str], str, str | None]:
         if "path" not in self.options:
             raise ValueError("kafka_replay needs a path (the log directory)")
         if "subscribe" not in self.options:
             raise ValueError("kafka_replay needs subscribe=<topic[,topic...]>")
         topics = {t.strip() for t in self.options["subscribe"].split(",") if t.strip()}
+        by_ts = self.options.get("startingoffsetsbytimestamp")
+        if by_ts is not None and "startingoffsets" in self.options:
+            raise ValueError(
+                "specify only one of startingOffsets / startingOffsetsByTimestamp"
+            )  # connector contract
         return (
             self.options["path"],
             topics,
             self.options.get("startingoffsets", "earliest"),
+            by_ts,
         )
 
     def streamReader(self, schema) -> KafkaReplayStreamReader:
-        return KafkaReplayStreamReader(*self._conf())
+        mot = self.options.get("maxoffsetspertrigger")
+        return KafkaReplayStreamReader(
+            *self._conf(),
+            max_offsets_per_trigger=int(mot) if mot is not None else None,
+        )
 
     def reader(self, schema) -> KafkaReplayBatchReader:
-        return KafkaReplayBatchReader(*self._conf())
+        return KafkaReplayBatchReader(
+            *self._conf(), ending=self.options.get("endingoffsets", "latest")
+        )
 
 
 _REGISTERED: set[int] = set()

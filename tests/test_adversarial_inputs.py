@@ -223,6 +223,10 @@ def nonfinite_money_sf_dir(tmp_path_factory):
             dict(o_orderkey=900009, o_custkey=1, o_orderstatus="O",
                  o_totalprice=NAN, o_orderpriority="1-URGENT"),
         ],
+        "events": [
+            dict(event_id=900010, user_id=3, event_type="view", value=INF,
+                 props="{}"),
+        ],
     }
     for t in TABLES:
         _append_rows(
@@ -242,6 +246,7 @@ def test_dq_gate_counts_non_finite_money_exactly(spark, nonfinite_money_sf_dir):
     }
     assert rows["lineitem_non_finite_money"] == 2
     assert rows["orders_non_finite_money"] == 1
+    assert rows["events_non_finite_value"] == 1
 
 
 def test_money_aggregate_skips_non_finite_pinned(spark, nonfinite_money_sf_dir, sf_dir):

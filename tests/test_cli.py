@@ -115,3 +115,18 @@ def test_get_spark_conflicting_master_raises(spark):
         get_spark(master="local[1]")
     # matching master is fine
     assert get_spark(master=spark.sparkContext.master) is spark
+
+
+def test_cli_sql_subcommand(spark, tmp_path, capsys):
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    out = str(tmp_path / "sql_out")
+    run([
+        "sql",
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY 1",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--output", out,
+    ])
+    assert f"wrote {out}" in capsys.readouterr().out
+    got = {(r.l_returnflag, r.n) for r in spark.read.parquet(out).collect()}
+    assert len(got) == 3 and all(n > 0 for _, n in got)

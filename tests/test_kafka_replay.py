@@ -476,3 +476,102 @@ def test_segment_planning_is_listing_only(tmp_path):
         with open(_os.path.join(part_dir, fname), "w") as f:
             f.write("")
     assert _scan_log(path, {"t"}) == {"t": {"0": 3}}
+
+
+def test_batch_ending_offsets(spark, tmp_path):
+    """endingOffsets bounds a batch read (connector contract: latest |
+    JSON with -1 sentinels; earliest/-2 rejected)."""
+    import pytest
+
+    path = str(tmp_path / "log")
+    _mk_log(path)  # clicks-0 has 2 records, clicks-1 has 1
+    register(spark)
+
+    def rd(ending):
+        return (
+            spark.read.format("kafka_replay")
+            .options(path=path, subscribe="clicks", endingOffsets=ending)
+            .load()
+            .collect()
+        )
+
+    rows = rd(json.dumps({"clicks": {"0": 1, "1": -1}}))
+    got = {(r.partition, r.offset) for r in rows}
+    assert got == {(0, 0), (1, 0)}  # p0 capped at 1, p1 to latest
+    assert len(rd("latest")) == 3
+    with pytest.raises(Exception, match="earliest"):
+        rd("earliest")
+    with pytest.raises(Exception, match="-2|earliest"):
+        rd(json.dumps({"clicks": {"0": -2, "1": -1}}))
+
+
+def test_starting_offsets_by_timestamp(spark, tmp_path):
+    """startingOffsetsByTimestamp: first offset with record ts >= the
+    given epoch-millis; no such record -> latest; mutually exclusive
+    with startingOffsets (connector contract)."""
+    import pytest
+
+    path = str(tmp_path / "log")
+    _mk_log(path)  # clicks-0 ts 1_700_000_000_000 and ...001_000
+    register(spark)
+    by_ts = json.dumps(
+        {"clicks": {"0": 1_700_000_000_500, "1": 9_999_999_999_999}}
+    )
+    rows = (
+        spark.read.format("kafka_replay")
+        .options(path=path, subscribe="clicks", startingOffsetsByTimestamp=by_ts)
+        .load()
+        .collect()
+    )
+    got = {(r.partition, r.offset) for r in rows}
+    # p0 starts at offset 1 (ts >= ...500); p1 has no record that late
+    # -> starts at latest (nothing)
+    assert got == {(0, 1)}
+    with pytest.raises(Exception, match="only one of"):
+        (
+            spark.read.format("kafka_replay")
+            .options(
+                path=path, subscribe="clicks",
+                startingOffsets="earliest", startingOffsetsByTimestamp=by_ts,
+            )
+            .load()
+            .collect()
+        )
+
+
+def test_max_offsets_per_trigger_paces_microbatches(tmp_path):
+    """maxOffsetsPerTrigger: driver-side planning caps each
+    microbatch's new records, apportioned by lag; the engine range in
+    partitions() re-syncs the base (checkpoint-restart safe). Driven
+    against the reader object — the planning logic IS the driver
+    surface the connector implements."""
+    from cloud_dataflow_batch_processing_spark.streaming.kafka_replay import (
+        KafkaReplayStreamReader,
+    )
+
+    path = str(tmp_path / "log")
+    append_records(path, "t", 0, [(None, f"a{i}", i) for i in range(5)])
+    append_records(path, "t", 1, [(None, f"b{i}", i) for i in range(3)])
+    r = KafkaReplayStreamReader(path, {"t"}, "earliest", max_offsets_per_trigger=4)
+    start = r.initialOffset()
+    assert start == {"t": {"0": 0, "1": 0}}
+    batches = []
+    cur = start
+    for _ in range(5):
+        end = r.latestOffset()
+        moved = sum(
+            end["t"][p] - cur["t"].get(p, 0) for p in end["t"]
+        )
+        if moved == 0:
+            break
+        assert moved <= 4, (cur, end)
+        r.partitions(cur, end)
+        batches.append(moved)
+        cur = end
+    assert sum(batches) == 8  # drained everything
+    assert len(batches) >= 2  # paced over multiple microbatches
+    # restart shape: a fresh reader with no initialOffset call (the
+    # engine restores from checkpoint) must not rewind offsets
+    r2 = KafkaReplayStreamReader(path, {"t"}, "earliest", max_offsets_per_trigger=4)
+    end = r2.latestOffset()  # uncapped first batch after restart
+    assert end == {"t": {"0": 5, "1": 3}}

@@ -351,7 +351,7 @@ def test_new_operator_shuffle_budgets(spark, sf_dir):
         "resample_ffill_events": 3,     # key distinct + right pre-agg + timeline window
         "corpus_mix_temperature": 3,    # lang counts + global-rate window + final agg
         "dedup_incremental_minhash": 4, # bands x2 union, bucket sizes, pair dedup
-        "dq_violation_summary": 8,      # seven checks (r8: +2 non-finite money), each a narrow agg
+        "dq_violation_summary": 9,      # eight checks (r8: +3 non-finite), each a narrow agg
     }
     for name, budget in budgets.items():
         df = REGISTRY[name].fn(spark, sf_dir)
