@@ -172,6 +172,24 @@ def _quality_series(col):
     return col.map(_quality_of)
 
 
+def _nfc_series(col):
+    import unicodedata
+
+    return col.map(
+        lambda t: None if t is None else unicodedata.normalize("NFC", t)
+    )
+
+
+def nfc_normalize_fast(col: Column) -> Column:
+    """Unicode NFC normalization (Arrow-batched): canonical composition
+    of combining sequences — the standard first step of a training-data
+    text-cleaning pipeline (decomposed e + U+0301 and precomposed
+    U+00E9 must dedup/fingerprint identically). Twin: DuckDB's
+    ``nfc_normalize`` — both implement Unicode NFC, verified
+    byte-identical including astral-plane and NULL inputs."""
+    return pandas_udf(_nfc_series, T.StringType())(col)
+
+
 def lang_id_fast(col: Column) -> Column:
     """Value-identical twin of ``text.lang_id`` (same stopword argmax
     and precedence; NULL text -> 'und' like the CASE fall-through)."""

@@ -707,3 +707,42 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     values hash-certifiable."""
     d = load_tables(spark, sf_dir)["documents"]
     return LM.vocab_coverage(LM.unigram_freq(d), [10, 20, 30])
+
+
+@register(
+    "text_normalize_nfc",
+    # New in round 8 (after the r8 window was fixed): queue for the
+    # round-9 driver-window rotation alongside the 3 remaining
+    # never-certified variants.
+    late=True,
+    oracle="""
+    SELECT doc_id,
+           nfc_normalize(text) AS text_nfc,
+           length(text) AS n_chars_raw,
+           length(nfc_normalize(text)) AS n_chars_nfc,
+           (nfc_normalize(text) IS DISTINCT FROM text) AS changed
+    FROM documents
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus (training-data
+    cleaning step zero: decomposed 'e' + U+0301 and precomposed U+00E9
+    must fingerprint/dedup identically). Arrow-batched stdlib
+    ``unicodedata`` (functions/text_fast.py::nfc_normalize_fast);
+    the oracle is DuckDB's ``nfc_normalize`` — both implement Unicode
+    canonical composition, so the normalized TEXT itself is
+    value-hash-certified, not just the stats. Per-row, zero shuffle;
+    ``changed`` uses null-safe inequality on both engines."""
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        nfc_normalize_fast,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    nfc = nfc_normalize_fast(F.col("text"))
+    return d.select(
+        "doc_id",
+        nfc.alias("text_nfc"),
+        F.length("text").alias("n_chars_raw"),
+        F.length(nfc).alias("n_chars_nfc"),
+        (~F.col("text").eqNullSafe(nfc)).alias("changed"),
+    )
