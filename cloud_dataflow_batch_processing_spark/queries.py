@@ -61,69 +61,68 @@ def register(
     return deco
 
 
-# Driver-window rotation (round 8). The external CORRECTNESS gate
-# certifies the FIRST 50 entries of ``_ordered()`` each round; rounds
-# 1-7 certified 83 of the 136 registered queries, leaving 53 that had
-# never seen the hard external signal. This tuple fronts 50 of those
-# never-certified names (priority: the corpus_build_full headliner, the
-# 15 newest TPC-H analogs, q4/q6/q10, the salted skew ops, the
-# ORC/TFRecord roundtrips, then the rest). The three remaining
-# never-certified names — semantic_kmeans_assign_arrow (Arrow twin of
-# certified semantic_kmeans_assign), dedup_near_exact_keep and
-# unpivot_roundtrip (variants of certified entries) — queue for the
-# round-9 window. tests/test_window_rotation.py enforces the rotation
-# mechanically: overlap(first-50, previous CORRECTNESS file) <= 25.
+# Driver-window rotation (round 9). Rounds 1-8 certified 133 of the
+# 137 registered queries; this window fronts the 4 never-certified
+# names (text_normalize_nfc landed after the r8 window froze; the other
+# three are deliberate late-variants of certified entries), then fills
+# the remaining 46 slots with the least-recently-certified names: all
+# 33 entries whose last driver cert is rounds 1-6 (window_global r1,
+# the r2-era dedup/text/grouping wave, window_sliding r3, the r6
+# re-certs), then the first 13 round-7 certs in name order. Overlap
+# with CORRECTNESS_r08.json is 0 <= 25, so the rotation gate
+# (tests/test_window_rotation.py) is green and, once the round-9 file
+# lands, EVERY registry query has a driver row in some round.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "corpus_build_full",
-    "q2_min_cost_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "q11_important_part_value",
-    "q12_priority_lines_by_class",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_shipped_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customer_balance",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "salted_join_lineitem_orders",
-    "salted_aggregate_lineitem",
-    "orc_roundtrip_agg",
-    "tfrecord_roundtrip_agg",
-    "udtf_split_segments",
-    "dedup_incremental_minhash",
-    "substring_dedup_incremental",
-    "corpus_split_train_val",
-    "text_repetition_ratio",
-    "pii_redact_roundtrip",
-    "token_length_histogram",
-    "tfidf_top_terms",
-    "corpus_mix_temperature",
-    "dedup_segments",
-    "boilerplate_ngrams",
-    "bloom_decontaminate",
-    "fuzzy_match_part_names",
-    "substring_dedup_clean",
-    "approx_quantile_histogram",
-    "approx_distinct_hll_by_type",
-    "corpus_audit_report",
-    "zorder_curve",
-    "pivot_event_matrix",
-    "group_sorted_values",
-    "dq_violation_summary",
-    "sequential_ids_orders",
-    "scalar_subquery_above_avg",
-    "stats_corr_ols_lineitem",
-    "embedding_normalize_quantize",
-    "resample_ffill_events",
-    "rolling_avg_events",
+    "text_normalize_nfc",
+    "dedup_near_exact_keep",
+    "unpivot_roundtrip",
+    "semantic_kmeans_assign_arrow",
+    "window_global",
+    "ann_lsh_buckets",
+    "count_per_element",
+    "dedup_embedding_cosine",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "group_mean",
+    "group_normalize_zscore",
+    "intersect_except",
+    "sample_per_key_deterministic",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_token_stats",
+    "to_dict_global",
+    "top_n_per_key",
+    "union_distinct",
+    "window_sliding",
+    "ann_lsh_pairs",
+    "approx_distinct",
+    "approx_percentile",
+    "combine_globally",
+    "dedup_ngram_jaccard",
+    "distinct_values",
+    "events_json_extract",
+    "group_by_key_lists",
+    "kv_swap",
+    "sample_deterministic",
+    "table_fingerprint",
+    "text_chunks",
+    "top_n_global",
+    "union_all",
+    "window_session",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "approx_distinct_hll",
+    "asof_join_events",
+    "avro_roundtrip_agg",
+    "broadcast_dim_join",
+    "cdc_merge_orders",
+    "cogroup_by_key",
+    "combine_fn_udaf",
+    "corpus_clean_pipeline",
+    "corpus_mix_sample",
+    "decontaminate_eval_overlap",
+    "dedup_duplicate_clusters",
 )
 
 
