@@ -20,19 +20,29 @@ architecture:
   ``{"topic": {"0": n}}``; ``startingOffsets`` accepts ``earliest`` /
   ``latest`` / per-partition JSON with kafka's -2/-1 sentinels, and
   (like the connector) an explicit JSON must name EVERY partition
-  present in the log for its topics.
+  present in the log for its topics. ``earliest`` / -2 resolve to the
+  LOG-START offset (the first retained segment's base), not 0 —
+  kafka's beginningOffsets semantics once retention has expired a
+  prefix of the log.
 - **Partition-parallel microbatches** — ``partitions(start, end)``
   returns one ``InputPartition`` per topic-partition offset range and
   ``read()`` runs on executors, exactly how the kafka connector plans
-  (the log directory must be executor-visible: local FS here, a
-  shared/object store at cluster scale).
+  (the log directory must be executor-visible: any filesystem
+  ``pyarrow.fs`` can resolve — local, ``file://``, ``s3://``,
+  ``hdfs://``, ``gs://``).
 - **Replay / exactly-once resume** — a restarted checkpointed query
   re-reads only from its committed offsets; ``commit`` retains the
   log (kafka retention semantics), so committed ranges are re-servable
   for batch retries.
 - **Partition discovery** — ``latestOffset`` rescans the directory,
   so topic-partitions created after the query starts are picked up
-  with start offset 0, mirroring the connector's partition discovery.
+  with start offset = their log start, mirroring the connector's
+  partition discovery.
+- **Bounded retention** — ``expire_segments`` deletes whole fully-
+  consumed / aged-out segments from the FRONT of each partition
+  (kafka's log-retention shape: the active segment never goes;
+  offsets stay monotonic; ``earliest`` moves forward to the first
+  retained segment).
 
 Log layout (kafka's own on-disk shape — a partition is a directory of
 immutable, base-offset-named segments)::
@@ -53,18 +63,25 @@ line. Range reads open only the segments overlapping [start, end).
 SCALE POSTURE: the driver plans per-partition offset ranges from a
 listing; executors read only overlapping segments; the producer stages
 record files ON EXECUTORS and the driver publishes them by RENAME
-only — no record bytes ever pass through the driver. At 100 TB the
-same layout works on any Hadoop filesystem with atomic rename
-(HDFS; on S3-like stores, swap the renames for the rollup store's
-manifest-commit pattern).
+only — no record bytes ever pass through the driver. ALL segment and
+meta I/O goes through ``pyarrow.fs`` resolved from the log path's URI
+scheme (``_fs_for``), never naked POSIX calls — so the same code runs
+against ``file://``, HDFS, or S3-class stores on a 1000-executor
+cluster (pyarrow is import-safe inside Python data-source workers and
+``foreachPartition`` tasks, where the JVM Hadoop-FS gateway is not).
+Publish renames are atomic on POSIX/HDFS; on object stores ``move``
+is copy+delete of a never-pre-existing destination, so readers still
+see whole segments or nothing. The value tombstone gap is LOUD: a
+NULL value raises at stage time (mirroring write_tfrecord's refusal)
+rather than corrupting consumers later.
 """
 
 from __future__ import annotations
 
 import datetime as _dt
+import io
 import json
-import os
-import shutil
+import posixpath
 import uuid
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass, field
@@ -87,6 +104,79 @@ KAFKA_SCHEMA = (
 _SEG_SUFFIX = ".jsonl"
 
 
+# ---------------------------------------------------------------------------
+# Filesystem layer: every byte of log I/O goes through pyarrow.fs so the
+# log can live on any URI scheme pyarrow resolves. Executor-safe (no JVM
+# gateway needed), which is why this is pyarrow.fs and not the py4j
+# Hadoop FileSystem the rollup sink uses driver-side.
+# ---------------------------------------------------------------------------
+
+
+def _fs_for(path: str):
+    """(pyarrow FileSystem, in-filesystem path) for a possibly-URI log
+    path. Bare paths are local; ``scheme://`` resolves by scheme."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _ls_names(path: str) -> list[str]:
+    """Child base-names of a directory ([] if it does not exist)."""
+    from pyarrow import fs as pafs
+
+    f, p = _fs_for(path)
+    infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+    return [i.base_name for i in infos]
+
+
+def _open_text(path: str) -> io.TextIOWrapper:
+    f, p = _fs_for(path)
+    return io.TextIOWrapper(f.open_input_stream(p), encoding="utf-8")
+
+
+def _create_text(path: str) -> io.TextIOWrapper:
+    f, p = _fs_for(path)
+    return io.TextIOWrapper(f.open_output_stream(p), encoding="utf-8")
+
+
+def _rename(src: str, dst: str) -> None:
+    f, s = _fs_for(src)
+    _, d = _fs_for(dst)
+    f.move(s, d)
+
+
+def _mkdirs(path: str) -> None:
+    f, p = _fs_for(path)
+    f.create_dir(p, recursive=True)
+
+
+def _delete_file(path: str) -> None:
+    f, p = _fs_for(path)
+    f.delete_file(p)
+
+
+def _delete_dir(path: str) -> None:
+    f, p = _fs_for(path)
+    try:
+        f.delete_dir(p)
+    except FileNotFoundError:
+        pass
+
+
+def _exists(path: str) -> bool:
+    from pyarrow import fs as pafs
+
+    f, p = _fs_for(path)
+    return f.get_file_info(p).type != pafs.FileType.NotFound
+
+
+# ---------------------------------------------------------------------------
+# Segment / log model
+# ---------------------------------------------------------------------------
+
+
 def _parse_segment(fname: str) -> tuple[int, int, str] | None:
     """``<base>.<count>.<tag>.jsonl`` -> (base, count, tag)."""
     if not fname.endswith(_SEG_SUFFIX):
@@ -104,16 +194,34 @@ def _segment_name(base: int, count: int, tag: str) -> str:
 def _list_segments(part_dir: str) -> list[tuple[int, int, str]]:
     """Sorted (base, count, fname) for one topic-partition directory."""
     segs = []
-    try:
-        names = os.listdir(part_dir)
-    except FileNotFoundError:
-        return []
-    for fname in names:
+    for fname in _ls_names(part_dir):
         parsed = _parse_segment(fname)
         if parsed is not None:
             segs.append((parsed[0], parsed[1], fname))
     segs.sort()
     return segs
+
+
+def _parse_partition_dir(dname: str) -> tuple[str, str] | None:
+    """``<topic>-<partition>`` -> (topic, partition) or None. The ONLY
+    way partition directories are matched anywhere in this module —
+    prefix tests like ``startswith(f"{topic}-")`` collide across topics
+    sharing the log dir (topic 'out' would match 'out-of-band-0')."""
+    topic, sep, part = dname.rpartition("-")
+    if not sep or not part.isdigit() or not topic:
+        return None
+    return topic, part
+
+
+def _partition_dirs(path: str, topics: set[str]) -> list[tuple[str, str, str]]:
+    """Sorted (dirname, topic, partition) under ``path`` whose topic is
+    subscribed — exact topic equality, digit partition suffix."""
+    out = []
+    for dname in sorted(_ls_names(path)):
+        parsed = _parse_partition_dir(dname)
+        if parsed is not None and parsed[0] in topics:
+            out.append((dname, parsed[0], parsed[1]))
+    return out
 
 
 def _scan_log(path: str, topics: set[str]) -> dict[str, dict[str, int]]:
@@ -123,15 +231,21 @@ def _scan_log(path: str, topics: set[str]) -> dict[str, dict[str, int]]:
     keys so the offset dict is byte-identical in shape to kafka's own
     startingOffsets/checkpoint JSON."""
     out: dict[str, dict[str, int]] = {}
-    if not os.path.isdir(path):
-        return out
-    for dname in sorted(os.listdir(path)):
-        topic, sep, part = dname.rpartition("-")
-        if not sep or not part.isdigit() or topic not in topics:
-            continue
-        segs = _list_segments(os.path.join(path, dname))
+    for dname, topic, part in _partition_dirs(path, topics):
+        segs = _list_segments(posixpath.join(path, dname))
         end = segs[-1][0] + segs[-1][1] if segs else 0
         out.setdefault(topic, {})[part] = end
+    return out
+
+
+def _log_starts(path: str, topics: set[str]) -> dict[str, dict[str, int]]:
+    """LOG-START offsets (first retained segment's base) — kafka's
+    beginningOffsets. 0 until retention expires a prefix; monotone
+    non-decreasing afterwards. Listing-only, like ``_scan_log``."""
+    out: dict[str, dict[str, int]] = {}
+    for dname, topic, part in _partition_dirs(path, topics):
+        segs = _list_segments(posixpath.join(path, dname))
+        out.setdefault(topic, {})[part] = segs[0][0] if segs else 0
     return out
 
 
@@ -140,8 +254,8 @@ def _publish_segment(part_dir: str, base: int, count: int, tag: str,
     """Atomically move a fully-written record file into the log as the
     segment [base, base+count). Readers either see the whole segment or
     none of it — no torn lines, ever."""
-    os.makedirs(part_dir, exist_ok=True)
-    os.replace(src_path, os.path.join(part_dir, _segment_name(base, count, tag)))
+    _mkdirs(part_dir)
+    _rename(src_path, posixpath.join(part_dir, _segment_name(base, count, tag)))
 
 
 def append_records(
@@ -155,15 +269,78 @@ def append_records(
     current end (listing-derived); the segment appears atomically."""
     if not records:
         return
-    part_dir = os.path.join(path, f"{topic}-{partition}")
+    part_dir = posixpath.join(path, f"{topic}-{partition}")
     segs = _list_segments(part_dir)
     base = segs[-1][0] + segs[-1][1] if segs else 0
-    os.makedirs(part_dir, exist_ok=True)
-    tmp = os.path.join(part_dir, f"_tmp-{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
+    _mkdirs(part_dir)
+    tmp = posixpath.join(part_dir, f"_tmp-{uuid.uuid4().hex}")
+    with _create_text(tmp) as f:
         for key, value, ts in records:
+            if value is None:
+                raise ValueError(
+                    "kafka_replay: NULL value is not representable in the "
+                    "str-value log contract (kafka tombstones unsupported); "
+                    f"refusing record with key={key!r} on {topic}-{partition}"
+                )
             f.write(json.dumps({"key": key, "value": value, "ts": ts}) + "\n")
     _publish_segment(part_dir, base, len(records), "m", tmp)
+
+
+def expire_segments(
+    path: str,
+    topics: set[str] | Sequence[str],
+    *,
+    retention_ms: int | None = None,
+    now_ms: int | None = None,
+    committed: dict[str, dict[str, int]] | None = None,
+) -> list[str]:
+    """Kafka-style bounded retention: delete whole segments from the
+    FRONT of each subscribed topic-partition, never the last (active)
+    segment, so offsets stay monotonic and the remaining log is a
+    contiguous suffix. ``earliest`` afterwards resolves to the first
+    retained segment's base (``_log_starts``).
+
+    A leading segment is expirable when BOTH bounds that were given
+    hold (at least one must be):
+
+    - ``retention_ms``: the segment's newest record timestamp is older
+      than ``now_ms - retention_ms`` (kafka ``retention.ms`` — needs
+      one read of the segment's last line; this is a maintenance call,
+      not the planning path).
+    - ``committed``: the segment ends at-or-below the committed
+      consumer offset ``{topic: {"0": n}}`` — the safety floor kafka
+      itself lacks: data no consumer has committed past is never
+      dropped.
+
+    Returns the deleted segment paths.
+    """
+    if retention_ms is None and committed is None:
+        raise ValueError("expire_segments needs retention_ms and/or committed")
+    topics = set(topics)
+    deadline = None
+    if retention_ms is not None:
+        if now_ms is None:
+            raise ValueError("retention_ms needs now_ms (no wall clock here)")
+        deadline = now_ms - retention_ms
+    deleted: list[str] = []
+    for dname, topic, part in _partition_dirs(path, topics):
+        part_dir = posixpath.join(path, dname)
+        segs = _list_segments(part_dir)
+        floor = (committed or {}).get(topic, {}).get(part)
+        for base, count, fname in segs[:-1]:  # active segment never expires
+            if floor is not None and base + count > floor:
+                break  # not yet consumed past — and neither is anything later
+            if deadline is not None:
+                last_ts = None
+                with _open_text(posixpath.join(part_dir, fname)) as f:
+                    for line in f:
+                        last_ts = json.loads(line)["ts"]
+                if last_ts is not None and last_ts >= deadline:
+                    break  # segment still inside the retention window
+            seg_path = posixpath.join(part_dir, fname)
+            _delete_file(seg_path)
+            deleted.append(seg_path)
+    return deleted
 
 
 @dataclass
@@ -185,7 +362,7 @@ def _read_range(p: KafkaReplayPartition) -> Iterator[tuple]:
     for base, count, fname in p.segments:
         if base + count <= p.start or base >= p.end:
             continue
-        with open(os.path.join(p.part_dir, fname), encoding="utf-8") as f:
+        with _open_text(posixpath.join(p.part_dir, fname)) as f:
             for k, line in enumerate(f):
                 offset = base + k
                 if offset < p.start:
@@ -214,16 +391,16 @@ def _plan_partitions(
     for topic, ends in end.items():
         starts = start.get(topic, {})
         for pid, hi in ends.items():
-            lo = starts.get(pid, 0)  # discovered mid-stream -> from 0
+            part_dir = posixpath.join(path, f"{topic}-{pid}")
+            lo = starts.get(pid)
+            segs = _list_segments(part_dir)
+            if lo is None:
+                # discovered mid-stream -> from its log start
+                lo = segs[0][0] if segs else 0
             if hi > lo:
-                part_dir = os.path.join(path, f"{topic}-{pid}")
-                segs = [
-                    s
-                    for s in _list_segments(part_dir)
-                    if s[0] + s[1] > lo and s[0] < hi
-                ]
+                overlap = [s for s in segs if s[0] + s[1] > lo and s[0] < hi]
                 parts.append(
-                    KafkaReplayPartition(part_dir, topic, int(pid), lo, hi, segs)
+                    KafkaReplayPartition(part_dir, topic, int(pid), lo, hi, overlap)
                 )
     return parts
 
@@ -233,9 +410,10 @@ def _resolve_starting(
 ) -> dict[str, dict[str, int]]:
     latest = _scan_log(path, topics)
     if starting == "earliest":
-        return {t: {p: 0 for p in ps} for t, ps in latest.items()}
+        return _log_starts(path, topics)
     if starting == "latest":
         return latest
+    starts = _log_starts(path, topics)
     explicit = json.loads(starting)  # kafka's per-partition JSON form
     out: dict[str, dict[str, int]] = {}
     for topic, ps in explicit.items():
@@ -243,8 +421,8 @@ def _resolve_starting(
             raise ValueError(f"startingOffsets names unsubscribed topic {topic!r}")
         out[topic] = {}
         for pid, off in ps.items():
-            if off == -2:  # kafka sentinel: earliest
-                off = 0
+            if off == -2:  # kafka sentinel: earliest (log start, not 0)
+                off = starts.get(topic, {}).get(pid, 0)
             elif off == -1:  # kafka sentinel: latest
                 off = latest.get(topic, {}).get(pid, 0)
             out[topic][pid] = int(off)
@@ -254,7 +432,7 @@ def _resolve_starting(
     # Silently starting an omitted partition — or a whole omitted
     # topic — at 0 would diverge from format("kafka"). (Partitions
     # that appear AFTER the stream starts are a different case:
-    # discovery legitimately starts those at 0.)
+    # discovery legitimately starts those at their log start.)
     for topic, ps in latest.items():
         missing = set(ps) - set(out.get(topic, {}))
         if missing:
@@ -286,11 +464,11 @@ def _resolve_starting_by_timestamp(
             )
         out[topic] = {}
         for pid, ts_ms in ps.items():
-            part_dir = os.path.join(path, f"{topic}-{pid}")
+            part_dir = posixpath.join(path, f"{topic}-{pid}")
             found = latest.get(topic, {}).get(pid, 0)  # default: latest
             for base, count, fname in _list_segments(part_dir):
                 hit = None
-                with open(os.path.join(part_dir, fname), encoding="utf-8") as f:
+                with _open_text(posixpath.join(part_dir, fname)) as f:
                     for k, line in enumerate(f):
                         if json.loads(line)["ts"] >= int(ts_ms):
                             hit = base + k
@@ -363,19 +541,33 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
                 if hi > lo:
                     lags[(topic, pid)] = hi - lo
         total = sum(lags.values())
-        if total > self.max_per_trigger:
-            scale = self.max_per_trigger / total
+        cap = self.max_per_trigger
+        if total > cap:
+            # Floor-apportion by lag share with the connector's min-1
+            # floor per lagging partition, then hand out the remainder
+            # in deterministic (topic, partition) order, never past a
+            # partition's real lag; trim floor-driven overshoot the
+            # same way but never below 1 (like kafka's own proration,
+            # the plan can exceed the cap only when cap < number of
+            # lagging partitions).
+            take = {k: max(1, lag * cap // total) for k, lag in lags.items()}
+            order = sorted(take)
+            assigned = sum(take.values())
+            i = 0
+            while assigned < cap:
+                k = order[i % len(order)]
+                if take[k] < lags[k]:
+                    take[k] += 1
+                    assigned += 1
+                i += 1
+            i = 0
+            while assigned > cap and any(v > 1 for v in take.values()):
+                k = order[i % len(order)]
+                if take[k] > 1:
+                    take[k] -= 1
+                    assigned -= 1
+                i += 1
             capped = {t: dict(ps) for t, ps in latest.items()}
-            budget = self.max_per_trigger
-            # floor-apportion, then hand out the remainder
-            # deterministically (topic, partition) order
-            take = {k: max(1, int(lag * scale)) for k, lag in lags.items()}
-            while sum(take.values()) > self.max_per_trigger:
-                for k in sorted(take, reverse=True):
-                    if sum(take.values()) <= self.max_per_trigger:
-                        break
-                    if take[k] > 0:
-                        take[k] -= 1
             for (topic, pid), n in take.items():
                 lo = base.get(topic, {}).get(pid, 0)
                 capped[topic][pid] = lo + n
@@ -510,9 +702,10 @@ def _stage_partition(staging: str, num_partitions: int):
     """Executor-side stage function: write this task's rows into one
     record file per (log-partition, spark-task) pair under the staging
     dir. Runs via ``foreachPartition`` — record bytes never touch the
-    driver. The final rename makes each staged file appear atomically,
-    so a retried/speculative task attempt simply re-renames identical
-    content over itself."""
+    driver; I/O goes through pyarrow.fs, so the staging dir can live on
+    the shared store next to the log. The final rename makes each
+    staged file appear atomically, so a retried/speculative task
+    attempt simply re-renames identical content over itself."""
 
     def stage(rows) -> None:
         handles: dict[int, tuple] = {}
@@ -523,12 +716,17 @@ def _stage_partition(staging: str, num_partitions: int):
 
                 ctx = TaskContext.get()
                 task_id = ctx.partitionId() if ctx is not None else 0
+            if row["__value"] is None:
+                raise ValueError(
+                    "kafka_replay producer: NULL value (kafka tombstones are "
+                    "not representable in the str-value log contract) — "
+                    "filter NULLs or encode them explicitly upstream; "
+                    f"offending key={row['__key']!r}"
+                )
             pid = int(row["__pid"])
             if pid not in handles:
-                tmp = os.path.join(
-                    staging, f"_tmp-{uuid.uuid4().hex}"
-                )
-                handles[pid] = (tmp, open(tmp, "w", encoding="utf-8"), [0])
+                tmp = posixpath.join(staging, f"_tmp-{uuid.uuid4().hex}")
+                handles[pid] = (tmp, _create_text(tmp), [0])
             tmp, fh, counter = handles[pid]
             fh.write(
                 json.dumps(
@@ -539,8 +737,10 @@ def _stage_partition(staging: str, num_partitions: int):
             counter[0] += 1
         for pid, (tmp, fh, counter) in handles.items():
             fh.close()
-            final = os.path.join(staging, f"{pid:05d}.{task_id:05d}.{counter[0]:010d}")
-            os.replace(tmp, final)
+            final = posixpath.join(
+                staging, f"{pid:05d}.{task_id:05d}.{counter[0]:010d}"
+            )
+            _rename(tmp, final)
 
     return stage
 
@@ -564,6 +764,8 @@ def foreach_batch_producer(
        NULL keys spread by ``monotonically_increasing_id``) and each
        task writes one record file per log partition under
        ``_staging/<batch_id>/`` — no ``collect()``, no driver funnel.
+       NULL values raise HERE (loud writer-side refusal, like
+       write_tfrecord) instead of corrupting consumers later.
     2. **Publish (driver, metadata-only):** staged files are renamed
        into the partition directories as base-offset-named segments
        tagged ``b<batch_id>`` (deterministic order: log partition,
@@ -576,17 +778,19 @@ def foreach_batch_producer(
     batch_id, which the replay deletes before re-publishing — the
     re-published segments land on the same base offsets with the same
     contents, so even a consumer that read the orphans re-reads
-    identical data. Torn lines are impossible: a segment is visible
-    only after its atomic rename.
+    identical data. Remnant matching parses directory names exactly
+    (``_parse_partition_dir``) so a sibling topic sharing the log dir
+    can never lose segments to another topic's cleanup. Torn lines are
+    impossible: a segment is visible only after its atomic rename.
     """
     from pyspark.sql import functions as F
 
-    meta_path = os.path.join(path, "_producer_meta.json")
+    meta_path = posixpath.join(path, "_producer_meta.json")
 
     def write_batch(batch_df, batch_id: int) -> None:
         last = -1
-        if os.path.exists(meta_path):
-            with open(meta_path, encoding="utf-8") as f:
+        if _exists(meta_path):
+            with _open_text(meta_path) as f:
                 last = json.load(f)["last_batch"]
         if batch_id <= last:
             return  # replayed microbatch: already committed
@@ -595,18 +799,15 @@ def foreach_batch_producer(
         # Crash remnants: segments published by a previous attempt of
         # THIS batch (crash before the meta commit) are deleted so the
         # re-publish below reproduces them at identical offsets.
-        if os.path.isdir(path):
-            for dname in os.listdir(path):
-                if not dname.startswith(f"{topic}-"):
-                    continue
-                part_dir = os.path.join(path, dname)
-                for base, count, fname in _list_segments(part_dir):
-                    if _parse_segment(fname)[2] == tag:
-                        os.remove(os.path.join(part_dir, fname))
+        for dname, _topic, _part in _partition_dirs(path, {topic}):
+            part_dir = posixpath.join(path, dname)
+            for base, count, fname in _list_segments(part_dir):
+                if _parse_segment(fname)[2] == tag:
+                    _delete_file(posixpath.join(part_dir, fname))
 
-        staging = os.path.join(path, "_staging", str(batch_id))
-        shutil.rmtree(staging, ignore_errors=True)
-        os.makedirs(staging, exist_ok=True)
+        staging = posixpath.join(path, "_staging", str(batch_id))
+        _delete_dir(staging)
+        _mkdirs(staging)
 
         # Routing + coercion inside the plan (JVM codegen, executor-side).
         # Keys/values always serialize as str|None — matching
@@ -640,27 +841,25 @@ def foreach_batch_producer(
 
         # Publish: rename staged files into the log in deterministic
         # (pid, task) order so offsets are reproducible across replays.
-        staged = sorted(
-            f for f in os.listdir(staging) if not f.startswith("_tmp-")
-        )
+        staged = sorted(f for f in _ls_names(staging) if not f.startswith("_tmp-"))
         next_base: dict[int, int] = {}
         for fname in staged:
             pid_s, _task_s, count_s = fname.split(".")
             pid, count = int(pid_s), int(count_s)
-            part_dir = os.path.join(path, f"{topic}-{pid}")
+            part_dir = posixpath.join(path, f"{topic}-{pid}")
             if pid not in next_base:
                 segs = _list_segments(part_dir)
                 next_base[pid] = segs[-1][0] + segs[-1][1] if segs else 0
             _publish_segment(
-                part_dir, next_base[pid], count, tag, os.path.join(staging, fname)
+                part_dir, next_base[pid], count, tag, posixpath.join(staging, fname)
             )
             next_base[pid] += count
 
         tmp = meta_path + ".tmp"
-        os.makedirs(path, exist_ok=True)
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump({"last_batch": batch_id}, f)
-        os.replace(tmp, meta_path)
-        shutil.rmtree(staging, ignore_errors=True)
+        _mkdirs(path)
+        with _create_text(tmp) as f:
+            f.write(json.dumps({"last_batch": batch_id}))
+        _rename(tmp, meta_path)
+        _delete_dir(staging)
 
     return write_batch
