@@ -103,12 +103,14 @@ def scd2_intervals_sql(
     tiebreak_cols: Sequence[str] = (),
 ) -> str:
     keys = ", ".join(key_cols)
-    # NULLS FIRST pins the NULL-timestamp rows to the Spark side's
-    # ordering (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS
-    # LAST): a change row with an unknown timestamp sorts as the
-    # earliest version on both engines (adversarial sweep).
+    # NULLS FIRST pins EVERY order column to the Spark side's ordering
+    # (Spark ASC defaults to NULLS FIRST, DuckDB to NULLS LAST): a
+    # change row with an unknown timestamp sorts as the earliest
+    # version on both engines (adversarial sweep), and a NULL tiebreak
+    # value cannot flip interval endpoints cross-engine either
+    # (ADVICE r8 — same bug class, tiebreak columns).
     order = ", ".join(
-        [f"{ts_col} NULLS FIRST", *tiebreak_cols]
+        f"{c} NULLS FIRST" for c in (ts_col, *tiebreak_cols)
     )
     return f"""
     SELECT *,

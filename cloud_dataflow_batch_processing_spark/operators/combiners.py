@@ -87,13 +87,17 @@ def partial_accumulators(
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         accs: dict[Any, Any] = {}
         for pdf in batches:
-            for k, v in zip(pdf[key], pdf[value]):
+            for k, v, is_null in zip(pdf[key], pdf[value], pdf["__isnull"]):
                 # SQL-aggregate NULL semantics: a NULL input contributes
                 # nothing, but the group still exists (identity
-                # accumulator). Arrow hands NULL to pandas as None/NaN —
-                # without this skip a numeric CombineFn crashes on
-                # int(NaN) (adversarial sweep).
-                if v is None or (isinstance(v, float) and v != v):
+                # accumulator). NULL is detected via a plan-side
+                # validity mask (F.isnull, codegen) because the
+                # Arrow->pandas conversion folds NULL into NaN for
+                # float columns — a `v != v` guard here would also
+                # swallow GENUINE NaN inputs, which must reach
+                # add_input like Spark's native aggregates propagate
+                # them (ADVICE r8).
+                if is_null:
                     if k not in accs:
                         accs[k] = fn.create_accumulator()
                     continue
@@ -109,7 +113,10 @@ def partial_accumulators(
                 }
             )
 
-    return df.select(key, value).mapInPandas(partial, schema=acc_schema)
+    from pyspark.sql import functions as F
+
+    masked = df.select(key, value, F.isnull(value).alias("__isnull"))
+    return masked.mapInPandas(partial, schema=acc_schema)
 
 
 def combine_per_key_udaf(
@@ -129,13 +136,28 @@ def combine_per_key_udaf(
     applyInPandas group merges at most one accumulator per input
     partition, so hot keys can't straggler/OOM a task with raw rows.
     """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
     key_field = df.schema[key]
     out_schema = T.StructType([key_field, T.StructField(out, output_type)])
+    key_at, out_at = to_arrow_type(key_field.dataType), to_arrow_type(output_type)
     partials = partial_accumulators(df, key, value, fn)
 
-    def final(pdf: pd.DataFrame) -> pd.DataFrame:
-        accs = [pickle.loads(bytes(b)) for b in pdf["__acc"]]
+    # applyInArrow, not applyInPandas: a genuine NaN from extract_output
+    # must survive into a double output column, and the pandas->Arrow
+    # conversion folds NaN into NULL (pandas' null sentinel). Explicit
+    # pa.array construction keeps NaN a VALUE, matching how Spark's
+    # native aggregates emit NaN totals (ADVICE r8).
+    def final(tbl: pa.Table) -> pa.Table:
+        accs = [pickle.loads(b.as_py()) for b in tbl["__acc"]]
         result = fn.extract_output(fn.merge_accumulators(accs))
-        return pd.DataFrame({key: [pdf[key].iloc[0]], out: [result]})
+        return pa.table(
+            {
+                key: pa.array([tbl[key][0].as_py()], type=key_at),
+                out: pa.array([result], type=out_at),
+            }
+        )
 
-    return partials.groupBy(key).applyInPandas(final, schema=out_schema)
+    return partials.groupBy(key).applyInArrow(final, schema=out_schema)

@@ -83,3 +83,41 @@ def test_apply_changes_valid_ops_unaffected_by_validation(spark):
     )
     got = {r["k"]: r["v"] for r in apply_changes(base, changes, ["k"]).collect()}
     assert got == {1: "a", 2: "B"}
+
+def test_scd2_null_tiebreak_matches_oracle(spark):
+    """ADVICE r8: a NULL TIEBREAK value (not just a NULL ts) must order
+    identically cross-engine — Spark ASC is NULLS FIRST, DuckDB NULLS
+    LAST, so every order column in the SQL twin needs an explicit
+    NULLS FIRST or interval endpoints diverge."""
+    import duckdb
+    import pandas as pd
+
+    from cloud_dataflow_batch_processing_spark.extensions.cdc import (
+        scd2_intervals_sql,
+    )
+
+    rows = [
+        (1, "a", 10, None),  # NULL tiebreak on equal ts
+        (1, "b", 10, 5),
+        (1, "c", 20, 1),
+        (2, "d", 10, None),
+    ]
+    log = spark.createDataFrame(rows, "k long, state string, ts long, seq long")
+    got_spark = sorted(
+        (r["k"], r["state"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(log, ["k"], "ts", ["seq"]).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["k", "state", "ts", "seq"]).astype(
+        {"seq": "Int64"}
+    )
+    con = duckdb.connect()
+    con.register("log", pdf)
+    sql = scd2_intervals_sql("log", ["k"], "ts", ["seq"])
+    got_duck = sorted(
+        (int(k), s, int(vf), None if pd.isna(vt) else int(vt), bool(c))
+        for k, s, ts, seq, vf, vt, c in con.execute(sql).fetchall()
+    )
+    assert got_spark == got_duck
+    # and the NULL-seq row is the EARLIER version at its timestamp
+    by_state = {s: (vf, vt) for _, s, vf, vt, _ in got_spark}
+    assert by_state["a"] == (10, 10) and by_state["b"] == (10, 20)

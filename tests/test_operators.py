@@ -156,6 +156,48 @@ def test_combine_fn_lifted_partials(spark):
         partials.unpersist()
 
 
+def test_combine_fn_null_skipped_nan_propagates(spark):
+    """ADVICE r8: the UDAF's NULL skip must read the plan-side validity
+    mask, not a `v != v` guard — a genuine NaN INPUT is a value, not a
+    NULL, and must reach add_input exactly as Spark's native aggregates
+    propagate NaN. NULLs still contribute nothing (the group exists
+    with the identity accumulator), matching SQL aggregate semantics."""
+    import math
+
+    from cloud_dataflow_batch_processing_spark.operators.combiners import (
+        combine_per_key_udaf,
+    )
+
+    class SumFn(CombineFn):
+        def create_accumulator(self):
+            return 0.0
+
+        def add_input(self, acc, v):
+            return acc + v
+
+        def merge_accumulators(self, accs):
+            return sum(accs)
+
+        def extract_output(self, acc):
+            return acc
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 2.0),
+         ("nankey", float("nan")), ("nankey", 1.0),
+         ("nullonly", None)],
+        "key string, value double",
+    )
+    out = combine_per_key_udaf(df, "key", "value", SumFn(), T.DoubleType(), out="s")
+    got = {r["key"]: r["s"] for r in out.collect()}
+    native = {
+        r["key"]: r["s"]
+        for r in df.groupBy("key").agg(F.sum("value").alias("s")).collect()
+    }
+    assert got["a"] == native["a"] == 3.0  # NULL skipped
+    assert math.isnan(got["nankey"]) and math.isnan(native["nankey"])  # NaN propagates
+    assert got["nullonly"] == 0.0  # identity accumulator, group exists
+
+
 def test_par_do_lifecycle(spark, kv):
     class ExplodeRange(DoFn):
         def __init__(self):

@@ -204,7 +204,8 @@ def test_avro_fallback_read_plan(spark, tmp_path):
 def test_lifted_combiner_plan_single_exchange(spark):
     """The lifted CombineFn plan: MapInPandas (partial, pre-shuffle) ->
     ONE hash exchange on the key carrying accumulators only ->
-    FlatMapGroupsInPandas (final merge)."""
+    FlatMapGroupsInArrow (final merge — Arrow-native so NaN outputs
+    survive, see combiners.py)."""
     from pyspark.sql import types as T
 
     from cloud_dataflow_batch_processing_spark.operators.combiners import (
@@ -230,9 +231,10 @@ def test_lifted_combiner_plan_single_exchange(spark):
     out = combine_per_key_udaf(df, "k", "v", SumFn(), T.LongType())
     plan = executed_plan(out)
     assert count_shuffles(out) == 1
-    assert plan.index("MapInPandas") > plan.index("FlatMapGroupsInPandas"), (
+    final_node = "FlatMapGroupsInArrow" if "FlatMapGroupsInArrow" in plan else "FlatMapGroupsInPandas"
+    assert plan.index("MapInPandas") > plan.index(final_node), (
         "partial MapInPandas must sit BELOW (after in toString order) the final "
-        "FlatMapGroupsInPandas, i.e. on the scan side of the exchange"
+        "grouped-merge node, i.e. on the scan side of the exchange"
     )
 
 
