@@ -42,6 +42,17 @@ module provides is the *useful subset*, built from Spark primitives:
 Late firings (``late=``) are unreachable with allowed_lateness
 hardcoded to 0 in the reference (beam/transforms/core.py:1571), so
 they are deliberately out of scope.
+
+Non-finite values (pinned — tests/test_streaming_adversarial.py): the
+``applyInPandasWithState`` channel is pandas-backed, and pandas uses
+NaN as its NA sentinel, so a NaN accumulated inside a pane emits as
+NULL (measured: even a nullable Float64 output column folds NaN→NULL
+in the serializer; there is no Arrow-native stateful API to carry the
+validity mask the way operators/combiners.py does for UDAFs). Panes
+still FIRE on their count/time conditions — triggers are count/time-
+driven, not value-driven — and a NULL total is the quarantine signal
+for a poisoned pane, never a plausible wrong number. Inf survives
+(only NaN is pandas' sentinel).
 """
 
 from __future__ import annotations
