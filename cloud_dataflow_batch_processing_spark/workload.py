@@ -49,11 +49,22 @@ def run_reference_pipeline(
     warehouse: str | None = None,
     key: str = "neighbourhood",
     value: str = "calculated_host_listings_count",
+    multi_line: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Run both sinks (raw + transform), mirroring run() at
-    dataflow_pipeline.py:102-223. Returns (raw, transformed) frames."""
+    dataflow_pipeline.py:102-223. Returns (raw, transformed) frames.
+
+    ``multi_line=True`` parses quoted fields with embedded newlines —
+    the case the reference's ReadFromText+parse_method pair corrupts
+    (textio splits on raw newlines BEFORE csv.reader runs,
+    dataflow_pipeline.py:87 / SURVEY.md §0). Scale caveat: Spark's
+    multiLine CSV mode reads each file whole (records may span line
+    splits, so files stop being byte-splittable) — at 100 TB, keep
+    multiline corpora in many files of a few hundred MB, or re-land as
+    parquet at ingest; leave it False for newline-free CSVs to keep
+    in-file split parallelism."""
     st = schema if schema is not None else bq_schema_to_struct(schema_fields or [])
-    raw = read_csv(spark, input_csv, schema=st, all_strings=True)
+    raw = read_csv(spark, input_csv, schema=st, all_strings=True, multi_line=multi_line)
     transformed = group_sum_transform(raw, key=key, value=value)
     write_table(
         raw,
