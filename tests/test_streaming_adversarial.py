@@ -402,6 +402,44 @@ def test_fire_after_count_nan_value_propagates(spark, tmp_path):
     assert got[(2, 1)] == (2, INF)
 
 
+def test_empty_stream_through_windows_and_rollup(spark, tmp_path):
+    """Empty-input class for the streaming layer (the batch empty-input
+    sweep found 5 real bugs; streaming had never run one): an empty —
+    schema-only — file source through tumbling/session windows runs to
+    completion with zero rows and the declared schema; the rollup sink
+    fed an empty batch commits a readable empty store rather than
+    crashing or leaving no version."""
+    path = str(tmp_path / "empty_json")
+    # schema-only source: one empty file so the stream has a listing
+    import os as _os
+
+    _os.makedirs(path)
+    open(_os.path.join(path, "empty.json"), "w").close()
+
+    for shape, name in (
+        (lambda df: tumbling(df, "ts", "1 hour", ["k"], F.count(F.lit(1)).alias("n")),
+         "empty_tumb"),
+        (lambda df: session(df, "ts", "30 minutes", ["k"], F.count(F.lit(1)).alias("n")),
+         "empty_sess"),
+    ):
+        _run_complete(shape(with_watermark(_stream(spark, path), "ts")), name)
+        out = spark.sql(f"SELECT * FROM {name}")
+        assert out.count() == 0
+        assert out.columns == ["w_start", "w_end", "k", "n"]
+
+    from cloud_dataflow_batch_processing_spark.streaming.rollup_sink import (
+        incremental_rollup_sink,
+        read_rollup,
+    )
+
+    store = str(tmp_path / "empty_store")
+    sink = incremental_rollup_sink(store, ["k"], ["v"])
+    sink(spark.createDataFrame([], "k string, v double"), 0)
+    got = read_rollup(spark, store, ["k"], ["v"])
+    assert got.count() == 0
+    assert got.columns == ["k", "v_sum", "v_count", "v_min", "v_max", "v_mean"]
+
+
 def test_stateful_dedup_duplicate_ts_distinct_keys(spark, tmp_path):
     """remove_duplicates_stream: rows sharing a timestamp but carrying
     DISTINCT keys all survive; an exact redelivery inside the watermark
