@@ -104,11 +104,22 @@ def run_sql(argv: list[str]) -> None:
     p.add_argument("--limit", type=int, default=20, help="rows to show")
     p.add_argument("--output", default=None, help="write full result as parquet here")
     p.add_argument("--explain", action="store_true", help="print the formatted physical plan")
+    p.add_argument(
+        "--dialect",
+        choices=("spark", "duckdb"),
+        default="spark",
+        help="duckdb = mechanically translate DuckDB SQL first (sql_dialect.py)",
+    )
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
+    query = args.query
+    if args.dialect == "duckdb":
+        from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
+
+        query = translate_duckdb(query)
     spark = get_spark(app_name="cdbp-sql", master=args.master)
-    df = engine_sql(spark, args.query, args.sf_dir)
+    df = engine_sql(spark, query, args.sf_dir)
     if args.explain:
         df.explain("formatted")
         return

@@ -1,0 +1,734 @@
+"""Mechanical DuckDB → Spark SQL dialect shim (VERDICT r8 #5).
+
+The registry's oracle strings target DuckDB; ~half already run verbatim
+on Catalyst (tests/test_sql_facade.py VERBATIM_CERTIFIED). The rest use
+DuckDB-isms with exact Spark equivalents. ``translate_duckdb`` rewrites
+those mechanically — a token/paren-level source transform, not a SQL
+parser — so the façade can execute the DuckDB strings too. Every
+translated string is certified by value-matching its DataFrame twin
+(tests/test_sql_facade.py TRANSLATED_CERTIFIED); translation is only
+trusted where that certification exists.
+
+Rewrite classes (each keyed to a measured Spark/DuckDB equivalence —
+see tests/test_sql_dialect.py):
+
+- list literals ``[a, b]`` → ``array(a, b)``; typed empty-list casts
+  ``CAST([] AS BIGINT[])`` → ``CAST(array() AS ARRAY<BIGINT>)``
+- subscripts ``xs[i]`` → ``element_at(xs, i)`` (DuckDB indexing is
+  1-based and supports negatives; Spark's ``[]`` is 0-based, but
+  ``element_at`` is exactly DuckDB's contract)
+- ``list_reduce(list_prepend(INIT, XS), FN)`` → ``aggregate(XS, INIT,
+  FN)`` (DuckDB has no explicit-init fold; the oracles spell it with
+  list_prepend — which IS aggregate's contract)
+- ``list_transform(list_zip(A, B), p -> ...p[1]...p[2]...)`` →
+  ``zip_with(A, B, (p__1, p__2) -> ...)``
+- ``list_slice(L, A, B)`` (inclusive end) → ``slice(L, A, B-A+1)``
+- standalone ``list_prepend(x, xs)`` → ``concat(array(x), xs)``
+- ``range(A, B)`` in expression position (end-exclusive list) →
+  ``sequence(A, B - 1)`` (inclusive); stepped ``range(A, B, S)`` →
+  ``filter(sequence(A, B, S), __r -> __r < B)`` (drop a landing-on-B
+  element); the table-valued ``FROM range`` form is left alone — both
+  engines are end-exclusive there
+- shift OPERATORS ``A >> B`` / ``A << B`` → ``shiftright/shiftleft(A,
+  B)`` (Spark's parser has neither operator)
+- 2-arg ``trim(str, chars)`` → ``btrim(str, chars)``
+- ``* EXCLUDE (cols)`` → ``* EXCEPT (cols)``
+- ``--`` comments are stripped during literal protection (an
+  apostrophe inside a comment must not open a phantom literal)
+- ``epoch(X)`` / ``epoch_us(X)`` → ``unix_seconds/unix_micros(CAST(X
+  AS TIMESTAMP))`` (testdata timestamps are NTZ; the cast attaches the
+  session zone, UTC in this engine's sessions)
+- ``time_bucket(INTERVAL n unit, X)`` → epoch-floor arithmetic
+- ``QUALIFY pred`` → wrap the SELECT: ``SELECT * EXCEPT (__q) FROM
+  (SELECT ..., pred AS __q ...) WHERE __q``
+- ``AGG(x ORDER BY k)`` (DuckDB ordered aggregate) → sort-by-struct:
+  ``transform(array_sort(agg(struct(k, x))), s -> s.x)``
+- function renames: list_* → array_*/HOF names, len → cardinality,
+  unicode → ascii, string_split → split, unnest → explode,
+  quantile_cont → percentile, array_to_string → array_join, …
+- ``//`` → ``div``, bare ``VARCHAR`` → ``STRING``, 1-arg ``encode`` →
+  utf-8, 4-arg regexp_replace 'g' flag dropped (Spark is global),
+  ``json_valid(x)`` → ``get_json_object(x, '$') IS NOT NULL``,
+  ``isinf(x)`` → ``abs(x) = CAST('Infinity' AS DOUBLE)``
+
+NOT translated (left to fail loudly, stay DataFrame-only): ASOF JOIN,
+DuckDB-private functions with no Spark twin (nfc_normalize), alias
+references in WHERE (DuckDB extension; Spark allows lateral aliases in
+SELECT only), recursive CTEs with UNION DISTINCT (Spark 4.1 supports
+only UNION ALL there), list comprehensions ``[e FOR x IN xs IF p]``,
+and the quadratic-HOF char-fold pipelines (minhash/substring family)
+whose pure-SQL plans are the measured CollapseProject trap the
+DataFrame twins deliberately avoid via Arrow (NOTES r3/r8).
+"""
+
+from __future__ import annotations
+
+import re
+
+_ID = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+# ---------------------------------------------------------------------------
+# literal protection + low-level scanners
+# ---------------------------------------------------------------------------
+
+
+def _protect(sql: str) -> tuple[str, list[str]]:
+    """Strip ``--`` comments and stash single-quoted literals (with ''
+    escapes) behind \\x00<n>\\x00 placeholders so every later rewrite can
+    treat the text as code. One combined left-to-right scan: an
+    apostrophe INSIDE a comment (``-- Python's str.split()``) must not
+    open a literal — a regex-only stash would swallow the rest of the
+    query into a phantom literal and silently skip every rewrite there
+    (measured: udtf_split_segments)."""
+    lits: list[str] = []
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            lits.append(sql[i : j + 1])
+            out.append(f"\x00{len(lits) - 1}\x00")
+            i = j + 1
+        elif ch == "-" and i + 1 < n and sql[i + 1] == "-":
+            while i < n and sql[i] != "\n":
+                i += 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out), lits
+
+
+def _restore(sql: str, lits: list[str]) -> str:
+    # DuckDB string literals are raw; Spark's parser applies C-style
+    # escapes (default escapedStringLiterals=false), so '\s+' would
+    # silently become 's+'. Double every backslash on the way out.
+    return re.sub(
+        r"\x00(\d+)\x00",
+        lambda m: lits[int(m.group(1))].replace("\\", "\\\\"),
+        sql,
+    )
+
+
+def _lit(lits: list[str], text: str) -> str:
+    """Register a NEW string literal mid-rewrite, returning its placeholder."""
+    lits.append(text)
+    return f"\x00{len(lits) - 1}\x00"
+
+
+def _close_paren(s: str, i: int) -> int:
+    """Index of the ')' matching s[i] == '(' (literals already stashed)."""
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parens at {i}: {s[i:i+60]!r}")
+
+
+def _split_args(body: str) -> list[str]:
+    """Split a call's argument text on top-level commas."""
+    args, depth, start = [], 0, 0
+    for j, ch in enumerate(body):
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(body[start:j])
+            start = j + 1
+    args.append(body[start:])
+    return [a.strip() for a in args]
+
+
+def _find_calls(s: str, name: str):
+    """Yield (start, open_paren) for each call of ``name`` (word-bounded),
+    scanning left to right; caller mutates, so re-scan after each edit."""
+    for m in re.finditer(rf"\b{name}\s*\(", s, flags=re.IGNORECASE):
+        yield m.start(), m.end() - 1
+
+
+def _rewrite_calls(s: str, name: str, fn) -> str:
+    """Innermost-first rewrite of every ``name(...)`` call: ``fn(args)``
+    returns the replacement text (WITHOUT trailing handling) or None to
+    leave the call untouched."""
+    while True:
+        changed = False
+        # rightmost-first: nested same-name calls sit to the right of
+        # their enclosing call's start, so they rewrite first and the
+        # enclosing call sees the already-rewritten text on re-scan;
+        # args text is passed through verbatim either way. A None from
+        # ``fn`` just moves on to the next (outer/earlier) hit.
+        for start, op in reversed(list(_find_calls(s, name))):
+            cp = _close_paren(s, op)
+            inner = s[op + 1 : cp]
+            rep = fn(_split_args(inner) if inner.strip() else [])
+            if rep is None:
+                continue
+            s = s[:start] + rep + s[cp + 1 :]
+            changed = True
+            break  # offsets moved; re-scan
+        if not changed:
+            return s
+
+
+# ---------------------------------------------------------------------------
+# composite rewrites
+# ---------------------------------------------------------------------------
+
+
+def _rw_list_reduce(s: str) -> str:
+    def fn(args):
+        if len(args) != 2:
+            return None
+        m = re.match(r"list_prepend\s*\(", args[0], flags=re.IGNORECASE)
+        if m:
+            inner = args[0][m.end() - 1 + 1 : -1]  # inside list_prepend(...)
+            init, xs = _split_args(inner)[0], ", ".join(_split_args(inner)[1:])
+            return f"aggregate({xs}, {init}, {args[1]})"
+        # no-init form: DuckDB seeds the fold with the FIRST element
+        # (list_reduce([]) errors there; the oracles guard empties, and
+        # Spark's element_at on [] raising keeps that loudness)
+        xs = args[0]
+        return (
+            f"aggregate(slice({xs}, 2, GREATEST(cardinality({xs}) - 1, 0)), "
+            f"element_at({xs}, 1), {args[1]})"
+        )
+
+    return _rewrite_calls(s, "list_reduce", fn)
+
+
+def _rw_list_prepend(s: str) -> str:
+    """Standalone list_prepend(x, xs) → concat(array(x), xs). Runs
+    AFTER _rw_list_reduce, which consumes the fold-init spelling."""
+
+    def fn(args):
+        if len(args) < 2:
+            return None
+        return f"concat(array({args[0]}), {', '.join(args[1:])})"
+
+    return _rewrite_calls(s, "list_prepend", fn)
+
+
+def _rw_trim_chars(s: str) -> str:
+    """2-arg trim(str, chars) → btrim(str, chars) (exact contract);
+    1-arg trim passes through untouched."""
+
+    def fn(args):
+        if len(args) != 2:
+            return None
+        return f"btrim({args[0]}, {args[1]})"
+
+    return _rewrite_calls(s, "trim", fn)
+
+
+_PRIMARY_FWD = re.compile(r"\s*(\x00\d+\x00|[A-Za-z_]\w*|\d+(?:\.\d+)?)")
+
+
+def _rw_shifts(s: str) -> str:
+    """Bitwise shift OPERATORS → functions: Spark's parser has no
+    ``>>``/``<<`` (PARSE_SYNTAX_ERROR), DuckDB uses them freely.
+    ``A >> B`` → shiftright(A, B) with A the primary expression ending
+    left of the operator (identifier chain / call / parenthesized /
+    subscripted — the same backward scan the subscript pass uses) and
+    B the primary starting right of it (word, number, literal, or
+    call/parens, including CAST(...))."""
+    while True:
+        m = re.search(r"(>>|<<)", s)
+        if not m:
+            return s
+        op = "shiftright" if m.group(1) == ">>" else "shiftleft"
+        # left primary
+        k = m.start() - 1
+        while k >= 0 and s[k].isspace():
+            k -= 1
+        b0 = _expr_start(s, k)
+        if b0 is None:
+            raise ValueError(f"cannot parse shift left-operand before {m.start()}")
+        left = s[b0 : k + 1]
+        # right primary
+        j = m.end()
+        pm = _PRIMARY_FWD.match(s, j)
+        if pm:
+            j2 = pm.end()
+            # a call: extend over its parens
+            k2 = j2
+            while k2 < len(s) and s[k2].isspace():
+                k2 += 1
+            if k2 < len(s) and s[k2] == "(":
+                j2 = _close_paren(s, k2) + 1
+        else:
+            k2 = j
+            while k2 < len(s) and s[k2].isspace():
+                k2 += 1
+            if k2 >= len(s) or s[k2] != "(":
+                raise ValueError(f"cannot parse shift right-operand at {j}")
+            j2 = _close_paren(s, k2) + 1
+        right = s[m.end() : j2].strip()
+        s = s[:b0] + f"{op}({left}, {right})" + s[j2:]
+
+
+def _rw_list_zip_transform(s: str) -> str:
+    """list_transform(list_zip(A, B), v -> BODY{v[1],v[2]}) →
+    zip_with(A, B, (v__1, v__2) -> BODY{v__1,v__2}). DuckDB's struct
+    subscripts may still be spelled [] here (bracket pass runs later)."""
+
+    def fn(args):
+        if len(args) != 2:
+            return None
+        m = re.match(r"list_zip\s*\(", args[0], flags=re.IGNORECASE)
+        if not m:
+            return None
+        zip_args = _split_args(args[0][m.end() : -1])
+        if len(zip_args) != 2:
+            return None
+        lam = re.match(r"(\w+)\s*->\s*(.*)$", args[1], flags=re.DOTALL)
+        if not lam:
+            return None
+        v, body = lam.group(1), lam.group(2)
+        body = re.sub(rf"\b{v}\s*\[\s*1\s*\]", f"{v}__1", body)
+        body = re.sub(rf"\b{v}\s*\[\s*2\s*\]", f"{v}__2", body)
+        return f"zip_with({zip_args[0]}, {zip_args[1]}, ({v}__1, {v}__2) -> {body})"
+
+    return _rewrite_calls(s, "list_transform", fn)
+
+
+def _rw_list_slice(s: str) -> str:
+    def fn(args):
+        if len(args) != 3:
+            return None
+        l, a, b = args
+        return f"slice({l}, {a}, ({b}) - ({a}) + 1)"
+
+    return _rewrite_calls(s, "list_slice", fn)
+
+
+def _rw_range_expr(s: str) -> str:
+    """Expression-position range(A, B) → sequence(A, B - 1). Table-
+    valued uses (``FROM range(...)`` / ``, range(...) alias``) are
+    recognized by a following table alias or a preceding FROM/JOIN."""
+    out = []
+    last = 0
+    for m in re.finditer(r"\brange\s*\(", s, flags=re.IGNORECASE):
+        op = m.end() - 1
+        if op < last:
+            continue
+        cp = _close_paren(s, op)
+        before = s[: m.start()].rstrip()
+        after = s[cp + 1 :].lstrip()
+        is_tvf = bool(
+            re.search(r"(FROM|JOIN)\s*$", before, flags=re.IGNORECASE)
+            or re.match(r"(AS\s+)?[A-Za-z_]\w*\s*\(", after, flags=re.IGNORECASE)
+        )
+        if is_tvf:
+            continue
+        args = _split_args(s[op + 1 : cp])
+        if len(args) == 2:
+            rep = f"sequence({args[0]}, ({args[1]}) - 1)"
+        elif len(args) == 3:
+            # stepped range (ints or timestamps): sequence is END-
+            # INCLUSIVE when (B - A) divides the step, DuckDB never is
+            # — drop any landing-on-B element explicitly.
+            a, b, st = args
+            rep = (
+                f"filter(sequence({a}, {b}, {st}), __r -> __r < ({b}))"
+            )
+        else:
+            continue
+        out.append(s[last : m.start()])
+        out.append(rep)
+        last = cp + 1
+    out.append(s[last:])
+    joined = "".join(out)
+    # nested ranges inside the rewritten args: recurse until stable
+    return joined if joined == s else _rw_range_expr(joined)
+
+
+def _rw_time_bucket(s: str, lits: list[str]) -> str:
+    unit_secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+    def fn(args):
+        if len(args) != 2:
+            return None
+        m = re.match(
+            r"INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$",
+            args[0],
+            flags=re.IGNORECASE,
+        )
+        if not m:
+            return None
+        secs = int(m.group(1)) * unit_secs[m.group(2).upper()]
+        x = args[1]
+        return (
+            f"CAST(timestamp_seconds(FLOOR(unix_seconds(CAST({x} AS TIMESTAMP))"
+            f" / {secs}) * {secs}) AS TIMESTAMP_NTZ)"
+        )
+
+    return _rewrite_calls(s, "time_bucket", fn)
+
+
+def _rw_epoch(s: str) -> str:
+    s = _rewrite_calls(
+        s, "epoch_us",
+        lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))" if len(a) == 1 else None,
+    )
+    return _rewrite_calls(
+        s, "epoch",
+        lambda a: f"unix_seconds(CAST({a[0]} AS TIMESTAMP))" if len(a) == 1 else None,
+    )
+
+
+def _rw_json_valid(s: str) -> str:
+    def fn(args):
+        if len(args) != 1:
+            return None
+        return f"(get_json_object({args[0]}, \x01dollar\x01) IS NOT NULL)"
+
+    return _rewrite_calls(s, "json_valid", fn)
+
+
+def _rw_isinf(s: str) -> str:
+    def fn(args):
+        if len(args) != 1:
+            return None
+        return f"(abs({args[0]}) = CAST(\x01inf\x01 AS DOUBLE))"
+
+    return _rewrite_calls(s, "isinf", fn)
+
+
+def _rw_encode(s: str) -> str:
+    def fn(args):
+        if len(args) != 1:
+            return None
+        return f"encode({args[0]}, \x01utf8\x01)"
+
+    return _rewrite_calls(s, "encode", fn)
+
+
+def _rw_regexp_flags(s: str, lits: list[str]) -> str:
+    """Drop DuckDB's 'g' option arg: Spark's regexp_replace is global."""
+
+    def fn(args):
+        if len(args) != 4:
+            return None
+        m = re.fullmatch(r"\x00(\d+)\x00", args[3].strip())
+        if not m or lits[int(m.group(1))] != "'g'":
+            return None
+        return f"regexp_replace({args[0]}, {args[1]}, {args[2]})"
+
+    return _rewrite_calls(s, "regexp_replace", fn)
+
+
+def _rw_ordered_agg(s: str) -> str:
+    """AGG(expr ORDER BY key) → transform(array_sort(collect_list(
+    struct(key AS __o, expr AS __v))), s -> s.__v) — DuckDB's ordered
+    list()/array_agg() with a single ASC key."""
+
+    def make(args):
+        if len(args) != 1:
+            return None
+        m = re.match(
+            r"(.*?)\s+ORDER\s+BY\s+([A-Za-z_][\w.]*)\s*$", args[0], flags=re.DOTALL
+        )
+        if not m:
+            return None
+        expr, key = m.group(1).strip(), m.group(2)
+        return (
+            f"transform(array_sort(collect_list(struct({key} AS __o, "
+            f"{expr} AS __v))), __s -> __s.__v)"
+        )
+
+    for agg in ("list", "array_agg"):
+        s = _rewrite_calls(s, agg, make)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# bracket transformer: literals vs subscripts
+# ---------------------------------------------------------------------------
+
+
+def _expr_start(s: str, i: int) -> int | None:
+    """Start index of the primary expression ENDING at s[i] (inclusive),
+    for subscript-base extraction: identifier chains a.b.c, call results
+    f(...) and previous subscripts compose right to left."""
+    j = i
+    while True:
+        if s[j] == ")":
+            depth = 0
+            while j >= 0:
+                if s[j] == ")":
+                    depth += 1
+                elif s[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            if j < 0:
+                return None
+            # a call f(...) — include the name; grouping parens after a
+            # keyword (e.g. CASE WHEN (x)) stop here
+            k = j - 1
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if k >= 0 and (s[k].isalnum() or s[k] == "_"):
+                w_end = k
+                while k >= 0 and (s[k].isalnum() or s[k] == "_"):
+                    k -= 1
+                word = s[k + 1 : w_end + 1].upper()
+                if word in _SUBSCRIPT_KEYWORDS:
+                    return j  # grouped (expr): base starts at the '('
+                j = k + 1  # function name included
+            # else: base starts at the '(' itself
+        elif s[j].isalnum() or s[j] == "_":
+            while j >= 0 and (s[j].isalnum() or s[j] == "_"):
+                j -= 1
+            j += 1
+        else:
+            return None
+        # extend left over a dotted chain: tbl.col / a.b(...)
+        k = j - 1
+        while k >= 0 and s[k].isspace():
+            k -= 1
+        if k >= 0 and s[k] == ".":
+            j = k - 1
+            continue
+        return j
+
+
+_SUBSCRIPT_KEYWORDS = {
+    "AND", "OR", "NOT", "THEN", "ELSE", "WHEN", "IN", "ON", "BY",
+    "SELECT", "WHERE", "END", "CASE", "AS", "FROM", "JOIN", "LIKE",
+    "BETWEEN", "IS", "NULL", "DISTINCT", "ALL", "UNION", "EXCEPT",
+    "INTERSECT", "HAVING", "GROUP", "ORDER", "LIMIT", "OVER",
+}
+
+
+def _rw_brackets(s: str) -> str:
+    """One innermost bracket pair per pass: literal → array(...),
+    subscript → element_at(base, idx); loop to fixpoint."""
+    while True:
+        # innermost '[' = one whose body has no '['
+        m = re.search(r"\[[^\[\]]*\]", s)
+        if m is None:
+            return s
+        start, end = m.start(), m.end() - 1
+        body = s[start + 1 : end].strip()
+        # what precedes decides literal vs subscript
+        k = start - 1
+        while k >= 0 and s[k].isspace():
+            k -= 1
+        prev = s[k] if k >= 0 else ""
+        is_subscript = prev != "" and (prev.isalnum() or prev in "_)]" or prev == "\x00")
+        if is_subscript:
+            # identifiers that are actually keywords start a literal
+            if prev.isalnum() or prev == "_":
+                j = k
+                while j >= 0 and (s[j].isalnum() or s[j] == "_"):
+                    j -= 1
+                if s[j + 1 : k + 1].upper() in _SUBSCRIPT_KEYWORDS:
+                    is_subscript = False
+        if is_subscript:
+            b0 = _expr_start(s, k)
+            if b0 is None:
+                raise ValueError(f"cannot find subscript base before {start}: {s[max(0,start-40):start]!r}")
+            base = s[b0 : k + 1]
+            s = s[:b0] + f"element_at({base}, CAST({body} AS INT))" + s[end + 1 :]
+        else:
+            s = s[:start] + f"array({body})" + s[end + 1 :]
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY
+# ---------------------------------------------------------------------------
+
+_TAIL_KW = re.compile(
+    r"\b(ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", flags=re.IGNORECASE
+)
+
+
+def _rw_qualify(s: str) -> str:
+    """SELECT <cols> FROM <rest> QUALIFY <pred> [tail] →
+    SELECT * EXCEPT (__q) FROM (SELECT <cols>, <pred> AS __q FROM
+    <rest>) WHERE __q [tail] — repeated for every QUALIFY, innermost
+    (rightmost) first."""
+    while True:
+        hits = list(re.finditer(r"\bQUALIFY\b", s, flags=re.IGNORECASE))
+        if not hits:
+            return s
+        m = hits[-1]
+        # ---- find this QUALIFY's SELECT: scan backwards at depth 0
+        depth = 0
+        sel = None
+        for j in range(m.start() - 1, -1, -1):
+            ch = s[j]
+            if ch == ")":
+                depth += 1
+            elif ch == "(":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and ch in "Ss":
+                if re.match(r"SELECT\b", s[j:], flags=re.IGNORECASE) and (
+                    j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")
+                ):
+                    sel = j
+                    break
+        if sel is None:
+            raise ValueError("QUALIFY without a matching SELECT")
+        # ---- find the predicate's end: next top-level tail keyword or
+        # the enclosing subquery's close, or end of string
+        depth = 0
+        end = len(s)
+        j = m.end()
+        while j < len(s):
+            ch = s[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    end = j
+                    break
+            elif depth == 0:
+                t = _TAIL_KW.match(s, j)
+                if t:
+                    end = j
+                    break
+            j += 1
+        pred = s[m.end() : end].strip()
+        inner = s[sel : m.start()].rstrip()
+        # split the inner SELECT into its select list and FROM-onwards
+        # at the first top-level FROM
+        depth = 0
+        from_at = None
+        for j in range(len("SELECT"), len(inner)):
+            ch = inner[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch in "Ff":
+                if re.match(r"FROM\b", inner[j:], flags=re.IGNORECASE) and not (
+                    inner[j - 1].isalnum() or inner[j - 1] == "_"
+                ):
+                    from_at = j
+                    break
+        if from_at is None:
+            raise ValueError("QUALIFY SELECT without a FROM clause")
+        sel_list = inner[len("SELECT") : from_at].strip()
+        from_part = inner[from_at:].strip()
+        rewritten = (
+            f"SELECT * EXCEPT (__q) FROM (SELECT {sel_list}, "
+            f"({pred}) AS __q {from_part}) WHERE __q "
+        )
+        s = s[:sel] + rewritten + s[end:]
+
+
+# ---------------------------------------------------------------------------
+# simple renames
+# ---------------------------------------------------------------------------
+
+_RENAMES = [
+    # longest-first so list_transform never half-matches as list
+    ("regexp_split_to_array", "split"),
+    ("string_split_regex", "split"),
+    ("string_split", "split"),
+    ("list_transform", "transform"),
+    ("list_distinct", "array_distinct"),
+    ("list_contains", "array_contains"),
+    ("list_intersect", "array_intersect"),
+    ("list_filter", "filter"),
+    ("list_min", "array_min"),
+    ("list_max", "array_max"),
+    ("list_sort", "array_sort"),
+    ("list_unique", "__list_unique"),  # placeholder; expanded below
+    ("array_to_string", "array_join"),
+    ("json_extract_string", "get_json_object"),
+    ("quantile_cont", "percentile"),
+    ("unnest", "explode"),
+    ("unicode", "ascii"),
+    ("len", "cardinality"),
+    ("list", "collect_list"),
+]
+
+
+def _rw_renames(s: str) -> str:
+    for src, dst in _RENAMES:
+        s = re.sub(rf"\b{src}\s*\(", f"{dst}(", s, flags=re.IGNORECASE)
+    s = _rewrite_calls(
+        s, "list_sum",
+        lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__a, __x) -> __a + __x)"
+            if len(a) == 1 else None
+        ),
+    )
+    s = _rewrite_calls(
+        s, "__list_unique",
+        lambda a: f"cardinality(array_distinct({a[0]}))" if len(a) == 1 else None,
+    )
+    return s
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+
+def translate_duckdb(query: str) -> str:
+    """Translate a DuckDB SQL string to Spark SQL. Mechanical and
+    conservative: constructs it does not recognize pass through
+    unchanged (and then fail loudly in Spark's parser/analyzer —
+    nothing is silently approximated beyond the certified rules)."""
+    s, lits = _protect(query)
+
+    # composite, paren-matched rewrites (before renames: they key on
+    # the DuckDB names; before brackets: list_zip lambdas use v[1])
+    s = _rw_list_reduce(s)
+    s = _rw_list_prepend(s)
+    s = _rw_list_zip_transform(s)
+    s = _rw_list_slice(s)
+    s = _rw_trim_chars(s)
+    s = _rw_shifts(s)
+    s = _rw_time_bucket(s, lits)
+    s = _rw_epoch(s)
+    s = _rw_json_valid(s)
+    s = _rw_isinf(s)
+    s = _rw_regexp_flags(s, lits)
+    s = _rw_encode(s)
+    s = _rw_ordered_agg(s)
+    s = _rw_range_expr(s)
+
+    # typed empty-array casts: AS BIGINT[] → AS ARRAY<BIGINT> (before
+    # the bracket pass, which would read '[]' as an empty literal; the
+    # AS anchor keeps THEN []/ELSE [] literals out)
+    s = re.sub(
+        r"\b(AS\s+)([A-Za-z_]\w*)\s*\[\s*\]", r"\1ARRAY<\2>", s,
+        flags=re.IGNORECASE,
+    )
+
+    s = _rw_brackets(s)
+    s = _rw_qualify(s)
+    s = _rw_renames(s)
+
+    # operators / keywords
+    s = s.replace("//", " div ")
+    s = re.sub(r"\bVARCHAR\b(?!\s*\()", "STRING", s, flags=re.IGNORECASE)
+    s = re.sub(r"\bEXCLUDE\b(\s*\()", r"EXCEPT\1", s, flags=re.IGNORECASE)
+
+    # literals minted by rewrites above
+    s = s.replace("\x01dollar\x01", _lit(lits, "'$'"))
+    s = s.replace("\x01inf\x01", _lit(lits, "'Infinity'"))
+    s = s.replace("\x01utf8\x01", _lit(lits, "'utf-8'"))
+    return _restore(s, lits)

@@ -130,3 +130,24 @@ def test_cli_sql_subcommand(spark, tmp_path, capsys):
     assert f"wrote {out}" in capsys.readouterr().out
     got = {(r.l_returnflag, r.n) for r in spark.read.parquet(out).collect()}
     assert len(got) == 3 and all(n > 0 for _, n in got)
+
+
+def test_cli_sql_duckdb_dialect(spark, tmp_path, capsys):
+    """--dialect duckdb routes the query through translate_duckdb: a
+    query full of DuckDB-isms (list literal, 1-based subscript, len,
+    //) runs on Catalyst."""
+    from cloud_dataflow_batch_processing_spark.cli import run
+
+    out = str(tmp_path / "sql_duck_out")
+    run([
+        "sql",
+        "SELECT l_returnflag, len([1, 2, 3]) AS l, ['a', 'b'][1] AS e, "
+        "COUNT(*) // 2 AS half FROM lineitem GROUP BY 1",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--dialect", "duckdb",
+        "--output", out,
+    ])
+    assert f"wrote {out}" in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3
+    assert all(r.l == 3 and r.e == "a" and r.half >= 0 for r in rows)

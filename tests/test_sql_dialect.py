@@ -1,0 +1,176 @@
+"""Unit tests for the DuckDB → Spark SQL dialect shim (VERDICT r8 #5).
+
+Each rewrite class in sql_dialect.translate_duckdb is keyed to a
+measured Spark/DuckDB equivalence; these tests pin the TRANSLATION
+(string → string) and, for the semantically subtle classes, execute
+both engines on literal inputs and compare values. The registry-wide
+certification (every translated oracle value-matched against its
+DataFrame twin) lives in tests/test_sql_facade.py.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
+
+
+def _spark_val(spark, expr_sql: str):
+    return spark.sql(f"SELECT {expr_sql} AS v").collect()[0].v
+
+
+def _duck_val(expr_sql: str):
+    return duckdb.sql(f"SELECT {expr_sql} AS v").fetchone()[0]
+
+
+def _both(spark, duck_expr: str):
+    """Translate a DuckDB scalar expression and evaluate it on both
+    engines; returns (duck, spark)."""
+    translated = translate_duckdb(f"SELECT {duck_expr} AS v")
+    got = spark.sql(translated).collect()[0].v
+    want = _duck_val(duck_expr)
+    return want, got
+
+
+CASES = [
+    # bracket literals and 1-based subscripts (element_at contract)
+    "[10, 20, 30][2]",
+    "[10, 20, 30][-1]",
+    "len([1, 2, 3])",
+    "list_contains([1, 2, 3], 2)",
+    # list_distinct's output order is unspecified in DuckDB — compare sorted
+    "list_sort(list_distinct([1, 2, 2, 3]))",
+    "list_min(list_transform([1, 2, 3], x -> x * 10))",
+    # explicit-init fold (list_prepend spelling) and no-init fold
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), [1, 2, 3]), (a, x) -> a + x)",
+    "list_reduce([5, 6, 7], (a, x) -> a + x)",
+    # zip + transform → zip_with
+    "list_transform(list_zip([1, 2], [10, 20]), p -> p[1] + p[2])",
+    # inclusive-end slice
+    "list_slice([1, 2, 3, 4, 5], 2, 4)",
+    # expression-position range is end-exclusive
+    "range(1, 5)",
+    "len(range(0, 10))",
+    # typed empty list
+    "len(CAST([] AS BIGINT[]))",
+    # integer division
+    "7 // 2",
+    # string functions
+    "string_split('a b c', ' ')",
+    "unicode('A')",
+    "array_to_string([1, 2, 3], '-')",
+    # regexp 'g' flag (Spark is global by default)
+    "regexp_replace('aXbXc', 'X', '-', 'g')",
+    # backslash classes must survive Spark's C-style literal parsing
+    "regexp_replace('a 1 b 22', '\\d+', '#', 'g')",
+    "len(string_split_regex(trim('a  b   c'), '\\s+'))",
+    # 3-arg stepped range stays end-exclusive (sequence is inclusive)
+    "range(0, 10, 3)",
+    "range(0, 9, 3)",   # B lands exactly on a step: must be excluded
+    "len(range(1, 8, 24))",
+    # bitwise shift OPERATORS (Spark's parser has none)
+    "(5 >> 1) & 1",
+    "CAST(1 AS BIGINT) << 4",
+    "list_transform([1, 2, 3], h -> (h >> 1) & 1)",
+    # standalone list_prepend (outside the fold-init spelling)
+    "list_prepend(CAST(0 AS BIGINT), [7, 8])",
+    # 2-arg trim = Spark btrim
+    "trim('xxhixx', 'x')",
+    # epoch family on a timestamp literal
+    "epoch(TIMESTAMP '2024-01-02 03:04:05')",
+    "epoch_us(TIMESTAMP '2024-01-02 03:04:05.250')",
+    # isinf / json_valid
+    "isinf(CAST('Infinity' AS DOUBLE))",
+    "isinf(1.5)",
+    "json_valid('{\"a\": 1}')",
+    "json_valid('{not json')",
+    "json_extract_string('{\"a\": \"x\"}', '$.a')",
+]
+
+
+@pytest.mark.parametrize("expr", CASES)
+def test_scalar_equivalence(spark, expr):
+    want, got = _both(spark, expr)
+    assert got == want, f"{expr!r}: duck={want!r} spark={got!r}"
+
+
+def test_time_bucket_equivalence(spark):
+    want, got = _both(
+        spark,
+        "time_bucket(INTERVAL 15 MINUTE, TIMESTAMP '2024-03-01 10:37:11')",
+    )
+    assert str(got) == str(want)
+
+
+def test_ordered_aggregate(spark):
+    q = (
+        "SELECT list(v ORDER BY k) AS vs FROM "
+        "(VALUES (3, 'c'), (1, 'a'), (2, 'b')) t(k, v)"
+    )
+    want = duckdb.sql(q).fetchone()[0]
+    got = spark.sql(translate_duckdb(q)).collect()[0].vs
+    assert list(got) == list(want)
+
+
+def test_qualify_rewrite(spark):
+    q = (
+        "SELECT k, v, ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) AS rn "
+        "FROM (VALUES (1, 10), (1, 20), (2, 30)) t(k, v) QUALIFY rn = 1 "
+        "ORDER BY k"
+    )
+    want = duckdb.sql(q).fetchall()
+    got = [tuple(r) for r in spark.sql(translate_duckdb(q)).collect()]
+    assert got == want
+
+
+def test_subscript_of_call_result(spark):
+    want, got = _both(spark, "string_split('a,b,c', ',')[2]")
+    assert got == want
+
+
+def test_nested_brackets(spark):
+    want, got = _both(spark, "[[1, 2], [3]][1][2]")
+    assert got == want
+
+
+def test_keyword_then_bracket_is_literal(spark):
+    want, got = _both(
+        spark, "len(CASE WHEN 1 = 1 THEN [1, 2] ELSE [] END)"
+    )
+    assert got == want
+
+
+def test_string_literals_untouched(spark):
+    # brackets/functions inside literals must never rewrite
+    want, got = _both(spark, "'len([1,2]) // x'")
+    assert got == want
+
+
+def test_exclude_star_modifier(spark):
+    q = "SELECT * EXCLUDE (b) FROM (VALUES (1, 2), (3, 4)) t(a, b) ORDER BY a"
+    want = duckdb.sql(q).fetchall()
+    got = [tuple(r) for r in spark.sql(translate_duckdb(q)).collect()]
+    assert got == want
+
+
+def test_comment_with_apostrophe_does_not_derail_literals(spark):
+    """An apostrophe inside a -- comment must not open a phantom
+    string literal that swallows (and skips rewriting) the rest of the
+    query — the measured udtf_split_segments failure mode."""
+    q = (
+        "SELECT\n"
+        "  -- Python's str.split() analog, note the apostrophe\n"
+        "  len(string_split('a b c', ' ')) AS v"
+    )
+    want = duckdb.sql(q).fetchone()[0]
+    got = spark.sql(translate_duckdb(q)).collect()[0].v
+    assert got == want
+
+
+def test_unknown_constructs_pass_through():
+    # conservative: unknown syntax passes through (and would fail
+    # loudly in Spark's parser), never silently approximated
+    s = "SELECT foo_bar_baz(x) FROM t ASOF JOIN u ON t.k = u.k"
+    assert "foo_bar_baz(x)" in translate_duckdb(s)
+    assert "ASOF JOIN" in translate_duckdb(s)

@@ -12,8 +12,18 @@ dialect all agree on the same bytes.
 
 Names outside this list use DuckDB-specific syntax/functions
 (json_extract_string, ``::`` casts, VARCHAR casts, list_* lambdas,
-epoch_us) or read roundtrip files the façade doesn't register — they
-remain covered by the DataFrame/DuckDB parity gate.
+epoch_us); those with an exact mechanical Spark equivalent are covered
+by the second tier, ``TRANSLATED_CERTIFIED`` — the oracle string run
+through ``sql_dialect.translate_duckdb`` and value-matched against the
+DataFrame twin the same way (VERDICT r8 #5). The remaining 21 stay
+DataFrame-only for documented reasons (``NOT_TRANSLATED``): ASOF JOIN,
+DuckDB alias-in-WHERE, recursive CTE UNION DISTINCT (unsupported in
+Spark 4.1), nfc_normalize (no SQL twin — the engine uses the Python
+stdlib), roundtrip queries reading files the façade doesn't register,
+one FLOOR rounding ULP, and the quadratic-HOF char-fold pipelines
+whose pure-SQL plan is the measured CollapseProject trap (NOTES r3/r8)
+— their DataFrame twins use Arrow precisely to avoid that plan, so
+certifying a 100×-slower SQL spelling would misrepresent the engine.
 """
 
 from __future__ import annotations
@@ -22,6 +32,7 @@ import pytest
 
 from cloud_dataflow_batch_processing_spark.queries import REGISTRY, queries
 from cloud_dataflow_batch_processing_spark.sql import register_views, sql
+from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
 from tests.oracle import compare_frames
 
 queries()
@@ -103,12 +114,117 @@ VERBATIM_CERTIFIED = [
 ]
 
 
+# Certified through the mechanical DuckDB→Spark translator
+# (sql_dialect.translate_duckdb): each translated string parsed,
+# executed on Catalyst, and value-hash-matched its DataFrame twin at
+# sf0.001 (discovery run, round 9). Keep sorted.
+TRANSLATED_CERTIFIED = [
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "bloom_decontaminate",
+    "boilerplate_ngrams",
+    "cdc_merge_orders",
+    "cogroup_by_key",
+    "dedup_minhash_signature",
+    "dedup_ngram_jaccard",
+    "dedup_segments",
+    "dedup_simhash",
+    "dq_violation_summary",
+    "embedding_normalize_quantize",
+    "events_json_extract",
+    "flagship_group_sum",
+    "flat_map_explode",
+    "funnel_signup_click_purchase",
+    "fuzzy_match_part_names",
+    "group_by_key_lists",
+    "group_sorted_values",
+    "pack_sequences",
+    "percentiles_exact",
+    "pii_redact_roundtrip",
+    "pii_scrub_stats",
+    "q3_shipping_priority",
+    "range_join_events",
+    "retention_cohorts",
+    "rolling_avg_events",
+    "semantic_dedup_prune",
+    "semantic_kmeans_assign",
+    "semantic_kmeans_assign_arrow",
+    "sessionize_events",
+    "text_chunks",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_filter",
+    "text_token_stats",
+    "tfidf_top_terms",
+    "token_length_histogram",
+    "udtf_split_segments",
+    "unigram_lm_quality",
+    "vocab_coverage_curve",
+    "window_session",
+    "window_sliding",
+    "window_tumbling",
+]
+
+# Documented DataFrame-only residue (see module docstring), with the
+# exclusion class for each — kept exhaustive so every registry oracle
+# is accounted for in exactly one tier.
+NOT_TRANSLATED = {
+    "asof_join_events": "ASOF JOIN",
+    "resample_ffill_events": "ASOF JOIN",
+    "corpus_build_full": "alias-in-WHERE (DuckDB extension)",
+    "dedup_duplicate_clusters": "recursive CTE UNION DISTINCT",
+    "dedup_quality_survivor": "recursive CTE UNION DISTINCT",
+    "text_normalize_nfc": "nfc_normalize has no Spark SQL twin",
+    "substring_dedup_clean": "list comprehension [e FOR x IN xs IF p]",
+    "tfrecord_roundtrip_agg": "reads roundtrip files outside the façade views",
+    "multimodal_decode_features": "reads roundtrip files outside the façade views",
+    "text_profile_single_pass": "FLOOR-rounding ULP divergence (1 row bitwise)",
+    "corpus_audit_report": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "corpus_clean_pipeline": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "decontaminate_eval_overlap": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "dedup_embedding_cosine": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "dedup_incremental_minhash": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "dedup_minhash_pairs": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "dedup_minhash_pairs_fast": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "dedup_near_exact_keep": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "substring_dedup_incremental": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "substring_dedup_stats": "quadratic-HOF SQL plan (CollapseProject trap)",
+    "text_repetition_ratio": "quadratic-HOF SQL plan (CollapseProject trap)",
+}
+
+
+def test_every_oracle_is_accounted_for():
+    """Exhaustiveness: VERBATIM ∪ TRANSLATED ∪ NOT_TRANSLATED covers
+    every registry oracle exactly once (a new query must land in a
+    tier deliberately, never by omission)."""
+    queries()
+    with_oracle = {n for n, q in REGISTRY.items() if q.oracle}
+    tiers = [set(VERBATIM_CERTIFIED), set(TRANSLATED_CERTIFIED), set(NOT_TRANSLATED)]
+    union = set().union(*tiers)
+    assert union == with_oracle, (
+        f"unaccounted: {sorted(with_oracle - union)}; "
+        f"stale: {sorted(union - with_oracle)}"
+    )
+    assert sum(len(t) for t in tiers) == len(union), "tier overlap"
+
+
 @pytest.mark.parametrize("name", VERBATIM_CERTIFIED)
 def test_oracle_sql_runs_verbatim_on_engine(spark, sf_dir, name):
     q = REGISTRY[name]
     via_sql = sql(spark, q.oracle, sf_dir).toPandas()
     via_df = q.fn(spark, sf_dir).toPandas()
     errs = compare_frames(via_sql, via_df, f"sql_facade:{name}")
+    assert not errs, "\n".join(errs)
+
+
+@pytest.mark.parametrize("name", TRANSLATED_CERTIFIED)
+def test_oracle_sql_runs_translated_on_engine(spark, sf_dir, name):
+    q = REGISTRY[name]
+    via_sql = sql(spark, translate_duckdb(q.oracle), sf_dir).toPandas()
+    via_df = q.fn(spark, sf_dir).toPandas()
+    errs = compare_frames(via_sql, via_df, f"sql_facade_translated:{name}")
     assert not errs, "\n".join(errs)
 
 
