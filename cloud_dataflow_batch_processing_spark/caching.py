@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MANAGED: list[DataFrame] = []
 _SCRATCH: list[tuple[SparkSession, str]] = []
+_TABLES: list[tuple[SparkSession, str]] = []
 
 
 def managed_cache(df: DataFrame) -> DataFrame:
@@ -75,6 +76,14 @@ def managed_scratch_count() -> int:
     return len(_SCRATCH)
 
 
+def register_managed_table(spark: SparkSession, name: str) -> str:
+    """Register a catalog table (e.g. a bucketed scratch table whose
+    files live in managed scratch) for DROP at the next
+    ``release_managed_caches()``. Returns ``name`` for chaining."""
+    _TABLES.append((spark, name))
+    return name
+
+
 def _delete_path(spark: SparkSession, path: str) -> None:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -104,4 +113,13 @@ def release_managed_caches() -> int:
 
                 shutil.rmtree(path, ignore_errors=True)
     _SCRATCH.clear()
+    # Drop tables BEFORE their backing scratch is gone from the
+    # catalog's point of view is not required (external tables drop
+    # metadata only), but dropping after file deletion is equally safe.
+    for spark, name in _TABLES:
+        try:
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        except Exception:
+            pass  # session already stopped
+    _TABLES.clear()
     return n

@@ -224,6 +224,45 @@ def _dup_spans(
         )
         spans.write.mode("overwrite").parquet(path)
         spans = df.sparkSession.read.parquet(path)
+    elif materialize == "bucketed":
+        # VERDICT r8 #6 lever for the d2 broadcast→SMJ regime
+        # transition: persist the span store BUCKETED (and sorted) by
+        # the span hash. The dup-count groupBy and the dup semi-join
+        # both consume the bucketed scan's hash distribution, so once
+        # the store is written, NEITHER side of the join exchanges —
+        # the one remaining span-volume shuffle is the repartition
+        # folded into the write (one file per bucket, so the reader
+        # also recognizes per-bucket sort order and skips the SMJ
+        # sorts). Net vs 'checkpoint' at the 5M point: the join-side
+        # exchange+sort of the full span frame is traded for a
+        # write-side repartition that pipelines with the parquet
+        # encode. Measured A/B lives in scripts/exp_substring_bucketed
+        # .py; adoption decision recorded in NOTES.md.
+        if not scratch_dir:
+            raise ValueError("materialize='bucketed' needs scratch_dir")
+        import os
+        import uuid
+
+        from cloud_dataflow_batch_processing_spark.caching import (
+            register_managed_scratch,
+            register_managed_table,
+        )
+
+        spark = df.sparkSession
+        tag = uuid.uuid4().hex[:12]
+        path = register_managed_scratch(spark, os.path.join(scratch_dir, tag))
+        name = register_managed_table(spark, f"spans_bkt_{tag}")
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        (
+            spans.repartition(nb, "h")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(nb, "h")
+            .sortBy("h")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        spans = spark.table(name)
     else:
         from cloud_dataflow_batch_processing_spark.caching import managed_cache
 

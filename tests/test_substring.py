@@ -259,6 +259,59 @@ def test_checkpoint_materialization_identical(spark, corpus, tmp_path):
     assert os.path.isdir(scratch) and os.listdir(scratch) == []
 
 
+def test_bucketed_materialization_identical_and_exchange_free(spark, corpus, tmp_path):
+    """VERDICT r8 #6: the bucketed span store. Value-identical to the
+    default path, and — the point of the layout — with broadcast
+    disabled (the 5M regime, where the dup-hash set outgrows the 64 MB
+    broadcast) the dup-count groupBy and the dup semi-join BOTH run on
+    the bucket distribution: the only hashpartitioning exchange left in
+    remove_intervals is the window's doc_id shuffle. Table metadata and
+    scratch files release at the managed-cache boundary."""
+    import re
+
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import substring as SS
+
+    df, _ = corpus
+    scratch = str(tmp_path / "span_bkt")
+    a = sorted(map(tuple, SS.substring_dup_stats(df).collect()))
+    release_managed_caches()
+    b = sorted(
+        map(
+            tuple,
+            SS.substring_dup_stats(
+                df, materialize="bucketed", scratch_dir=scratch
+            ).collect(),
+        )
+    )
+    assert a == b
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        iv = SS.remove_intervals(df, materialize="bucketed", scratch_dir=scratch)
+        iv.write.format("noop").mode("overwrite").save()
+        plan = iv._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_ex == 1, f"expected only the doc_id window exchange, got {n_ex}:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+
+    tables_before = {t.name for t in spark.catalog.listTables()}
+    assert any(t.startswith("spans_bkt_") for t in tables_before)
+    release_managed_caches()
+    assert not any(
+        t.name.startswith("spans_bkt_") for t in spark.catalog.listTables()
+    )
+    import os
+
+    assert os.path.isdir(scratch) and os.listdir(scratch) == []
+
+
 def test_stats_corr_ols_matches_numpy(spark, sf_dir):
     """The decimal-exact moment formulation must agree with an
     independent numpy computation to float tolerance (numpy pairwise
