@@ -198,7 +198,11 @@ def _dup_spans(
     # — a frame bounded by the DISTINCT duplicated-span count — and
     # semi-join the spans against it. AQE broadcasts the dup-hash side
     # when it fits and skew-splits the join when it doesn't; either
-    # way no unsplittable per-hash group exists anywhere.
+    # way no unsplittable per-hash group exists anywhere. Past the
+    # broadcast transition (dup-hash set > the 64 MB threshold, ~5M
+    # docs on this corpus) prefer materialize='bucketed': the
+    # bucket-local join cuts 5M cold 46%/60% vs cache/checkpoint and
+    # returns the 500k->5M exponent to ~1.0 (NOTES r9 A/B).
     # Materialize the span frame once: the count side and the probe
     # side would otherwise each recompute the whole tokenize+hash UDF
     # chain (same posture as the minhash pipeline's materialize knob:
