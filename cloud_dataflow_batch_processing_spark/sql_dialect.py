@@ -51,7 +51,11 @@ see tests/test_sql_dialect.py):
   ``json_valid(x)`` → ``get_json_object(x, '$') IS NOT NULL``,
   ``isinf(x)`` → ``abs(x) = CAST('Infinity' AS DOUBLE)``
 
-NOT translated (left to fail loudly, stay DataFrame-only): ASOF JOIN,
+- ``ASOF LEFT JOIN ... ON eq AND l.x >= r.y`` → correlated
+  ``LEFT JOIN LATERAL (... ORDER BY y DESC LIMIT 1)`` top-1 subquery
+
+NOT translated (left to fail loudly, stay DataFrame-only): inner
+ASOF JOIN (no oracle uses it),
 DuckDB-private functions with no Spark twin (nfc_normalize), alias
 references in WHERE (DuckDB extension; Spark allows lateral aliases in
 SELECT only), recursive CTEs with UNION DISTINCT (Spark 4.1 supports
@@ -277,6 +281,107 @@ def _rw_shifts(s: str) -> str:
             j2 = _close_paren(s, k2) + 1
         right = s[m.end() : j2].strip()
         s = s[:b0] + f"{op}({left}, {right})" + s[j2:]
+
+
+_ASOF = re.compile(
+    r"\bASOF\s+LEFT\s+(?:OUTER\s+)?JOIN\s+([A-Za-z_]\w*)"
+    r"(?:\s+(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*))?\s+ON\s+",
+    flags=re.IGNORECASE,
+)
+
+_CLAUSE_END = re.compile(
+    r"\b(WHERE|GROUP|ORDER|LIMIT|QUALIFY|HAVING|UNION|INTERSECT|EXCEPT|"
+    r"JOIN|ASOF|LEFT|RIGHT|INNER|FULL|CROSS|WINDOW)\b",
+    flags=re.IGNORECASE,
+)
+
+
+def _rw_asof_left_join(s: str) -> str:
+    """``L ASOF LEFT JOIN R r ON eq AND l.x >= r.y`` → a correlated
+    LATERAL top-1 subquery (measured exact-equivalent on Spark ≥3.2):
+
+        LEFT JOIN LATERAL (SELECT * FROM R AS __asof
+                           WHERE eq' AND l.x >= __asof.y
+                           ORDER BY __asof.y DESC LIMIT 1) AS r ON TRUE
+
+    — per left row, the single right row with the greatest y ≤ x
+    within the equality group, NULLs when none: DuckDB's ASOF LEFT
+    JOIN contract. Ascending variants (``l.x <= r.y``) order ASC.
+    Plain (inner) ASOF JOIN is left untouched → fails loudly."""
+    while True:
+        m = _ASOF.search(s)
+        if m is None:
+            return s
+        rtbl, ralias = m.group(1), m.group(2) or m.group(1)
+        # condition extent: depth-0 scan to the next clause keyword /
+        # closing paren / end of string
+        j, depth, end = m.end(), 0, len(s)
+        while j < len(s):
+            ch = s[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:
+                    end = j
+                    break
+            elif depth == 0:
+                t = _CLAUSE_END.match(s, j)
+                if t and (j == 0 or not (s[j - 1].isalnum() or s[j - 1] == "_")):
+                    end = j
+                    break
+            j += 1
+        cond = s[m.end() : end].strip()
+        # find the single inequality term and its right-side order key
+        terms = _split_top_and(cond)
+        order_col = direction = None
+        for t in terms:
+            cm = re.match(
+                r"^(.+?)\s*(>=|<=|>|<)\s*(.+)$", t.strip(), flags=re.DOTALL
+            )
+            if not cm:
+                continue
+            lhs, op, rhs = cm.group(1).strip(), cm.group(2), cm.group(3).strip()
+            r_ref = re.compile(rf"^{re.escape(ralias)}\.(\w+)$", re.IGNORECASE)
+            if r_ref.match(rhs) and not r_ref.match(lhs):
+                order_col = r_ref.match(rhs).group(1)
+                direction = "DESC" if op in (">=", ">") else "ASC"
+            elif r_ref.match(lhs) and not r_ref.match(rhs):
+                order_col = r_ref.match(lhs).group(1)
+                direction = "ASC" if op in (">=", ">") else "DESC"
+        if order_col is None:
+            raise ValueError(f"ASOF LEFT JOIN without a recognizable inequality: {cond!r}")
+        cond2 = re.sub(rf"\b{re.escape(ralias)}\.", "__asof.", cond)
+        rep = (
+            f"LEFT JOIN LATERAL (SELECT * FROM {rtbl} AS __asof "
+            f"WHERE {cond2} ORDER BY __asof.{order_col} {direction} LIMIT 1) "
+            f"AS {ralias} ON TRUE "
+        )
+        s = s[: m.start()] + rep + s[end:]
+
+
+def _split_top_and(cond: str) -> list[str]:
+    """Split a boolean expression on top-level ANDs."""
+    parts, depth, start = [], 0, 0
+    i = 0
+    while i < len(cond):
+        ch = cond[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond[i : i + 3].upper() == "AND":
+            before_ok = i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+            after = i + 3
+            after_ok = after >= len(cond) or not (cond[after].isalnum() or cond[after] == "_")
+            if before_ok and after_ok:
+                parts.append(cond[start:i])
+                start = i + 3
+                i = after
+                continue
+        i += 1
+    parts.append(cond[start:])
+    return [p.strip() for p in parts if p.strip()]
 
 
 def _rw_list_zip_transform(s: str) -> str:
@@ -692,6 +797,9 @@ def translate_duckdb(query: str) -> str:
     unchanged (and then fail loudly in Spark's parser/analyzer —
     nothing is silently approximated beyond the certified rules)."""
     s, lits = _protect(query)
+
+    # structural rewrites first
+    s = _rw_asof_left_join(s)
 
     # composite, paren-matched rewrites (before renames: they key on
     # the DuckDB names; before brackets: list_zip lambdas use v[1])

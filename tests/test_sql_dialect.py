@@ -168,6 +168,21 @@ def test_comment_with_apostrophe_does_not_derail_literals(spark):
     assert got == want
 
 
+def test_asof_left_join(spark):
+    """ASOF LEFT JOIN → correlated LATERAL top-1: per left row the
+    single greatest right timestamp ≤ the left one, NULLs when none —
+    compared against live DuckDB on the same literal tables."""
+    q = (
+        "WITH l(k, x) AS (VALUES (1, 10), (1, 25), (2, 5)), "
+        "r(k, y, v) AS (VALUES (1, 8, 'a'), (1, 20, 'b'), (1, 30, 'c')) "
+        "SELECT l.k, l.x, r.v, r.y FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.x >= r.y ORDER BY l.k, l.x"
+    )
+    want = duckdb.sql(q).fetchall()
+    got = [tuple(row) for row in spark.sql(translate_duckdb(q)).collect()]
+    assert got == want
+
+
 def test_unknown_constructs_pass_through():
     # conservative: unknown syntax passes through (and would fail
     # loudly in Spark's parser), never silently approximated

@@ -16,7 +16,7 @@ epoch_us); those with an exact mechanical Spark equivalent are covered
 by the second tier, ``TRANSLATED_CERTIFIED`` — the oracle string run
 through ``sql_dialect.translate_duckdb`` and value-matched against the
 DataFrame twin the same way (VERDICT r8 #5). The remaining 21 stay
-DataFrame-only for documented reasons (``NOT_TRANSLATED``): ASOF JOIN,
+DataFrame-only for documented reasons (``NOT_TRANSLATED``):
 DuckDB alias-in-WHERE, recursive CTE UNION DISTINCT (unsupported in
 Spark 4.1), nfc_normalize (no SQL twin — the engine uses the Python
 stdlib), roundtrip queries reading files the façade doesn't register,
@@ -123,6 +123,7 @@ TRANSLATED_CERTIFIED = [
     "ann_ivf_topk",
     "ann_lsh_buckets",
     "ann_lsh_pairs",
+    "asof_join_events",
     "bloom_decontaminate",
     "boilerplate_ngrams",
     "cdc_merge_orders",
@@ -146,6 +147,7 @@ TRANSLATED_CERTIFIED = [
     "pii_scrub_stats",
     "q3_shipping_priority",
     "range_join_events",
+    "resample_ffill_events",
     "retention_cohorts",
     "rolling_avg_events",
     "semantic_dedup_prune",
@@ -171,8 +173,6 @@ TRANSLATED_CERTIFIED = [
 # exclusion class for each — kept exhaustive so every registry oracle
 # is accounted for in exactly one tier.
 NOT_TRANSLATED = {
-    "asof_join_events": "ASOF JOIN",
-    "resample_ffill_events": "ASOF JOIN",
     "corpus_build_full": "alias-in-WHERE (DuckDB extension)",
     "dedup_duplicate_clusters": "recursive CTE UNION DISTINCT",
     "dedup_quality_survivor": "recursive CTE UNION DISTINCT",
