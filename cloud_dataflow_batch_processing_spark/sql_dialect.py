@@ -249,7 +249,10 @@ def _rw_shifts(s: str) -> str:
     B the primary starting right of it (word, number, literal, or
     call/parens, including CAST(...))."""
     while True:
-        m = re.search(r"(>>|<<)", s)
+        # (?<!-)/(?!>) keep JSON '->>'-style and '>>>' tokens out —
+        # unrecognized operators must pass through and fail loudly,
+        # never half-rewrite
+        m = re.search(r"((?<![->])>>(?!>)|<<)", s)
         if not m:
             return s
         op = "shiftright" if m.group(1) == ">>" else "shiftleft"
