@@ -41,9 +41,27 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> tuple[s
     return TABLES
 
 
-def sql(spark: SparkSession, query: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+def sql(
+    spark: SparkSession,
+    query: str,
+    sf_dir: str = DEFAULT_SF_DIR,
+    dialect: str = "spark",
+) -> DataFrame:
     """Run ``query`` against the engine tables: the one-call SQL entry
     point (``engine.sql(...)`` in the README's terms). Returns the lazy
-    DataFrame — compose it further or ``.collect()``."""
+    DataFrame — compose it further or ``.collect()``.
+
+    ``dialect='duckdb'`` routes the string through the mechanical
+    translator first (sql_dialect.translate_duckdb) so DuckDB-dialect
+    SQL — list literals, 1-based subscripts, QUALIFY, ASOF LEFT JOIN,
+    … — runs on Catalyst; certified per-construct in
+    tests/test_sql_dialect.py and per-registry-oracle in
+    tests/test_sql_facade.py."""
+    if dialect == "duckdb":
+        from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
+
+        query = translate_duckdb(query)
+    elif dialect != "spark":
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
     register_views(spark, sf_dir)
     return spark.sql(query)

@@ -157,7 +157,6 @@ TRANSLATED_CERTIFIED = [
     "text_chunks",
     "text_fingerprint",
     "text_lang_id",
-    "text_quality_filter",
     "text_token_stats",
     "tfidf_top_terms",
     "token_length_histogram",
@@ -181,6 +180,11 @@ NOT_TRANSLATED = {
     "tfrecord_roundtrip_agg": "reads roundtrip files outside the façade views",
     "multimodal_decode_features": "reads roundtrip files outside the façade views",
     "text_profile_single_pass": "FLOOR-rounding ULP divergence (1 row bitwise)",
+    "text_quality_filter": (
+        "FLOOR-rounding ULP divergence — certifies at sf0.001 but 2 docs "
+        "drift 1e-4 at sf0.01 (SQL decimal-literal arithmetic vs the "
+        "twin's double path at an exact .xxxx5 boundary)"
+    ),
     "corpus_audit_report": "quadratic-HOF SQL plan (CollapseProject trap)",
     "corpus_clean_pipeline": "quadratic-HOF SQL plan (CollapseProject trap)",
     "decontaminate_eval_overlap": "quadratic-HOF SQL plan (CollapseProject trap)",
@@ -234,6 +238,20 @@ def test_register_views_idempotent_and_repointable(spark, sf_dir, tmp_path):
     register_views(spark, sf_dir)  # idempotent
     assert spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n == n1
     assert n1 > 0
+
+
+def test_sql_facade_duckdb_dialect_param(spark, sf_dir):
+    """sql(..., dialect='duckdb') accepts DuckDB-dialect strings."""
+    out = sql(
+        spark,
+        "SELECT l_returnflag, len(['a', 'b']) AS l, COUNT(*) // 2 AS h "
+        "FROM lineitem GROUP BY 1",
+        sf_dir,
+        dialect="duckdb",
+    ).collect()
+    assert len(out) == 3 and all(r.l == 2 and r.h >= 0 for r in out)
+    with pytest.raises(ValueError, match="dialect"):
+        sql(spark, "SELECT 1", sf_dir, dialect="postgres")
 
 
 def test_sql_facade_adhoc_query(spark, sf_dir):
