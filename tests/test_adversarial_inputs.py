@@ -192,6 +192,32 @@ def test_registry_single_row_sweep(spark, single_row_sf_dir):
     assert not problems, f"{len(problems)} single-row failures:\n" + "\n".join(problems)
 
 
+def test_sql_facade_tiers_on_adversarial_corpus(spark, adversarial_sf_dir):
+    """The SQL façade's certified strings (verbatim AND translated)
+    must value-match their DataFrame twins on the adversarial corpus
+    too — NULL keys/timestamps, NaN/Inf, astral text flowing through
+    the DIALECT layer, not just through the DataFrame operators (round
+    9: 117/117 green on first run, pinned here so it stays that way)."""
+    from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
+    from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
+    from tests.oracle import compare_frames
+    from tests.test_sql_facade import TRANSLATED_CERTIFIED, VERBATIM_CERTIFIED
+
+    problems = []
+    for name in VERBATIM_CERTIFIED + TRANSLATED_CERTIFIED:
+        q = REGISTRY[name]
+        text = translate_duckdb(q.oracle) if name in TRANSLATED_CERTIFIED else q.oracle
+        try:
+            a = engine_sql(spark, text, adversarial_sf_dir).toPandas()
+            b = q.fn(spark, adversarial_sf_dir).toPandas()
+            errs = compare_frames(a, b, name)
+            if errs:
+                problems.append(f"{name}: {'; '.join(errs)[:200]}")
+        except Exception as exc:
+            problems.append(f"{name}: {type(exc).__name__}: {exc}")
+    assert not problems, f"{len(problems)} façade adversarial failures:\n" + "\n".join(problems)
+
+
 # ---------------------------------------------------------------------------
 # NaN/Inf in MONEY columns: a DQ-quarantine class, not an analytics
 # input. The documented 100 TB posture: the DQ gate counts the rows
