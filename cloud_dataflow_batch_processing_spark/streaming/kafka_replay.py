@@ -402,6 +402,13 @@ def _plan_partitions(
                 parts.append(
                     KafkaReplayPartition(part_dir, topic, int(pid), lo, hi, overlap)
                 )
+    if not parts:
+        # Nothing to read this plan (start == end everywhere — e.g. a
+        # timestamp seek past every record, or a microbatch with no new
+        # data). The Python DataSource API substitutes a None partition
+        # for an EMPTY sequence and then calls read(None) — return one
+        # explicit empty range instead so read() stays total.
+        parts.append(KafkaReplayPartition("", "", -1, 0, 0, []))
     return parts
 
 

@@ -785,3 +785,42 @@ def test_retention_expires_consumed_segments(spark, tmp_path):
     # appends continue monotonic after expiry
     append_records(path, "t", 0, [("e", "v4", 10_000)])
     assert read_earliest() == [(3, "v3"), (4, "v4")]
+
+
+def test_timestamp_seek_into_expired_range_resolves_to_log_start(spark, tmp_path):
+    """Retention × ts-seek interplay (kafka's offsetsForTimes contract):
+    a startingOffsetsByTimestamp older than everything retained resolves
+    to the FIRST RETAINED offset (log start), never to the expired
+    offsets and never to an error; a ts later than everything resolves
+    to latest as before."""
+    from cloud_dataflow_batch_processing_spark.streaming.kafka_replay import (
+        expire_segments,
+    )
+
+    path = str(tmp_path / "log")
+    append_records(path, "t", 0, [("a", "v0", 1_000), ("b", "v1", 2_000)])  # [0,2)
+    append_records(path, "t", 0, [("c", "v2", 3_000)])                      # [2,3)
+    append_records(path, "t", 0, [("d", "v3", 9_000)])                      # [3,4)
+    gone = expire_segments(path, {"t"}, committed={"t": {"0": 2}})
+    assert len(gone) == 1
+    register(spark)
+
+    def seek(ts_ms):
+        return sorted(
+            r.offset
+            for r in spark.read.format("kafka_replay")
+            .options(
+                path=path, subscribe="t",
+                startingOffsetsByTimestamp=json.dumps({"t": {"0": ts_ms}}),
+            )
+            .load()
+            .collect()
+        )
+
+    # ts 1_500 matched offset 1 before expiry; that segment is gone —
+    # the seek lands on the first retained record (offset 2, ts 3_000)
+    assert seek(1_500) == [2, 3]
+    # ts inside the retained range still seeks exactly
+    assert seek(9_000) == [3]
+    # ts past everything -> latest (empty)
+    assert seek(99_999_999) == []

@@ -440,6 +440,53 @@ def test_empty_stream_through_windows_and_rollup(spark, tmp_path):
     assert got.columns == ["k", "v_sum", "v_count", "v_min", "v_max", "v_mean"]
 
 
+def test_fire_after_any_adversarial_values(spark, tmp_path):
+    """The trigger FAMILY under adversarial values, not just
+    fire_after_count: AfterAny's count leg fires on element arrival
+    regardless of the values' content — NaN, ±Inf, and duplicate
+    payloads count as elements; the accumulating totals follow the
+    same channel pin (NaN→NULL quarantine, Inf survives)."""
+    import time
+
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import fire_after_any
+
+    src, ckpt = str(tmp_path / "in"), str(tmp_path / "ck")
+    spark.createDataFrame(
+        [(1, NAN), (1, NAN), (1, 1.0), (2, INF), (2, 2.0), (2, 2.0)],
+        "user_id long, value double",
+    ).coalesce(1).write.mode("append").json(src)
+
+    sdf = spark.readStream.schema("user_id long, value double").json(src)
+    q = (
+        fire_after_any(sdf, "user_id", "value", n=3, processing_time_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("after_any_adv")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
+            and spark.sql("SELECT COUNT(*) FROM after_any_adv").head()[0] < 2
+        ):
+            time.sleep(0.5)
+        rows = {
+            r.key: (r.cause, r.n_elements, "NaN" if (r.total is not None and r.total != r.total) else r.total)
+            for r in spark.sql("SELECT * FROM after_any_adv").collect()
+        }
+    finally:
+        q.stop()
+    # both keys fire their count pane at exactly 3 elements — NaN and
+    # duplicate values are elements like any other
+    assert rows[1][0] == "count" and rows[1][1] == 3
+    assert rows[2][0] == "count" and rows[2][1] == 3
+    assert rows[1][2] is None          # NaN-poisoned total → NULL quarantine
+    assert rows[2][2] == INF           # Inf survives the channel
+
+
 def test_stateful_dedup_duplicate_ts_distinct_keys(spark, tmp_path):
     """remove_duplicates_stream: rows sharing a timestamp but carrying
     DISTINCT keys all survive; an exact redelivery inside the watermark
