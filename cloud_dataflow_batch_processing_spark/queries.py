@@ -61,68 +61,66 @@ def register(
     return deco
 
 
-# Driver-window rotation (round 9). Rounds 1-8 certified 133 of the
-# 137 registered queries; this window fronts the 4 never-certified
-# names (text_normalize_nfc landed after the r8 window froze; the other
-# three are deliberate late-variants of certified entries), then fills
-# the remaining 46 slots with the least-recently-certified names: all
-# 33 entries whose last driver cert is rounds 1-6 (window_global r1,
-# the r2-era dedup/text/grouping wave, window_sliding r3, the r6
-# re-certs), then the first 13 round-7 certs in name order. Overlap
-# with CORRECTNESS_r08.json is 0 <= 25, so the rotation gate
-# (tests/test_window_rotation.py) is green and, once the round-9 file
-# lands, EVERY registry query has a driver row in some round.
+# Driver-window rotation (round 10). As of CORRECTNESS_r09 every one
+# of the 137 registered queries has a driver cert in some round, so the
+# rotation is now pure least-recently-certified: the 50 names whose
+# latest cert is oldest (the round-7/8 cohort not touched since —
+# dedup_exact, the TPC-H analogs, the SCD2/CDC/streaming-window wave,
+# pack/chunk/pagerank, etc.), produced mechanically by
+# scripts/rotate_window.py. Overlap with CORRECTNESS_r09.json is
+# 0 <= 25, so the rotation gate (tests/test_window_rotation.py) is
+# green and these 50 get their first re-certification since r7/r8.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "text_normalize_nfc",
-    "dedup_near_exact_keep",
-    "unpivot_roundtrip",
-    "semantic_kmeans_assign_arrow",
-    "window_global",
-    "ann_lsh_buckets",
-    "count_per_element",
-    "dedup_embedding_cosine",
-    "dedup_minhash_pairs",
-    "dedup_minhash_signature",
-    "group_mean",
-    "group_normalize_zscore",
-    "intersect_except",
-    "sample_per_key_deterministic",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_filter",
-    "text_token_stats",
-    "to_dict_global",
-    "top_n_per_key",
-    "union_distinct",
-    "window_sliding",
-    "ann_lsh_pairs",
-    "approx_distinct",
-    "approx_percentile",
-    "combine_globally",
-    "dedup_ngram_jaccard",
-    "distinct_values",
-    "events_json_extract",
-    "group_by_key_lists",
-    "kv_swap",
-    "sample_deterministic",
-    "table_fingerprint",
-    "text_chunks",
-    "top_n_global",
-    "union_all",
-    "window_session",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "approx_distinct_hll",
-    "asof_join_events",
-    "avro_roundtrip_agg",
-    "broadcast_dim_join",
-    "cdc_merge_orders",
-    "cogroup_by_key",
-    "combine_fn_udaf",
-    "corpus_clean_pipeline",
-    "corpus_mix_sample",
-    "decontaminate_eval_overlap",
-    "dedup_duplicate_clusters",
+    "dedup_exact",
+    "dedup_minhash_pairs_fast",
+    "dedup_quality_survivor",
+    "dedup_simhash",
+    "filter_project",
+    "flagship_group_sum",
+    "flat_map_explode",
+    "funnel_signup_click_purchase",
+    "group_count_distinct",
+    "grouping_sets_rollup",
+    "heavy_hitters_countmin",
+    "incremental_rollup_orders",
+    "json_roundtrip_agg",
+    "multi_table_join_chain",
+    "multimodal_decode_features",
+    "pack_sequences",
+    "pagerank_supplier_customer",
+    "partition_route",
+    "percentiles_exact",
+    "pii_scrub_stats",
+    "q18_large_volume_customers",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "range_join_events",
+    "retention_cohorts",
+    "scd2_user_event_history",
+    "semantic_dedup_prune",
+    "semantic_kmeans_assign",
+    "sessionize_events",
+    "snapshot_diff_orders",
+    "substring_dedup_stats",
+    "text_profile_single_pass",
+    "unigram_lm_quality",
+    "vocab_coverage_curve",
+    "window_rank_analytics",
+    "window_tumbling",
+    "approx_distinct_hll_by_type",
+    "approx_quantile_histogram",
+    "bloom_decontaminate",
+    "boilerplate_ngrams",
+    "corpus_audit_report",
+    "corpus_build_full",
+    "corpus_mix_temperature",
+    "corpus_split_train_val",
+    "dedup_incremental_minhash",
+    "dedup_segments",
+    "dq_violation_summary",
+    "embedding_normalize_quantize",
+    "fuzzy_match_part_names",
 )
 
 

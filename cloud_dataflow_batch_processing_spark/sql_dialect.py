@@ -243,11 +243,33 @@ _PRIMARY_FWD = re.compile(r"\s*(\x00\d+\x00|[A-Za-z_]\w*|\d+(?:\.\d+)?)")
 def _rw_shifts(s: str) -> str:
     """Bitwise shift OPERATORS → functions: Spark's parser has no
     ``>>``/``<<`` (PARSE_SYNTAX_ERROR), DuckDB uses them freely.
-    ``A >> B`` → shiftright(A, B) with A the primary expression ending
-    left of the operator (identifier chain / call / parenthesized /
-    subscripted — the same backward scan the subscript pass uses) and
-    B the primary starting right of it (word, number, literal, or
-    call/parens, including CAST(...))."""
+    ``A >> B`` → shiftright(A, B). Operands honor DuckDB's (PostgreSQL)
+    precedence, where ``* / %`` and ``+ -`` bind TIGHTER than shifts:
+    each side starts as the adjacent primary (identifier chain / call /
+    parenthesized / literal placeholder — the same scans the subscript
+    pass uses) and is then extended across arithmetic-joined primaries,
+    so ``16 >> 1 + 2`` becomes shiftright(16, 1 + 2) = 2, matching
+    DuckDB — not shiftright(16, 1) + 2 (ADVICE r9)."""
+
+    def fwd_primary(j: int) -> int | None:
+        """End index (exclusive) of the primary starting at/after s[j]
+        — word, number, literal placeholder, call, or parenthesized."""
+        pm = _PRIMARY_FWD.match(s, j)
+        if pm:
+            j2 = pm.end()
+            k2 = j2
+            while k2 < len(s) and s[k2].isspace():
+                k2 += 1
+            if k2 < len(s) and s[k2] == "(":
+                j2 = _close_paren(s, k2) + 1  # a call: include its parens
+            return j2
+        k2 = j
+        while k2 < len(s) and s[k2].isspace():
+            k2 += 1
+        if k2 >= len(s) or s[k2] != "(":
+            return None
+        return _close_paren(s, k2) + 1
+
     while True:
         # (?<!-)/(?!>) keep JSON '->>'-style and '>>>' tokens out —
         # unrecognized operators must pass through and fail loudly,
@@ -263,25 +285,50 @@ def _rw_shifts(s: str) -> str:
         b0 = _expr_start(s, k)
         if b0 is None:
             raise ValueError(f"cannot parse shift left-operand before {m.start()}")
+        # extend left across higher-precedence arithmetic: `a * 2 >> 1`
+        # shifts (a * 2), not 2
+        while True:
+            k3 = b0 - 1
+            while k3 >= 0 and s[k3].isspace():
+                k3 -= 1
+            if k3 < 0 or s[k3] not in "+-*/%":
+                break
+            k4 = k3 - 1
+            while k4 >= 0 and s[k4].isspace():
+                k4 -= 1
+            nb = _expr_start(s, k4) if k4 >= 0 else None
+            if nb is not None and s[nb : k4 + 1].upper() in _SUBSCRIPT_KEYWORDS:
+                nb = None  # `... AND -x >> 1`: AND is not an operand
+            if nb is None:
+                # unary sign prefix (`(-3 << 1)`): absorb it and stop
+                if s[k3] in "+-":
+                    b0 = k3
+                break
+            b0 = nb
         left = s[b0 : k + 1]
         # right primary
-        j = m.end()
-        pm = _PRIMARY_FWD.match(s, j)
-        if pm:
-            j2 = pm.end()
-            # a call: extend over its parens
+        j2 = fwd_primary(m.end())
+        if j2 is None:
+            raise ValueError(f"cannot parse shift right-operand at {m.end()}")
+        # extend right across higher-precedence arithmetic:
+        # `16 >> 1 + 2` shifts by (1 + 2)
+        while True:
             k2 = j2
             while k2 < len(s) and s[k2].isspace():
                 k2 += 1
-            if k2 < len(s) and s[k2] == "(":
-                j2 = _close_paren(s, k2) + 1
-        else:
-            k2 = j
-            while k2 < len(s) and s[k2].isspace():
-                k2 += 1
-            if k2 >= len(s) or s[k2] != "(":
-                raise ValueError(f"cannot parse shift right-operand at {j}")
-            j2 = _close_paren(s, k2) + 1
+            if k2 >= len(s) or s[k2] not in "+-*/%":
+                break
+            if s[k2] == "-" and k2 + 1 < len(s) and s[k2 + 1] == ">":
+                break  # JSON -> / ->> binds looser, not arithmetic
+            j3 = k2 + 1
+            while j3 < len(s) and s[j3].isspace():
+                j3 += 1
+            if j3 < len(s) and s[j3] in "+-":  # unary sign on the term
+                j3 += 1
+            nj = fwd_primary(j3)
+            if nj is None:
+                raise ValueError(f"cannot parse shift right-operand at {k2}")
+            j2 = nj
         right = s[m.end() : j2].strip()
         s = s[:b0] + f"{op}({left}, {right})" + s[j2:]
 
@@ -652,7 +699,22 @@ def _rw_brackets(s: str) -> str:
             if b0 is None:
                 raise ValueError(f"cannot find subscript base before {start}: {s[max(0,start-40):start]!r}")
             base = s[b0 : k + 1]
-            s = s[:b0] + f"element_at({base}, CAST({body} AS INT))" + s[end + 1 :]
+            # index shape decides the wrapper (ADVICE r9): a stashed
+            # string literal is a map/struct key — element_at takes it
+            # verbatim (CAST .. AS INT on 'k' only failed at runtime
+            # because ANSI mode is on, a silent NULL otherwise); a
+            # DuckDB slice (a:b) has no element_at equivalent — raise;
+            # anything else is a numeric index expression, cast as
+            # before (DuckDB coerces float subscripts).
+            if re.fullmatch(r"\x00\d+\x00", body):
+                s = s[:b0] + f"element_at({base}, {body})" + s[end + 1 :]
+            elif ":" in body:
+                raise ValueError(
+                    f"unsupported slice subscript [{body}] at {start} — "
+                    "no Spark element_at equivalent"
+                )
+            else:
+                s = s[:b0] + f"element_at({base}, CAST({body} AS INT))" + s[end + 1 :]
         else:
             s = s[:start] + f"array({body})" + s[end + 1 :]
 

@@ -326,7 +326,14 @@ def expire_segments(
     for dname, topic, part in _partition_dirs(path, topics):
         part_dir = posixpath.join(path, dname)
         segs = _list_segments(part_dir)
-        floor = (committed or {}).get(topic, {}).get(part)
+        # A partition absent from `committed` means NO consumer has
+        # committed anything there yet — floor 0 (nothing expirable by
+        # the committed bound), never None (which would disable the
+        # safety check and drop unconsumed data).
+        if committed is not None:
+            floor = committed.get(topic, {}).get(part, 0)
+        else:
+            floor = None
         for base, count, fname in segs[:-1]:  # active segment never expires
             if floor is not None and base + count > floor:
                 break  # not yet consumed past — and neither is anything later

@@ -787,6 +787,34 @@ def test_retention_expires_consumed_segments(spark, tmp_path):
     assert read_earliest() == [(3, "v3"), (4, "v4")]
 
 
+def test_expire_committed_missing_partition_defaults_floor_zero(tmp_path):
+    """ADVICE r9 (high): a topic-partition absent from `committed` has
+    had NOTHING consumed — its floor is 0, not "no floor". Before the
+    fix, committed={'t': {'0': 2}} deleted partition 1's first segment
+    even though no consumer ever committed there."""
+    from cloud_dataflow_batch_processing_spark.streaming.kafka_replay import (
+        expire_segments,
+    )
+
+    path = str(tmp_path / "log")
+    # partition 0: two segments; partition 1: two segments
+    append_records(path, "t", 0, [("a", "v0", 1_000), ("b", "v1", 2_000)])
+    append_records(path, "t", 0, [("c", "v2", 3_000)])
+    append_records(path, "t", 1, [("x", "w0", 1_000)])
+    append_records(path, "t", 1, [("y", "w1", 2_000)])
+    # committed only names partition 0 — partition 1's floor is 0, so
+    # NONE of its segments are expirable by the committed bound
+    gone = expire_segments(path, {"t"}, committed={"t": {"0": 2}})
+    assert len(gone) == 1 and "t-0" in gone[0]
+    # a topic absent from committed entirely: same rule, nothing drops
+    append_records(path, "u", 0, [("q", "z0", 1_000)])
+    append_records(path, "u", 0, [("r", "z1", 2_000)])
+    assert expire_segments(path, {"u"}, committed={"t": {"0": 2}}) == []
+    # retention alone (committed=None) still works with no floor at all
+    gone = expire_segments(path, {"u"}, retention_ms=500, now_ms=10_000)
+    assert len(gone) == 1
+
+
 def test_timestamp_seek_into_expired_range_resolves_to_log_start(spark, tmp_path):
     """Retention × ts-seek interplay (kafka's offsetsForTimes contract):
     a startingOffsetsByTimestamp older than everything retained resolves

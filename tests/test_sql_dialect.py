@@ -73,6 +73,15 @@ CASES = [
     "(5 >> 1) & 1",
     "CAST(1 AS BIGINT) << 4",
     "list_transform([1, 2, 3], h -> (h >> 1) & 1)",
+    # shift operands follow DuckDB precedence: + - * / % bind TIGHTER
+    # than >>/<< (ADVICE r9 — 16 >> 1 + 2 is 16 >> 3 = 2, not 10)
+    "16 >> 1 + 2",
+    "16 + 1 >> 2",
+    "2 << 1 * 3",
+    "96 >> 2 * 2",
+    "-3 >> 1",               # unary sign absorbed into the operand
+    "16 >> 1 + 1 << 1",      # chained shifts stay left-associative
+    "1 << 2 << 1",
     # standalone list_prepend (outside the fold-init spelling)
     "list_prepend(CAST(0 AS BIGINT), [7, 8])",
     # 2-arg trim = Spark btrim
@@ -132,6 +141,27 @@ def test_subscript_of_call_result(spark):
 def test_nested_brackets(spark):
     want, got = _both(spark, "[[1, 2], [3]][1][2]")
     assert got == want
+
+
+def test_string_subscript_passes_through(spark):
+    """ADVICE r9: m['k'] is a map/struct key lookup — element_at takes
+    the string verbatim; wrapping it in CAST(... AS INT) only surfaced
+    as a runtime cast error because ANSI mode is on."""
+    out = translate_duckdb("SELECT m['k'] AS v FROM t")
+    assert "element_at(m, 'k')" in out and "CAST" not in out
+    # executable on Spark against a real map column
+    translated = translate_duckdb("SELECT m['k'] AS v FROM t")
+    got = spark.sql(
+        translated.replace("FROM t", "FROM (SELECT map('k', 42) AS m) t")
+    ).collect()[0].v
+    assert got == 42
+
+
+def test_slice_subscript_raises(spark):
+    """DuckDB list slicing xs[2:3] has no element_at equivalent — the
+    shim must fail loudly at translate time, not emit CAST(2:3 AS INT)."""
+    with pytest.raises(ValueError, match="slice"):
+        translate_duckdb("SELECT xs[2:3] AS v FROM t")
 
 
 def test_keyword_then_bracket_is_literal(spark):

@@ -15,7 +15,7 @@ Names outside this list use DuckDB-specific syntax/functions
 epoch_us); those with an exact mechanical Spark equivalent are covered
 by the second tier, ``TRANSLATED_CERTIFIED`` — the oracle string run
 through ``sql_dialect.translate_duckdb`` and value-matched against the
-DataFrame twin the same way (VERDICT r8 #5). The remaining 21 stay
+DataFrame twin the same way (VERDICT r8 #5). The remaining 20 stay
 DataFrame-only for documented reasons (``NOT_TRANSLATED``):
 DuckDB alias-in-WHERE, recursive CTE UNION DISTINCT (unsupported in
 Spark 4.1), nfc_normalize (no SQL twin — the engine uses the Python
