@@ -807,6 +807,119 @@ def _rw_qualify(s: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# multiple unnest() in one SELECT
+# ---------------------------------------------------------------------------
+
+_SELECT_KW = re.compile(r"\bSELECT\b", flags=re.IGNORECASE)
+_UNNEST_ENTRY = re.compile(
+    r"\s*unnest\s*\((.*)\)\s*AS\s*([A-Za-z_]\w*)\s*$",
+    flags=re.IGNORECASE | re.DOTALL,
+)
+
+
+def _balanced(s: str) -> bool:
+    d = 0
+    for c in s:
+        if c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+            if d < 0:
+                return False
+    return d == 0
+
+
+def _rw_multi_unnest(s: str, lits: list[str]) -> str:
+    """DuckDB zips multiple ``unnest()``s in one SELECT positionally
+    (longest list wins, shorter sides NULL-padded); Spark's
+    multi-generator SELECT is a CARTESIAN product — measured, silently
+    wrong values, the worst failure class for a mechanical shim. Two
+    ADJACENT top-level ``unnest(E) AS a`` entries fuse into a single
+    generator::
+
+        inline(zip_with(E1, E2, (l, r) -> named_struct('a1', l, 'a2', r)))
+
+    — zip_with NULL-pads the shorter side exactly like DuckDB's
+    lockstep unnest, and inline() re-expands the pair to two columns
+    at the first entry's position. Any other multi-unnest shape
+    (3+, non-adjacent, unaliased, nested in an expression) raises so
+    nothing mistranslates quietly."""
+    pos = 0
+    while True:
+        m = _SELECT_KW.search(s, pos)
+        if not m:
+            return s
+        # select-list extent: depth-0 scan to FROM / closing paren / end
+        i = m.end()
+        n = len(s)
+        j, depth, end = i, 0, n
+        while j < n:
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = j
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and s[j : j + 4].upper() == "FROM"
+                and (j + 4 >= n or not (s[j + 4].isalnum() or s[j + 4] == "_"))
+                and not (s[j - 1].isalnum() or s[j - 1] == "_")
+            ):
+                end = j
+                break
+            j += 1
+        # split the select list at depth-0 commas (s-relative spans)
+        spans: list[tuple[int, int]] = []
+        d, last = 0, i
+        for k in range(i, end):
+            c = s[k]
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+            elif c == "," and d == 0:
+                spans.append((last, k))
+                last = k + 1
+        spans.append((last, end))
+        un_idx = [
+            ix
+            for ix, (a, b) in enumerate(spans)
+            if re.match(r"\s*unnest\s*\(", s[a:b], flags=re.IGNORECASE)
+        ]
+        n_unnest = len(re.findall(r"\bunnest\s*\(", s[i:end], flags=re.IGNORECASE))
+        if n_unnest <= 1:
+            pos = m.end()
+            continue
+        if len(un_idx) != 2 or n_unnest != 2 or un_idx[1] != un_idx[0] + 1:
+            raise ValueError(
+                "unsupported multi-unnest SELECT shape — only two ADJACENT "
+                "top-level `unnest(expr) AS alias` entries fuse; anything "
+                "else would become a cartesian product on Spark"
+            )
+        parsed = []
+        for ix in un_idx:
+            a, b = spans[ix]
+            em = _UNNEST_ENTRY.match(s[a:b])
+            if not em or not _balanced(em.group(1)):
+                raise ValueError(
+                    f"multi-unnest entry not of the form `unnest(expr) AS "
+                    f"alias`: {s[a:b].strip()[:80]!r}"
+                )
+            parsed.append((em.group(1), em.group(2)))
+        (e1, a1), (e2, a2) = parsed
+        f1, f2 = _lit(lits, f"'{a1}'"), _lit(lits, f"'{a2}'")
+        fused = (
+            f"inline(zip_with({e1}, {e2}, "
+            f"(__uz1, __uz2) -> named_struct({f1}, __uz1, {f2}, __uz2)))"
+        )
+        s = s[: spans[un_idx[0]][0]] + " " + fused + s[spans[un_idx[1]][1] :]
+        pos = m.start() + 1
+
+
+# ---------------------------------------------------------------------------
 # simple renames
 # ---------------------------------------------------------------------------
 
@@ -856,15 +969,34 @@ def _rw_renames(s: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def translate_duckdb(query: str) -> str:
+_DEC_LIT = re.compile(r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.])")
+
+
+def translate_duckdb(query: str, double_literals: bool = False) -> str:
     """Translate a DuckDB SQL string to Spark SQL. Mechanical and
     conservative: constructs it does not recognize pass through
     unchanged (and then fail loudly in Spark's parser/analyzer —
-    nothing is silently approximated beyond the certified rules)."""
+    nothing is silently approximated beyond the certified rules).
+
+    ``double_literals=True`` additionally wraps every user-authored
+    decimal literal (``0.4``, ``500.0``) in ``CAST(.. AS DOUBLE)``.
+    Spark parses a bare decimal literal as DECIMAL(p,s) and keeps
+    arithmetic over it on the exact-decimal path, while DuckDB promotes
+    mixed int/decimal arithmetic to DOUBLE — at an exact ``.xxxx5``
+    FLOOR boundary the two round differently (the 1-row ULP drift that
+    demoted text_quality_filter in r9). OPT-IN per query because the
+    flip is a real semantics change: a query relying on DuckDB's exact
+    decimal-literal arithmetic (pure decimal sums) would lose exactness.
+    Applied to the masked string right after _protect, so literals the
+    REWRITES mint later are never touched and string contents never
+    match (masks carry no '.')."""
     s, lits = _protect(query)
+    if double_literals:
+        s = _DEC_LIT.sub(lambda m: f"CAST({m.group(1)} AS DOUBLE)", s)
 
     # structural rewrites first
     s = _rw_asof_left_join(s)
+    s = _rw_multi_unnest(s, lits)
 
     # composite, paren-matched rewrites (before renames: they key on
     # the DuckDB names; before brackets: list_zip lambdas use v[1])

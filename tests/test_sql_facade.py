@@ -15,15 +15,27 @@ Names outside this list use DuckDB-specific syntax/functions
 epoch_us); those with an exact mechanical Spark equivalent are covered
 by the second tier, ``TRANSLATED_CERTIFIED`` — the oracle string run
 through ``sql_dialect.translate_duckdb`` and value-matched against the
-DataFrame twin the same way (VERDICT r8 #5). The remaining 20 stay
-DataFrame-only for documented reasons (``NOT_TRANSLATED``):
-DuckDB alias-in-WHERE, recursive CTE UNION DISTINCT (unsupported in
-Spark 4.1), nfc_normalize (no SQL twin — the engine uses the Python
-stdlib), roundtrip queries reading files the façade doesn't register,
-one FLOOR rounding ULP, and the quadratic-HOF char-fold pipelines
-whose pure-SQL plan is the measured CollapseProject trap (NOTES r3/r8)
-— their DataFrame twins use Arrow precisely to avoid that plan, so
-certifying a 100×-slower SQL spelling would misrepresent the engine.
+DataFrame twin the same way (VERDICT r8 #5). Some translated names
+need documented run options (``TRANSLATED_OPTS``, VERDICT r9 #2):
+
+- ``materialize_ctes`` — the 11 quadratic-HOF char-fold pipelines
+  whose one-string SQL plan is the measured CollapseProject trap
+  (NOTES r3/r8): each CTE (and each nested ``(WITH ...)`` subquery)
+  executes behind a localCheckpoint barrier, so Catalyst cannot inline
+  a CTE's higher-order-function expression into every downstream
+  reference and multiply the work combinatorially.
+- ``double_literals`` — the FLOOR-ULP pair (plus corpus_audit_report,
+  which embeds the same quality formula): Spark keeps bare decimal
+  literals on the exact-decimal arithmetic path while DuckDB promotes
+  to DOUBLE; wrapping user literals in CAST(.. AS DOUBLE) puts the
+  translated SQL on the twin's double path and the 1e-4 boundary
+  drift disappears (certified at sf0.001 AND sf0.01, round 10).
+
+The remaining 7 stay DataFrame-only for documented reasons
+(``NOT_TRANSLATED``): DuckDB alias-in-WHERE, recursive CTE UNION
+DISTINCT (unsupported in Spark 4.1), nfc_normalize (no SQL twin — the
+engine uses the Python stdlib), a list comprehension, and roundtrip
+queries reading files the façade doesn't register.
 """
 
 from __future__ import annotations
@@ -128,7 +140,15 @@ TRANSLATED_CERTIFIED = [
     "boilerplate_ngrams",
     "cdc_merge_orders",
     "cogroup_by_key",
+    "corpus_audit_report",
+    "corpus_clean_pipeline",
+    "decontaminate_eval_overlap",
+    "dedup_embedding_cosine",
+    "dedup_incremental_minhash",
+    "dedup_minhash_pairs",
+    "dedup_minhash_pairs_fast",
     "dedup_minhash_signature",
+    "dedup_near_exact_keep",
     "dedup_ngram_jaccard",
     "dedup_segments",
     "dedup_simhash",
@@ -154,9 +174,14 @@ TRANSLATED_CERTIFIED = [
     "semantic_kmeans_assign",
     "semantic_kmeans_assign_arrow",
     "sessionize_events",
+    "substring_dedup_incremental",
+    "substring_dedup_stats",
     "text_chunks",
     "text_fingerprint",
     "text_lang_id",
+    "text_profile_single_pass",
+    "text_quality_filter",
+    "text_repetition_ratio",
     "text_token_stats",
     "tfidf_top_terms",
     "token_length_histogram",
@@ -167,6 +192,28 @@ TRANSLATED_CERTIFIED = [
     "window_sliding",
     "window_tumbling",
 ]
+
+# Documented run options for TRANSLATED names (see module docstring):
+# materialize_ctes breaks the CollapseProject trap with checkpoint
+# barriers; double_literals puts decimal-literal arithmetic on the
+# DOUBLE path DuckDB (and the DataFrame twin) use. Certified with
+# exactly these options at sf0.001 and sf0.01, round 10.
+_TRAP = {"materialize_ctes": True}
+TRANSLATED_OPTS = {
+    "corpus_audit_report": {"materialize_ctes": True, "double_literals": True},
+    "corpus_clean_pipeline": _TRAP,
+    "decontaminate_eval_overlap": _TRAP,
+    "dedup_embedding_cosine": _TRAP,
+    "dedup_incremental_minhash": _TRAP,
+    "dedup_minhash_pairs": _TRAP,
+    "dedup_minhash_pairs_fast": _TRAP,
+    "dedup_near_exact_keep": _TRAP,
+    "substring_dedup_incremental": _TRAP,
+    "substring_dedup_stats": _TRAP,
+    "text_profile_single_pass": {"double_literals": True},
+    "text_quality_filter": {"double_literals": True},
+    "text_repetition_ratio": _TRAP,
+}
 
 # Documented DataFrame-only residue (see module docstring), with the
 # exclusion class for each — kept exhaustive so every registry oracle
@@ -179,23 +226,6 @@ NOT_TRANSLATED = {
     "substring_dedup_clean": "list comprehension [e FOR x IN xs IF p]",
     "tfrecord_roundtrip_agg": "reads roundtrip files outside the façade views",
     "multimodal_decode_features": "reads roundtrip files outside the façade views",
-    "text_profile_single_pass": "FLOOR-rounding ULP divergence (1 row bitwise)",
-    "text_quality_filter": (
-        "FLOOR-rounding ULP divergence — certifies at sf0.001 but 2 docs "
-        "drift 1e-4 at sf0.01 (SQL decimal-literal arithmetic vs the "
-        "twin's double path at an exact .xxxx5 boundary)"
-    ),
-    "corpus_audit_report": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "corpus_clean_pipeline": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "decontaminate_eval_overlap": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "dedup_embedding_cosine": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "dedup_incremental_minhash": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "dedup_minhash_pairs": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "dedup_minhash_pairs_fast": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "dedup_near_exact_keep": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "substring_dedup_incremental": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "substring_dedup_stats": "quadratic-HOF SQL plan (CollapseProject trap)",
-    "text_repetition_ratio": "quadratic-HOF SQL plan (CollapseProject trap)",
 }
 
 
@@ -226,10 +256,25 @@ def test_oracle_sql_runs_verbatim_on_engine(spark, sf_dir, name):
 @pytest.mark.parametrize("name", TRANSLATED_CERTIFIED)
 def test_oracle_sql_runs_translated_on_engine(spark, sf_dir, name):
     q = REGISTRY[name]
-    via_sql = sql(spark, translate_duckdb(q.oracle), sf_dir).toPandas()
+    opts = TRANSLATED_OPTS.get(name, {})
+    translated = translate_duckdb(
+        q.oracle, double_literals=opts.get("double_literals", False)
+    )
+    via_sql = sql(
+        spark,
+        translated,
+        sf_dir,
+        materialize_ctes=opts.get("materialize_ctes", False),
+    ).toPandas()
     via_df = q.fn(spark, sf_dir).toPandas()
     errs = compare_frames(via_sql, via_df, f"sql_facade_translated:{name}")
     assert not errs, "\n".join(errs)
+
+
+def test_translated_opts_subset_of_translated():
+    """Every TRANSLATED_OPTS key is a certified TRANSLATED name — an
+    option for a name outside the tier is a stale entry."""
+    assert set(TRANSLATED_OPTS) <= set(TRANSLATED_CERTIFIED)
 
 
 def test_register_views_idempotent_and_repointable(spark, sf_dir, tmp_path):

@@ -441,3 +441,37 @@ def test_discarding_sink_evicts_null_window_keys(spark):
     assert [(w, k, n) for (w, k, n) in seen if w is not None] == [
         (b, 1, b + 1) for b in range(20)
     ]
+
+
+def test_discarding_sink_state_is_executor_side(spark, tmp_path):
+    """VERDICT r9 #4 closure, source-pinned: the adapter's per-key
+    baseline lives in a versioned parquet store, NOT in driver dicts,
+    and the trigger module's only ``collect()`` sites are 1-row
+    watermark materializations. A key-cardinality-sized collect
+    reappearing in the trigger path should fail here, not in a 100 TB
+    run."""
+    import inspect
+    import re as _re
+
+    from cloud_dataflow_batch_processing_spark.streaming import triggers
+    from cloud_dataflow_batch_processing_spark.streaming.triggers import (
+        discarding_early_sink,
+    )
+
+    src = inspect.getsource(triggers)
+    collects = [
+        ln.strip() for ln in src.splitlines() if _re.search(r"\.collect\(\)", ln)
+    ]
+    for ln in collects:
+        assert "wm" in ln or 'agg(F.max' in ln, f"non-watermark collect: {ln}"
+
+    # And the store is observably on disk, versioned, pruned to <=2.
+    sink = discarding_early_sink(
+        lambda df, _id: df.count(), ["k"], ["n"], state_dir=str(tmp_path / "st")
+    )
+    batch = lambda rows: spark.createDataFrame(rows, "k long, n long")
+    for b in range(4):
+        sink(batch([(1, b + 1), (2, 10 * (b + 1))]), b)
+    versions = sorted(p.name for p in (tmp_path / "st").iterdir())
+    assert versions == ["v2", "v3"], versions
+    assert sink.state_size() == 2  # two keys resident, read from parquet
