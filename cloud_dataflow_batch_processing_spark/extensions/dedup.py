@@ -188,6 +188,13 @@ def minhash_near_dup_pairs(
       shuffle write (the shuffle itself is the materialization point).
       The fastest one-shot plan at sf0.1; right whenever the job runs
       the pipeline once and executor loss can rerun the stage.
+    - ``"bucketed"`` (VERDICT r9 #6): persist the SIGNATURE frame as a
+      parquet table bucketed+sorted by ``__id``; both wide fetch joins
+      then inherit the bucket distribution and never re-exchange the
+      shingle arrays, and the store is reusable across invocations
+      (the incremental/repeated-dedup path). Bands take the
+      ReuseExchange posture. A/B vs cache/checkpoint at 500k/5M in
+      NOTES.md (scripts/exp_minhash_bucketed.py).
     """
     # Staged plan — each expensive array is computed once per row:
     #   stage 1: char-fold token hashes   (the dominant cost)
@@ -207,13 +214,47 @@ def minhash_near_dup_pairs(
     sh_df = th_df.select(
         "__id", shingles_from_token_hashes(F.col("__th")).alias("__shl")
     )
-    base = managed_cache(
-        sh_df.select(
-            "__id",
-            F.array_distinct("__shl").alias("__sh"),
-            *minhash_from_shingles(F.col("__shl")),
-        )
+    sig_frame = sh_df.select(
+        "__id",
+        F.array_distinct("__shl").alias("__sh"),
+        *minhash_from_shingles(F.col("__shl")),
     )
+    if materialize == "bucketed":
+        # VERDICT r9 #6: persist the SIGNATURE store bucketed (and
+        # sorted) by __id — the two wide fetch joins below then consume
+        # the store's bucket distribution, so the shingle arrays never
+        # re-exchange (the narrow candidate side co-partitions to the
+        # bucket count instead). Mirrors substring.py's span store;
+        # A/B vs cache/checkpoint in scripts/exp_minhash_bucketed.py,
+        # adoption decision in NOTES.md.
+        import os
+        import uuid
+
+        from cloud_dataflow_batch_processing_spark.caching import (
+            register_managed_scratch,
+            register_managed_table,
+        )
+
+        spark = df.sparkSession
+        tag = uuid.uuid4().hex[:12]
+        path = register_managed_scratch(
+            spark,
+            os.path.join(scratch_dir or "spark-warehouse/dedup_sigs_bkt", tag),
+        )
+        name = register_managed_table(spark, f"sigs_bkt_{tag}")
+        nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        (
+            sig_frame.repartition(nb, "__id")
+            .write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(nb, "__id")
+            .sortBy("__id")
+            .option("path", path)
+            .saveAsTable(name)
+        )
+        base = spark.table(name)
+    else:
+        base = managed_cache(sig_frame)
     sig_cols = [f"mh{j}" for j in range(NUM_HASHES)]
     # ONE scan of the cached signature frame: explode an inline array of
     # (band_id, band_hash) structs — the 4-way union formulation scans
@@ -284,6 +325,13 @@ def minhash_near_dup_pairs(
         # pipeline after executor loss.
         sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
         sigs = df.sparkSession.read.parquet(os.path.join(path, "sigs"))
+    elif materialize == "bucketed":
+        # Bands are a NARROW projection of the bucketed signature scan
+        # (ids + 4 band hashes); the self-join's two sides are identical
+        # subplans, so ReuseExchange serves both from one shuffle write
+        # — same posture as materialize=None. The expensive state (the
+        # hash pipeline + shingle arrays) is already cut to the store.
+        bands = guarded
     elif materialize is None:
         bands = guarded
     else:

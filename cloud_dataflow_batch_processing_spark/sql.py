@@ -115,6 +115,190 @@ def split_ctes(query: str) -> tuple[list[tuple[str, str]], str]:
 
 _NESTED_WITH = re.compile(r"\(\s*WITH\b", flags=re.IGNORECASE)
 _NESTED_WITH_REC = re.compile(r"\(\s*WITH\s+RECURSIVE\b", flags=re.IGNORECASE)
+_CTE_HEAD_REC = re.compile(
+    r"\s*([A-Za-z_]\w*)\s*(?:\(\s*([^)]*?)\s*\))?\s+AS\s*\(", flags=re.IGNORECASE
+)
+_UNION_KW = re.compile(r"\bUNION\b(\s+ALL\b)?", flags=re.IGNORECASE)
+
+
+def _split_recursive_ctes(
+    query: str,
+) -> tuple[list[tuple[str, list[str] | None, str]], str]:
+    """Like :func:`split_ctes` but for ``WITH RECURSIVE``: each entry
+    may carry a column list (``reach(node, comp) AS (...)``) and comes
+    back as ``(name, cols-or-None, body)``."""
+    m = re.match(r"\s*WITH\s+RECURSIVE\s+", query, flags=re.IGNORECASE)
+    if not m:
+        raise ValueError("not a WITH RECURSIVE query")
+    i, n = m.end(), len(query)
+    ctes: list[tuple[str, list[str] | None, str]] = []
+    while True:
+        hm = _CTE_HEAD_REC.match(query, i)
+        if not hm:
+            raise ValueError(
+                f"cannot parse recursive CTE header at offset {i}: {query[i:i+60]!r}"
+            )
+        name = hm.group(1)
+        cols = (
+            [c.strip() for c in hm.group(2).split(",")] if hm.group(2) else None
+        )
+        j, depth, start = hm.end(), 1, hm.end()
+        while j < n and depth:
+            c = query[j]
+            if c in "'\"":
+                j = _skip_literal(query, j)
+                continue
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced parens in recursive CTE {name!r}")
+        ctes.append((name, cols, query[start : j - 1]))
+        k = j
+        while k < n and query[k].isspace():
+            k += 1
+        if k < n and query[k] == ",":
+            i = k + 1
+            continue
+        return ctes, query[k:]
+
+
+def _split_union_terms(body: str) -> list[tuple[str, bool]]:
+    """Split ``body`` at depth-0 UNION [ALL] keywords (literal-aware).
+    Returns ``[(term, came_after_union_all), ...]`` — the flag on the
+    first term is always False."""
+    terms: list[tuple[str, bool]] = []
+    i = last = 0
+    n = len(body)
+    depth = 0
+    prev_all = False
+    while i < n:
+        c = body[i]
+        if c in "'\"":
+            i = _skip_literal(body, i)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "Uu":
+            m = _UNION_KW.match(body, i)
+            if m and not (i > 0 and (body[i - 1].isalnum() or body[i - 1] == "_")):
+                terms.append((body[last:i], prev_all))
+                prev_all = bool(m.group(1))
+                last = i = m.end()
+                continue
+        i += 1
+    terms.append((body[last:], prev_all))
+    return terms
+
+
+_MAX_FIXPOINT_ITERS = 10_000
+
+
+def _ckpt_union_safe(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=True)`` with a fallback for a Spark 4.1
+    internal bug: checkpointing a plan that UNIONs LogicalRDD leaves
+    can die in the stats/constraints rewrite (``NoSuchElementException:
+    key not found: <attr>`` — the rewrite's attribute map only covers
+    the plan's own output, not union-child constraint refs). Retrying
+    with ``spark.sql.constraintPropagation.enabled=false`` skips that
+    rewrite; the checkpointed result merely carries no propagated
+    constraints, which costs nothing here — the fixpoint frames are
+    consumed by distinct/subtract, not constraint-driven optimizations.
+    The config is restored immediately (scoped to the one retry)."""
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        key = "spark.sql.constraintPropagation.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            return df.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set(key, prev)
+
+
+def _run_recursive_with(spark: SparkSession, query: str, gen) -> DataFrame:
+    """Execute a ``WITH RECURSIVE`` query (unsupported by Spark 4.1's
+    parser) as a driver-side FIXPOINT LOOP — semantically DuckDB's
+    UNION DISTINCT recursion (duckdb.org docs: the working table each
+    iteration is the set of rows NOT seen before; recursion stops when
+    it is empty):
+
+        acc = DISTINCT(base);  work = acc
+        repeat: new = DISTINCT(step(work)) EXCEPT acc
+                acc ∪= new; work = new     until new = ∅
+
+    Non-recursive members of the WITH RECURSIVE list run exactly like
+    :func:`_run_with_cte_barriers` members (checkpoint barrier each).
+    Every iteration's frames are eagerly checkpointed, so the loop adds
+    O(1) lineage per step instead of an ever-deepening plan — the
+    driver only ever holds DataFrame handles, never row data."""
+    ctes, tail = _split_recursive_ctes(query)
+    for name, cols, body in ctes:
+        # Self-reference = the CTE's own name in a FROM/JOIN position
+        # (a bare \bname\b would false-positive on same-named COLUMNS —
+        # e.g. comp AS (SELECT MIN(comp) ... FROM reach)).
+        self_ref = re.compile(
+            rf"\b(?:FROM|JOIN)\s+{re.escape(name)}\b", flags=re.IGNORECASE
+        )
+        is_recursive = self_ref.search(body) is not None
+        if not is_recursive:
+            df = _run_with_cte_barriers(spark, body, gen)
+            if cols:
+                df = df.toDF(*cols)
+            df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+            continue
+        terms = _split_union_terms(body)
+        if len(terms) < 2:
+            raise ValueError(f"recursive CTE {name!r} has no UNION recursive term")
+        if any(is_all for _, is_all in terms):
+            raise ValueError(
+                f"recursive CTE {name!r} uses UNION ALL — only the UNION "
+                "DISTINCT fixpoint is implemented (the registry's shape)"
+            )
+        base_terms, rec_terms = [], []
+        for term, _ in terms:
+            (rec_terms if self_ref.search(term) else base_terms).append(term)
+        if not base_terms or not rec_terms:
+            raise ValueError(f"recursive CTE {name!r}: need base and recursive terms")
+
+        def run_term(t: str) -> DataFrame:
+            df = spark.sql(_lift_nested_withs(spark, t, gen))
+            names = cols if cols else df.columns
+            # Positional alias — NOT toDF: toDF skips the alias when the
+            # name is unchanged, so a column that passes through the
+            # recursive term unrenamed keeps the accumulator's exprId,
+            # and unionByName over duplicate attribute ids blows up
+            # inside localCheckpoint ("key not found: comp#N"). An
+            # explicit alias always mints a fresh id.
+            return df.select(*[df[i].alias(nm) for i, nm in enumerate(names)])
+
+        acc = run_term(base_terms[0])
+        for t in base_terms[1:]:
+            acc = acc.unionByName(run_term(t))
+        acc = _ckpt_union_safe(spark, acc.distinct())
+        work = acc
+        for _ in range(_MAX_FIXPOINT_ITERS):
+            work.createOrReplaceTempView(name)
+            new = run_term(rec_terms[0])
+            for t in rec_terms[1:]:
+                new = new.unionByName(run_term(t))
+            new = _ckpt_union_safe(spark, new.distinct().subtract(acc))
+            if new.isEmpty():
+                break
+            acc = _ckpt_union_safe(spark, acc.unionByName(new))
+            work = new
+        else:
+            raise RuntimeError(
+                f"recursive CTE {name!r} did not converge in "
+                f"{_MAX_FIXPOINT_ITERS} iterations"
+            )
+        acc.createOrReplaceTempView(name)
+    return spark.sql(_lift_nested_withs(spark, tail, gen))
 
 
 def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
@@ -133,7 +317,8 @@ def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
             out.append(s[i:j])
             i = j
             continue
-        if c == "(" and _NESTED_WITH.match(s, i) and not _NESTED_WITH_REC.match(s, i):
+        if c == "(" and _NESTED_WITH.match(s, i):
+            recursive = bool(_NESTED_WITH_REC.match(s, i))
             j, depth = i + 1, 1
             while j < n and depth:
                 cj = s[j]
@@ -147,10 +332,12 @@ def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
                 j += 1
             if depth:
                 raise ValueError("unbalanced parens in nested WITH subquery")
+            inner = s[i + 1 : j - 1]
+            runner = _run_recursive_with if recursive else _run_with_cte_barriers
             name = f"__barrier_sub_{next(gen)}"
-            _run_with_cte_barriers(spark, s[i + 1 : j - 1], gen).localCheckpoint(
-                eager=True
-            ).createOrReplaceTempView(name)
+            runner(spark, inner, gen).localCheckpoint(eager=True).createOrReplaceTempView(
+                name
+            )
             out.append(f"(SELECT * FROM {name})")
             i = j
             continue
@@ -189,6 +376,8 @@ def _run_with_cte_barriers(spark: SparkSession, query: str, gen=None) -> DataFra
     rebind it."""
     if gen is None:
         gen = itertools.count()
+    if re.match(r"\s*WITH\s+RECURSIVE\b", query, flags=re.IGNORECASE):
+        return _run_recursive_with(spark, query, gen)
     ctes, tail = split_ctes(query)
     for name, body in ctes:
         _run_with_cte_barriers(spark, body, gen).localCheckpoint(

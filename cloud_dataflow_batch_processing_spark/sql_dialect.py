@@ -51,18 +51,26 @@ see tests/test_sql_dialect.py):
   ``json_valid(x)`` → ``get_json_object(x, '$') IS NOT NULL``,
   ``isinf(x)`` → ``abs(x) = CAST('Infinity' AS DOUBLE)``
 
-- ``ASOF LEFT JOIN ... ON eq AND l.x >= r.y`` → correlated
-  ``LEFT JOIN LATERAL (... ORDER BY y DESC LIMIT 1)`` top-1 subquery
+- ``A / B`` → ``try_divide(A, B)`` — DuckDB division is NULL on a zero
+  divisor, ANSI Spark raises; identical for every nonzero divisor (r10)
+- ``ASOF LEFT JOIN ... ON eq AND l.x >= r.y`` → equi-join against the
+  right side augmented with its LEAD/LAG next-match boundary (at most
+  one match per left row; replaced the r9 correlated-LATERAL spelling,
+  which planned as a BroadcastNestedLoopJoin — 455× at sf0.1)
+- list comprehensions ``[e FOR x IN xs IF p]`` →
+  ``list_transform(list_filter(xs, ..), ..)``; struct literals
+  ``{'k': v}`` → ``named_struct`` (r10)
+- opt-in per query (tests/test_sql_facade.py TRANSLATED_OPTS):
+  ``double_literals`` (decimal literals CAST to DOUBLE — DuckDB's
+  mixed-arithmetic promotion), ``inline_where_aliases`` (DuckDB
+  alias-in-WHERE inlined textually)
 
 NOT translated (left to fail loudly, stay DataFrame-only): inner
-ASOF JOIN (no oracle uses it),
-DuckDB-private functions with no Spark twin (nfc_normalize), alias
-references in WHERE (DuckDB extension; Spark allows lateral aliases in
-SELECT only), recursive CTEs with UNION DISTINCT (Spark 4.1 supports
-only UNION ALL there), list comprehensions ``[e FOR x IN xs IF p]``,
-and the quadratic-HOF char-fold pipelines (minhash/substring family)
-whose pure-SQL plans are the measured CollapseProject trap the
-DataFrame twins deliberately avoid via Arrow (NOTES r3/r8).
+ASOF JOIN (no oracle uses it) and DuckDB-private functions with no
+Spark twin (nfc_normalize). Recursive CTEs with UNION DISTINCT and
+the quadratic-HOF char-fold pipelines DO run — through sql.py's
+driver-side fixpoint loop and checkpoint-barrier runner respectively
+(``sql(..., materialize_ctes=True)``), not through this module alone.
 """
 
 from __future__ import annotations
@@ -225,6 +233,117 @@ def _rw_list_prepend(s: str) -> str:
     return _rewrite_calls(s, "list_prepend", fn)
 
 
+def _find_kw_depth0(text: str, kw: str, start: int = 0) -> int:
+    """Offset of the first depth-0 (parens AND brackets) occurrence of
+    word ``kw`` in masked ``text``, or -1."""
+    pat = re.compile(rf"{kw}\b", flags=re.IGNORECASE)
+    d, i, n = 0, start, len(text)
+    while i < n:
+        c = text[i]
+        if c in "([":
+            d += 1
+        elif c in ")]":
+            d -= 1
+        elif d == 0 and pat.match(text, i) and (
+            i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        ):
+            return i
+        i += 1
+    return -1
+
+
+def _rw_list_comprehensions(s: str) -> str:
+    """DuckDB list comprehension → HOF composition::
+
+        [expr FOR x IN xs IF cond]  →  list_transform(list_filter(xs,
+                                         x -> cond), x -> expr)
+        [expr FOR x IN xs]          →  list_transform(xs, x -> expr)
+
+    (same evaluation order DuckDB documents: filter first, then map).
+    Emits the DuckDB names so the later rename/bracket passes process
+    the pieces uniformly. Restart-scan per rewrite; nested
+    comprehensions resolve on subsequent passes (outer first — the
+    inner one sits inside brackets, depth > 0)."""
+    progress = True
+    while progress:
+        progress = False
+        i = 0
+        while i < len(s):
+            if s[i] != "[":
+                i += 1
+                continue
+            d, j = 0, i
+            while j < len(s):
+                if s[j] == "[":
+                    d += 1
+                elif s[j] == "]":
+                    d -= 1
+                    if d == 0:
+                        break
+                j += 1
+            if d:
+                raise ValueError("unbalanced brackets")
+            inner = s[i + 1 : j]
+            f = _find_kw_depth0(inner, "FOR")
+            if f < 0:
+                i += 1
+                continue
+            expr, rest = inner[:f], inner[f + 3 :]
+            m = re.match(r"\s*([A-Za-z_]\w*)\s+IN\b", rest, flags=re.IGNORECASE)
+            if not m:
+                raise ValueError(f"unparseable list comprehension: {inner[:80]!r}")
+            var, rest2 = m.group(1), rest[m.end() :]
+            fi = _find_kw_depth0(rest2, "IF")
+            if fi >= 0:
+                xs, cond = rest2[:fi], rest2[fi + 2 :]
+                repl = (
+                    f"list_transform(list_filter({xs}, {var} -> {cond}), "
+                    f"{var} -> {expr})"
+                )
+            else:
+                repl = f"list_transform({rest2}, {var} -> {expr})"
+            s = s[:i] + repl + s[j + 1 :]
+            progress = True
+            break
+    return s
+
+
+def _rw_struct_literals(s: str) -> str:
+    """DuckDB struct literal ``{'k1': v1, 'k2': v2}`` →
+    ``named_struct('k1', v1, 'k2', v2)``. Keys are masked string
+    literals at this point; an opening brace whose first depth-0 entry
+    is not ``<mask>:`` is left alone (fails loudly downstream rather
+    than guessing)."""
+    while True:
+        i = s.find("{")
+        if i < 0:
+            return s
+        d, j = 0, i
+        while j < len(s):
+            if s[j] == "{":
+                d += 1
+            elif s[j] == "}":
+                d -= 1
+                if d == 0:
+                    break
+            j += 1
+        if d:
+            raise ValueError("unbalanced braces in struct literal")
+        inner = s[i + 1 : j]
+        parts = _depth0_spans(inner, 0, len(inner)) if inner.strip() else []
+        fields: list[str] = []
+        ok = True
+        for a, b in parts:
+            em = re.match(r"\s*(\x00\d+\x00)\s*:\s*(.+)\s*$", inner[a:b], re.DOTALL)
+            if not em:
+                ok = False
+                break
+            fields.append(f"{em.group(1)}, {em.group(2)}")
+        if not ok or not fields:
+            raise ValueError(f"unsupported brace construct: {{{inner[:60]!r}}}")
+        s = s[:i] + f"named_struct({', '.join(fields)})" + s[j + 1 :]
+
+
 def _rw_trim_chars(s: str) -> str:
     """2-arg trim(str, chars) → btrim(str, chars) (exact contract);
     1-arg trim passes through untouched."""
@@ -346,17 +465,147 @@ _CLAUSE_END = re.compile(
 )
 
 
+def _rw_division(s: str) -> str:
+    """``A / B`` → ``try_divide(A, B)``: DuckDB division returns NULL
+    on a zero divisor (int AND double), Spark under ANSI raises
+    DIVIDE_BY_ZERO. ``try_divide`` is numerically identical for every
+    nonzero divisor and NULL exactly where DuckDB is NULL — the exact
+    mechanical translation, not an approximation (first exposed by the
+    adversarial corpus: two EMPTY shingle sets band-collide and the
+    jaccard denominator is 0; DuckDB drops the pair via NULL, the
+    translated SQL crashed — r10). ``//`` is excluded (integer
+    division, handled later as ``div``).
+
+    Operand capture mirrors _rw_shifts: the left side starts at the
+    adjacent primary (via _expr_start) and extends left across the
+    same-precedence ``*``/``%`` tier (left-assoc, so an earlier ``/``
+    is already a try_divide call-primary); the right side is one
+    optionally-signed primary plus its trailing ``.field`` / call /
+    subscript chain. A bare SQL keyword as either operand raises —
+    nothing half-rewrites."""
+    while True:
+        m = re.search(r"(?<!/)/(?!/)", s)
+        if not m:
+            return s
+        i = m.start()
+        # ---- left operand
+        k = i - 1
+        while k >= 0 and s[k].isspace():
+            k -= 1
+        b0 = _expr_start(s, k) if k >= 0 else None
+        if b0 is None or s[b0 : k + 1].upper() in _SUBSCRIPT_KEYWORDS:
+            raise ValueError(
+                f"cannot parse division left operand before offset {i}: "
+                f"{s[max(0, i - 60) : i]!r}"
+            )
+        while True:
+            k3 = b0 - 1
+            while k3 >= 0 and s[k3].isspace():
+                k3 -= 1
+            if k3 < 0 or s[k3] not in "*%":
+                break
+            k4 = k3 - 1
+            while k4 >= 0 and s[k4].isspace():
+                k4 -= 1
+            nb = _expr_start(s, k4) if k4 >= 0 else None
+            if nb is None or s[nb : k4 + 1].upper() in _SUBSCRIPT_KEYWORDS:
+                break
+            b0 = nb
+        left = s[b0 : k + 1]
+        # ---- right operand: [sign] primary [.field | (...) | [...]]*
+        n = len(s)
+        j = i + 1
+        while j < n and s[j].isspace():
+            j += 1
+        if j < n and s[j] in "+-":
+            j += 1
+            while j < n and s[j].isspace():
+                j += 1
+        pm = _PRIMARY_FWD.match(s, j)
+        if pm:
+            if pm.group(1).upper() in _SUBSCRIPT_KEYWORDS:
+                raise ValueError(
+                    f"cannot parse division right operand at offset {j}: "
+                    f"{s[j : j + 60]!r}"
+                )
+            j = pm.end()
+        elif j < n and s[j] == "(":
+            j = _close_paren(s, j) + 1
+        else:
+            raise ValueError(
+                f"cannot parse division right operand at offset {j}: "
+                f"{s[j : j + 60]!r}"
+            )
+        while j < n:
+            k2 = j
+            while k2 < n and s[k2].isspace():
+                k2 += 1
+            if k2 < n and s[k2] == "(":
+                j = _close_paren(s, k2) + 1
+                continue
+            if k2 < n and s[k2] == "[":
+                d, t = 0, k2
+                while t < n:
+                    if s[t] == "[":
+                        d += 1
+                    elif s[t] == "]":
+                        d -= 1
+                        if d == 0:
+                            break
+                    t += 1
+                if d:
+                    raise ValueError("unbalanced subscript in division operand")
+                j = t + 1
+                continue
+            dm = re.match(r"\.\s*\w+", s[k2:])
+            if k2 < n and dm:
+                j = k2 + dm.end()
+                continue
+            # a window function divisor: absorb `OVER (...)` or a
+            # named `OVER w` so the whole windowed value divides
+            # (rolling_avg_events shape)
+            om = re.match(r"OVER\s*\(", s[k2:], flags=re.IGNORECASE)
+            if k2 < n and om:
+                j = _close_paren(s, k2 + om.end() - 1) + 1
+                continue
+            onm = re.match(r"OVER\s+(\w+)", s[k2:], flags=re.IGNORECASE)
+            if k2 < n and onm:
+                j = k2 + onm.end()
+                continue
+            break
+        right = s[i + 1 : j].strip()
+        s = s[:b0] + f"try_divide({left}, {right})" + s[j:]
+
+
 def _rw_asof_left_join(s: str) -> str:
-    """``L ASOF LEFT JOIN R r ON eq AND l.x >= r.y`` → a correlated
-    LATERAL top-1 subquery (measured exact-equivalent on Spark ≥3.2):
+    """``L ASOF LEFT JOIN R r ON eq AND l.x >= r.y`` → an EQUI-join
+    against the right side augmented with its next-match boundary::
 
-        LEFT JOIN LATERAL (SELECT * FROM R AS __asof
-                           WHERE eq' AND l.x >= __asof.y
-                           ORDER BY __asof.y DESC LIMIT 1) AS r ON TRUE
+        LEFT JOIN (SELECT __asof_r.*,
+                          LEAD(__asof_r.y) OVER (PARTITION BY <eq cols>
+                                                 ORDER BY __asof_r.y) AS __asof_end
+                   FROM R AS __asof_r WHERE __asof_r.y IS NOT NULL) AS r
+          ON eq AND l.x >= r.y
+             AND (r.__asof_end IS NULL OR NOT (l.x >= r.__asof_end))
 
-    — per left row, the single right row with the greatest y ≤ x
-    within the equality group, NULLs when none: DuckDB's ASOF LEFT
-    JOIN contract. Ascending variants (``l.x <= r.y``) order ASC.
+    Within an equality group the right rows sorted by y tile the x axis
+    into half-open intervals, so each left row matches AT MOST ONE
+    right row — the greatest y ≤ x: DuckDB's ASOF LEFT JOIN contract
+    (NULLs when none; NULL-y right rows can never match an inequality
+    and are filtered inside the derived table). Ascending variants
+    (``l.x <= r.y`` — first value at-or-after) use LAG for the
+    boundary. The join stays an EQUI join plus filters — it plans as
+    SortMergeJoin/ShuffledHashJoin on the equality keys.
+
+    This REPLACED the r9 correlated-LATERAL-top-1 spelling: Spark
+    decorrelates the LIMIT-1 lateral into a WindowGroupLimit over a
+    BroadcastNestedLoopJoin — measured 455× the DataFrame twin at
+    sf0.1 (VERDICT r9 #3 A/B, NOTES r10) and quadratic per equality
+    group at scale.
+
+    Caveat (documented, certified queries project explicitly): the
+    derived table exposes one extra ``__asof_end`` column under the
+    right alias, so a bare ``SELECT *`` over the join would include it.
     Plain (inner) ASOF JOIN is left untouched → fails loudly."""
     while True:
         m = _ASOF.search(s)
@@ -382,31 +631,60 @@ def _rw_asof_left_join(s: str) -> str:
                     break
             j += 1
         cond = s[m.end() : end].strip()
-        # find the single inequality term and its right-side order key
+        # find the single inequality term (order key + direction) and
+        # the equality terms' right-side columns (window partition)
         terms = _split_top_and(cond)
-        order_col = direction = None
+        r_ref = re.compile(rf"^{re.escape(ralias)}\.(\w+)$", re.IGNORECASE)
+        order_col = direction = lhs_expr = ineq_op = None
+        part_cols: list[str] = []
         for t in terms:
             cm = re.match(
-                r"^(.+?)\s*(>=|<=|>|<)\s*(.+)$", t.strip(), flags=re.DOTALL
+                r"^(.+?)\s*(>=|<=|>|<|=)\s*(.+)$", t.strip(), flags=re.DOTALL
             )
             if not cm:
-                continue
+                raise ValueError(f"unparseable ASOF join term: {t.strip()!r}")
             lhs, op, rhs = cm.group(1).strip(), cm.group(2), cm.group(3).strip()
-            r_ref = re.compile(rf"^{re.escape(ralias)}\.(\w+)$", re.IGNORECASE)
+            if op == "=":
+                if r_ref.match(rhs):
+                    part_cols.append(r_ref.match(rhs).group(1))
+                elif r_ref.match(lhs):
+                    part_cols.append(r_ref.match(lhs).group(1))
+                else:
+                    raise ValueError(
+                        f"ASOF equality term without a bare {ralias}.<col> side: "
+                        f"{t.strip()!r}"
+                    )
+                continue
             if r_ref.match(rhs) and not r_ref.match(lhs):
                 order_col = r_ref.match(rhs).group(1)
                 direction = "DESC" if op in (">=", ">") else "ASC"
+                lhs_expr, ineq_op = lhs, op
             elif r_ref.match(lhs) and not r_ref.match(rhs):
                 order_col = r_ref.match(lhs).group(1)
                 direction = "ASC" if op in (">=", ">") else "DESC"
+                lhs_expr = rhs
+                ineq_op = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}[op]
         if order_col is None:
             raise ValueError(f"ASOF LEFT JOIN without a recognizable inequality: {cond!r}")
-        cond2 = re.sub(rf"\b{re.escape(ralias)}\.", "__asof.", cond)
-        rep = (
-            f"LEFT JOIN LATERAL (SELECT * FROM {rtbl} AS __asof "
-            f"WHERE {cond2} ORDER BY __asof.{order_col} {direction} LIMIT 1) "
-            f"AS {ralias} ON TRUE "
+        bound_fn = "LEAD" if direction == "DESC" else "LAG"
+        part = (
+            "PARTITION BY " + ", ".join(f"__asof_r.{c}" for c in part_cols) + " "
+            if part_cols
+            else ""
         )
+        derived = (
+            f"(SELECT __asof_r.*, {bound_fn}(__asof_r.{order_col}) OVER "
+            f"({part}ORDER BY __asof_r.{order_col}) AS __asof_end "
+            f"FROM {rtbl} AS __asof_r "
+            f"WHERE __asof_r.{order_col} IS NOT NULL)"
+        )
+        # boundary term: the NEXT candidate does not also satisfy the
+        # inequality — NOT (lhs <op> boundary), NULL boundary = last row
+        extra = (
+            f" AND ({ralias}.__asof_end IS NULL OR "
+            f"NOT (({lhs_expr}) {ineq_op} {ralias}.__asof_end))"
+        )
+        rep = f"LEFT JOIN {derived} AS {ralias} ON {cond}{extra} "
         s = s[: m.start()] + rep + s[end:]
 
 
@@ -490,7 +768,22 @@ def _rw_range_expr(s: str) -> str:
             continue
         args = _split_args(s[op + 1 : cp])
         if len(args) == 2:
-            rep = f"sequence({args[0]}, ({args[1]}) - 1)"
+            # NOT a bare sequence(A, B-1): for B <= A DuckDB's range is
+            # EMPTY while Spark's sequence runs DESCENDING — silently
+            # wrong values (first exposed by empty-text docs: range(1,
+            # len(t) + 1) with len 0 → [1, 0], then t[1] exploded). The
+            # greatest() pin keeps sequence ascending and the filter
+            # empties it exactly like DuckDB.
+            a, b = args
+            # NULL end must stay NULL (DuckDB range(1, NULL) is NULL;
+            # greatest() would swallow it into [1] and a downstream
+            # no-init fold's element_at would explode on the []
+            # after the filter — measured on NULL-text docs)
+            rep = (
+                f"if(({b}) IS NULL, NULL, "
+                f"filter(sequence(({a}), greatest(({a}), ({b}) - 1)), "
+                f"__r -> __r < ({b})))"
+            )
         elif len(args) == 3:
             # stepped range (ints or timestamps): sequence is END-
             # INCLUSIVE when (B - A) divides the step, DuckDB never is
@@ -920,6 +1213,134 @@ def _rw_multi_unnest(s: str, lits: list[str]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# alias-in-WHERE inlining (opt-in)
+# ---------------------------------------------------------------------------
+
+_CLAUSE_END = re.compile(
+    r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|QUALIFY|UNION|INTERSECT|EXCEPT|WINDOW)\b",
+    flags=re.IGNORECASE,
+)
+
+
+def _depth0_spans(s: str, i: int, end: int) -> list[tuple[int, int]]:
+    """Spans of the depth-0 comma-separated entries of s[i:end]
+    (depth counts parens, brackets, and braces alike)."""
+    spans, d, last = [], 0, i
+    for k in range(i, end):
+        c = s[k]
+        if c in "([{":
+            d += 1
+        elif c in ")]}":
+            d -= 1
+        elif c == "," and d == 0:
+            spans.append((last, k))
+            last = k + 1
+    spans.append((last, end))
+    return spans
+
+
+def _rw_alias_in_where(s: str) -> str:
+    """DuckDB lets a WHERE clause reference a select-list alias of the
+    SAME block (``SELECT len(sh) AS n ... WHERE n > 0``); Spark resolves
+    WHERE against the FROM relation only. Inline the defining expression
+    textually — ``WHERE (len(sh)) > 0`` — which matches DuckDB's
+    semantics (alias substitution happens before evaluation; WHERE runs
+    pre-projection either way). OPT-IN (``inline_where_aliases=True``):
+    if an alias NAME also names a column of the FROM relation, DuckDB
+    prefers the column while this rewrite would inline the alias — a
+    mechanical shim cannot see the catalog, so the caller vouches that
+    no shadowing exists (true for the one registry user,
+    corpus_build_full's ``ex`` CTE). Generator-valued aliases (unnest)
+    raise: a pre-expansion WHERE cannot evaluate them."""
+    pos = 0
+    while True:
+        m = _SELECT_KW.search(s, pos)
+        if not m:
+            return s
+        i, n = m.end(), len(s)
+        j, depth, from_at = i, 0, None
+        while j < n:
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and s[j : j + 4].upper() == "FROM"
+                and not (s[j - 1].isalnum() or s[j - 1] == "_")
+                and (j + 4 >= n or not (s[j + 4].isalnum() or s[j + 4] == "_"))
+            ):
+                from_at = j
+                break
+            j += 1
+        pos = m.end()
+        if from_at is None:
+            continue
+        aliases: dict[str, str] = {}
+        for a, b in _depth0_spans(s, i, from_at):
+            am = re.search(r"\s+AS\s+([A-Za-z_]\w*)\s*$", s[a:b], flags=re.IGNORECASE)
+            if am:
+                aliases[am.group(1)] = s[a:b][: am.start()].strip()
+        if not aliases:
+            continue
+        # depth-0 WHERE after FROM, extent to a depth-0 clause keyword /
+        # closing paren / end
+        j, depth, where_at = from_at + 4, 0, None
+        while j < n:
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif (
+                depth == 0
+                and s[j : j + 5].upper() == "WHERE"
+                and not (s[j - 1].isalnum() or s[j - 1] == "_")
+            ):
+                where_at = j
+                break
+            j += 1
+        if where_at is None:
+            continue
+        j, depth, where_end = where_at + 5, 0, n
+        while j < n:
+            c = s[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    where_end = j
+                    break
+                depth -= 1
+            elif depth == 0:
+                cm = _CLAUSE_END.match(s, j)
+                if cm and not (s[j - 1].isalnum() or s[j - 1] == "_"):
+                    where_end = j
+                    break
+            j += 1
+        where = s[where_at:where_end]
+        new_where = where
+        for name, expr in aliases.items():
+            pat = re.compile(rf"(?<![\w.]){re.escape(name)}\b(?!\s*\()")
+            if not pat.search(new_where):
+                continue
+            if re.search(r"\bunnest\s*\(", expr, flags=re.IGNORECASE):
+                raise ValueError(
+                    f"WHERE references generator-valued alias {name!r} — "
+                    "cannot inline an unnest into a pre-expansion WHERE"
+                )
+            new_where = pat.sub(f"({expr})", new_where)
+        if new_where != where:
+            s = s[:where_at] + new_where + s[where_end:]
+    return s
+
+
+# ---------------------------------------------------------------------------
 # simple renames
 # ---------------------------------------------------------------------------
 
@@ -972,7 +1393,11 @@ def _rw_renames(s: str) -> str:
 _DEC_LIT = re.compile(r"(?<![\w.])(\d+\.\d+(?:[eE][+-]?\d+)?)(?![\w.])")
 
 
-def translate_duckdb(query: str, double_literals: bool = False) -> str:
+def translate_duckdb(
+    query: str,
+    double_literals: bool = False,
+    inline_where_aliases: bool = False,
+) -> str:
     """Translate a DuckDB SQL string to Spark SQL. Mechanical and
     conservative: constructs it does not recognize pass through
     unchanged (and then fail loudly in Spark's parser/analyzer —
@@ -991,12 +1416,16 @@ def translate_duckdb(query: str, double_literals: bool = False) -> str:
     REWRITES mint later are never touched and string contents never
     match (masks carry no '.')."""
     s, lits = _protect(query)
+    if inline_where_aliases:
+        s = _rw_alias_in_where(s)
     if double_literals:
         s = _DEC_LIT.sub(lambda m: f"CAST({m.group(1)} AS DOUBLE)", s)
 
     # structural rewrites first
     s = _rw_asof_left_join(s)
     s = _rw_multi_unnest(s, lits)
+    s = _rw_list_comprehensions(s)
+    s = _rw_struct_literals(s)
 
     # composite, paren-matched rewrites (before renames: they key on
     # the DuckDB names; before brackets: list_zip lambdas use v[1])
@@ -1006,6 +1435,7 @@ def translate_duckdb(query: str, double_literals: bool = False) -> str:
     s = _rw_list_slice(s)
     s = _rw_trim_chars(s)
     s = _rw_shifts(s)
+    s = _rw_division(s)
     s = _rw_time_bucket(s, lits)
     s = _rw_epoch(s)
     s = _rw_json_valid(s)

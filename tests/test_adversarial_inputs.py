@@ -201,14 +201,36 @@ def test_sql_facade_tiers_on_adversarial_corpus(spark, adversarial_sf_dir):
     from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
     from cloud_dataflow_batch_processing_spark.sql_dialect import translate_duckdb
     from tests.oracle import compare_frames
-    from tests.test_sql_facade import TRANSLATED_CERTIFIED, VERBATIM_CERTIFIED
+    from tests.test_sql_facade import (
+        TRANSLATED_CERTIFIED,
+        TRANSLATED_OPTS,
+        VERBATIM_CERTIFIED,
+    )
 
     problems = []
     for name in VERBATIM_CERTIFIED + TRANSLATED_CERTIFIED:
         q = REGISTRY[name]
-        text = translate_duckdb(q.oracle) if name in TRANSLATED_CERTIFIED else q.oracle
+        # Each name runs with EXACTLY its certified options — the
+        # r10-promoted trap names un-barriered would re-enter the
+        # quadratic CollapseProject plan and grind this sweep for hours
+        # (measured: 30+ min per task, interpreted char-fold eval).
+        opts = TRANSLATED_OPTS.get(name, {}) if name in TRANSLATED_CERTIFIED else {}
+        text = (
+            translate_duckdb(
+                q.oracle,
+                double_literals=opts.get("double_literals", False),
+                inline_where_aliases=opts.get("inline_where_aliases", False),
+            )
+            if name in TRANSLATED_CERTIFIED
+            else q.oracle
+        )
         try:
-            a = engine_sql(spark, text, adversarial_sf_dir).toPandas()
+            a = engine_sql(
+                spark,
+                text,
+                adversarial_sf_dir,
+                materialize_ctes=opts.get("materialize_ctes", False),
+            ).toPandas()
             b = q.fn(spark, adversarial_sf_dir).toPandas()
             errs = compare_frames(a, b, name)
             if errs:

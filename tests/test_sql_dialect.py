@@ -219,3 +219,127 @@ def test_unknown_constructs_pass_through():
     s = "SELECT foo_bar_baz(x) FROM t ASOF JOIN u ON t.k = u.k"
     assert "foo_bar_baz(x)" in translate_duckdb(s)
     assert "ASOF JOIN" in translate_duckdb(s)
+
+
+def test_list_comprehension_with_filter(spark):
+    """[e FOR x IN xs IF p] → list_transform(list_filter(xs, x -> p),
+    x -> e) — DuckDB's documented filter-then-map order, compared
+    against live DuckDB."""
+    q = "SELECT [x * 10 FOR x IN range(1, 8) IF x % 2 = 0] AS v"
+    want = _duck_val("[x * 10 FOR x IN range(1, 8) IF x % 2 = 0]")
+    got = spark.sql(translate_duckdb(q)).collect()[0].v
+    assert list(got) == list(want)
+
+
+def test_list_comprehension_no_filter(spark):
+    want, got = _both(spark, "[x + 1 FOR x IN [5, 6, 7]]")
+    assert list(got) == list(want)
+
+
+def test_list_comprehension_subscript_body(spark):
+    """The registry shape: body subscripts an outer column, the IF
+    condition calls list_filter over another column."""
+    q = (
+        "WITH t(arr) AS (VALUES ([10, 20, 30, 40])) "
+        "SELECT [arr[p] FOR p IN range(1, len(arr) + 1) IF p <> 2] AS v FROM t"
+    )
+    want = duckdb.sql(q).fetchone()[0]
+    got = spark.sql(translate_duckdb(q)).collect()[0].v
+    assert list(got) == list(want)
+
+
+def test_struct_literal(spark):
+    """{'k': v, ...} → named_struct — field names and order preserved."""
+    q = "SELECT {'a': 1 + 1, 'b': [1, 2]} AS v"
+    want = _duck_val("{'a': 1 + 1, 'b': [1, 2]}")
+    got = spark.sql(translate_duckdb(q)).collect()[0].v.asDict()
+    assert got["a"] == want["a"] and list(got["b"]) == list(want["b"])
+
+
+def test_struct_literal_sorts_like_duckdb(spark):
+    """list_sort over structs (the iv_doc CTE shape) orders by fields
+    lexicographically in both engines."""
+    q = (
+        "WITH t(a, b) AS (VALUES (2, 1), (1, 9), (1, 2)) "
+        "SELECT list_sort(list({'s': a, 'e': b})) AS v FROM t"
+    )
+    want = duckdb.sql(q).fetchone()[0]
+    got = [r.asDict() for r in spark.sql(translate_duckdb(q)).collect()[0].v]
+    assert got == [{"s": d["s"], "e": d["e"]} for d in want]
+
+
+def test_unsupported_brace_raises():
+    with pytest.raises(ValueError, match="brace"):
+        translate_duckdb("SELECT {x: 1}")  # unquoted key: not a struct literal
+
+
+def test_alias_in_where_inline(spark):
+    """Opt-in alias-in-WHERE inlining (corpus_build_full's ex CTE
+    shape): the alias reference in WHERE becomes the defining
+    expression; OFF by default (pass-through)."""
+    q = "SELECT len([1, 2, 3]) AS n FROM (SELECT 1) WHERE n > 2"
+    want = duckdb.sql("SELECT len([1,2,3]) AS n WHERE n > 2").fetchall()
+    translated = translate_duckdb(q, inline_where_aliases=True)
+    got = [tuple(r) for r in spark.sql(translated).collect()]
+    assert got == want == [(3,)]
+    # default: untouched (Spark then fails loudly on the bare alias)
+    assert "WHERE n > 2" in translate_duckdb(q)
+
+
+def test_alias_in_where_generator_raises():
+    with pytest.raises(ValueError, match="generator"):
+        translate_duckdb(
+            "SELECT unnest(xs) AS h FROM t WHERE h > 0",
+            inline_where_aliases=True,
+        )
+
+
+def test_recursive_cte_fixpoint(spark, sf_dir):
+    """WITH RECURSIVE ... UNION (DISTINCT) runs as sql.py's driver-side
+    fixpoint loop (reached via materialize_ctes=True), matching live
+    DuckDB's recursion semantics on a transitive-closure graph."""
+    from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
+
+    q = (
+        "WITH RECURSIVE e(s, d) AS (SELECT * FROM (VALUES (1, 2), (2, 3), "
+        "(3, 4), (10, 11))), "
+        "reach(node, comp) AS ("
+        "  SELECT s, s FROM (SELECT DISTINCT s FROM e) "
+        "  UNION "
+        "  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.node"
+        ") "
+        "SELECT node, MIN(comp) AS component_id FROM reach GROUP BY node"
+    )
+    want = sorted(duckdb.sql(q).fetchall())
+    got = sorted(
+        tuple(r) for r in engine_sql(spark, q, sf_dir, materialize_ctes=True).collect()
+    )
+    assert got == want
+
+
+def test_division_is_null_safe(spark):
+    """`/` → try_divide: DuckDB division is NULL on a zero divisor
+    (int and double), ANSI Spark raises — try_divide is the exact
+    translation (r10; first exposed by 0/0 jaccard on empty shingle
+    sets in the adversarial sweep)."""
+    for expr in ["1 / 0", "1.5 / 0.0", "CAST(0 AS DOUBLE) / 0"]:
+        want, got = _both(spark, expr)
+        assert got == want is None, (expr, want, got)
+    want, got = _both(spark, "7 / 2")
+    assert got == want == 3.5
+    # precedence: * binds with /, + does not; windowed divisor absorbed
+    want, got = _both(spark, "1 + 2 * 3 / 4")
+    assert got == want == 2.5
+
+
+def test_range_empty_and_null(spark):
+    """range(A, B) with B <= A is EMPTY (a bare sequence(A, B-1) runs
+    DESCENDING — silently wrong); NULL end stays NULL (greatest() must
+    not swallow it — a downstream no-init fold would explode on [])."""
+    want, got = _both(spark, "range(5, 1)")
+    assert list(got) == list(want) == []
+    want, got = _both(spark, "range(1, 1)")
+    assert list(got) == list(want) == []
+    q = "SELECT range(1, CAST(NULL AS INT)) AS v"
+    assert duckdb.sql(q).fetchone()[0] is None
+    assert spark.sql(translate_duckdb(q)).collect()[0].v is None

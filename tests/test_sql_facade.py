@@ -31,11 +31,18 @@ need documented run options (``TRANSLATED_OPTS``, VERDICT r9 #2):
   translated SQL on the twin's double path and the 1e-4 boundary
   drift disappears (certified at sf0.001 AND sf0.01, round 10).
 
-The remaining 7 stay DataFrame-only for documented reasons
-(``NOT_TRANSLATED``): DuckDB alias-in-WHERE, recursive CTE UNION
-DISTINCT (unsupported in Spark 4.1), nfc_normalize (no SQL twin — the
-engine uses the Python stdlib), a list comprehension, and roundtrip
-queries reading files the façade doesn't register.
+- ``inline_where_aliases`` — corpus_build_full's ``ex`` CTE uses a
+  select-list alias in its own WHERE (DuckDB extension); the shim
+  inlines the defining expression textually (round 10).
+
+``WITH RECURSIVE`` (the two dedup-cluster names) runs through
+``sql.py``'s driver-side fixpoint loop — semantically DuckDB's UNION
+DISTINCT recursion — reached via ``materialize_ctes=True``; and DuckDB
+list comprehensions / struct literals now translate mechanically
+(``substring_dedup_clean``). The remaining 3 stay DataFrame-only for
+documented reasons (``NOT_TRANSLATED``): nfc_normalize (no SQL twin —
+the engine uses the Python stdlib) and roundtrip queries reading files
+the façade doesn't register.
 """
 
 from __future__ import annotations
@@ -141,8 +148,10 @@ TRANSLATED_CERTIFIED = [
     "cdc_merge_orders",
     "cogroup_by_key",
     "corpus_audit_report",
+    "corpus_build_full",
     "corpus_clean_pipeline",
     "decontaminate_eval_overlap",
+    "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_incremental_minhash",
     "dedup_minhash_pairs",
@@ -150,6 +159,7 @@ TRANSLATED_CERTIFIED = [
     "dedup_minhash_signature",
     "dedup_near_exact_keep",
     "dedup_ngram_jaccard",
+    "dedup_quality_survivor",
     "dedup_segments",
     "dedup_simhash",
     "dq_violation_summary",
@@ -174,6 +184,7 @@ TRANSLATED_CERTIFIED = [
     "semantic_kmeans_assign",
     "semantic_kmeans_assign_arrow",
     "sessionize_events",
+    "substring_dedup_clean",
     "substring_dedup_incremental",
     "substring_dedup_stats",
     "text_chunks",
@@ -201,6 +212,9 @@ TRANSLATED_CERTIFIED = [
 _TRAP = {"materialize_ctes": True}
 TRANSLATED_OPTS = {
     "corpus_audit_report": {"materialize_ctes": True, "double_literals": True},
+    "corpus_build_full": {"materialize_ctes": True, "inline_where_aliases": True},
+    "dedup_duplicate_clusters": _TRAP,
+    "dedup_quality_survivor": {"materialize_ctes": True, "double_literals": True},
     "corpus_clean_pipeline": _TRAP,
     "decontaminate_eval_overlap": _TRAP,
     "dedup_embedding_cosine": _TRAP,
@@ -219,11 +233,7 @@ TRANSLATED_OPTS = {
 # exclusion class for each — kept exhaustive so every registry oracle
 # is accounted for in exactly one tier.
 NOT_TRANSLATED = {
-    "corpus_build_full": "alias-in-WHERE (DuckDB extension)",
-    "dedup_duplicate_clusters": "recursive CTE UNION DISTINCT",
-    "dedup_quality_survivor": "recursive CTE UNION DISTINCT",
     "text_normalize_nfc": "nfc_normalize has no Spark SQL twin",
-    "substring_dedup_clean": "list comprehension [e FOR x IN xs IF p]",
     "tfrecord_roundtrip_agg": "reads roundtrip files outside the façade views",
     "multimodal_decode_features": "reads roundtrip files outside the façade views",
 }
@@ -258,7 +268,9 @@ def test_oracle_sql_runs_translated_on_engine(spark, sf_dir, name):
     q = REGISTRY[name]
     opts = TRANSLATED_OPTS.get(name, {})
     translated = translate_duckdb(
-        q.oracle, double_literals=opts.get("double_literals", False)
+        q.oracle,
+        double_literals=opts.get("double_literals", False),
+        inline_where_aliases=opts.get("inline_where_aliases", False),
     )
     via_sql = sql(
         spark,
