@@ -74,9 +74,9 @@ def split_ctes(query: str) -> tuple[list[tuple[str, str]], str]:
     back as ``([], query)``. Only the OUTER WITH is split — a nested
     WITH inside a CTE body stays in that body. Depth-0 scan that skips
     string literals, so commas/parens inside strings never miscount.
-    ``WITH RECURSIVE`` is refused (see run_recursive_cte for that)."""
+    ``WITH RECURSIVE`` is refused (see _run_recursive_with for that)."""
     if re.match(r"\s*WITH\s+RECURSIVE\b", query, flags=re.IGNORECASE):
-        raise ValueError("recursive CTEs need run_recursive_cte, not split_ctes")
+        raise ValueError("recursive CTEs need _run_recursive_with, not split_ctes")
     m = re.match(r"\s*WITH\s+", query, flags=re.IGNORECASE)
     if not m:
         return [], query
