@@ -39,10 +39,12 @@ need documented run options (``TRANSLATED_OPTS``, VERDICT r9 #2):
 ``sql.py``'s driver-side fixpoint loop — semantically DuckDB's UNION
 DISTINCT recursion — reached via ``materialize_ctes=True``; and DuckDB
 list comprehensions / struct literals now translate mechanically
-(``substring_dedup_clean``). The remaining 3 stay DataFrame-only for
-documented reasons (``NOT_TRANSLATED``): nfc_normalize (no SQL twin —
-the engine uses the Python stdlib) and roundtrip queries reading files
-the façade doesn't register.
+(``substring_dedup_clean``). The remaining 1 stays DataFrame-only
+(``NOT_TRANSLATED``): nfc_normalize has no Spark SQL twin — the
+engine normalizes via the Python stdlib. (The two roundtrip names'
+"reads files outside the façade" exclusion was stale — their ORACLES
+read only the registered views, and the r10 shim translates them;
+certified at both scales, round 10.)
 """
 
 from __future__ import annotations
@@ -171,6 +173,7 @@ TRANSLATED_CERTIFIED = [
     "fuzzy_match_part_names",
     "group_by_key_lists",
     "group_sorted_values",
+    "multimodal_decode_features",
     "pack_sequences",
     "percentiles_exact",
     "pii_redact_roundtrip",
@@ -195,6 +198,7 @@ TRANSLATED_CERTIFIED = [
     "text_repetition_ratio",
     "text_token_stats",
     "tfidf_top_terms",
+    "tfrecord_roundtrip_agg",
     "token_length_histogram",
     "udtf_split_segments",
     "unigram_lm_quality",
@@ -234,8 +238,6 @@ TRANSLATED_OPTS = {
 # is accounted for in exactly one tier.
 NOT_TRANSLATED = {
     "text_normalize_nfc": "nfc_normalize has no Spark SQL twin",
-    "tfrecord_roundtrip_agg": "reads roundtrip files outside the façade views",
-    "multimodal_decode_features": "reads roundtrip files outside the façade views",
 }
 
 
