@@ -113,16 +113,43 @@ def _gen_int(r: random.Random, depth: int) -> str:
     return f"len(list_filter({sql}, x -> x % 2 = 0))"
 
 
+def _gen_str(r: random.Random, depth: int) -> str:
+    """A string expression over a small safe op set (ASCII-only words:
+    unicode-collation differences in list_sort are out of scope)."""
+    words = ["alpha", "bee", "ceee", "dd", "e"]
+    if depth <= 0 or r.random() < 0.4:
+        return f"'{r.choice(words)}'"
+    c = r.choice(["concat", "upper", "lower", "btrim", "split_join", "substr"])
+    if c == "concat":
+        return f"({_gen_str(r, depth - 1)} || {_gen_str(r, depth - 1)})"
+    if c == "upper":
+        return f"upper({_gen_str(r, depth - 1)})"
+    if c == "lower":
+        return f"lower({_gen_str(r, depth - 1)})"
+    if c == "btrim":
+        return f"trim({_gen_str(r, depth - 1)}, 'ae')"
+    if c == "split_join":
+        return (
+            f"array_to_string(string_split({_gen_str(r, depth - 1)}, 'e'), '-')"
+        )
+    return f"substring({_gen_str(r, depth - 1)}, 1, {r.randint(1, 4)})"
+
+
 def _gen_expr(r: random.Random) -> str:
-    if r.random() < 0.3:
+    roll = r.random()
+    if roll < 0.25:
         sql, _ = _gen_list(r, 3)
         return sql
+    if roll < 0.4:
+        return _gen_str(r, 3)
     return _gen_int(r, 3)
 
 
 def _norm(v):
     if isinstance(v, (list, tuple)):
         return [int(x) for x in v]
+    if isinstance(v, str):
+        return v
     return int(v)
 
 
