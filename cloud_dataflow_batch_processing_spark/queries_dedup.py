@@ -391,12 +391,23 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-agg shuffle on the shingle key with map-side partials, then
     TakeOrderedAndProject for the bounded top-k — no per-doc state, no
     self-join, order fully deterministic via the (count DESC, h) key.
-    No cache needed: unlike the decontamination plan there is no second
-    consumer and no size() predicate, so the hash chain is evaluated
-    exactly once per row."""
+
+    Token hashing is the ARROW fast path — NOT because of throughput
+    alone: with the interpreted Column fold, CollapseProject inlines
+    the whole fold into each of the shingle transform's three ``__th``
+    subscripts, re-evaluating it PER SHINGLE INDEX — O(tokens²) per
+    doc, measured 84 s vs 2.4 s at sf0.1 (r10 blanket sweep; the
+    cached/staged sibling twins never hit this because a cache or
+    checkpoint boundary stops the inlining). The Arrow UDF node is
+    un-inlinable by construction, so this plan is collapse-proof
+    without coupling a one-pass query to cache capacity."""
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        token_hashes_fast,
+    )
+
     d = load_tables(spark, sf_dir)["documents"]
     staged = (
-        d.select("doc_id", D.token_hashes("text").alias("__th"))
+        d.select("doc_id", token_hashes_fast(F.col("text")).alias("__th"))
         .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
         .select("doc_id", F.array_distinct("__shl").alias("sh"))
     )

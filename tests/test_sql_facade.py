@@ -215,6 +215,8 @@ TRANSLATED_CERTIFIED = [
 # exactly these options at sf0.001 and sf0.01, round 10.
 _TRAP = {"materialize_ctes": True}
 TRANSLATED_OPTS = {
+    "bloom_decontaminate": _TRAP,
+    "boilerplate_ngrams": _TRAP,
     "corpus_audit_report": {"materialize_ctes": True, "double_literals": True},
     "corpus_build_full": {"materialize_ctes": True, "inline_where_aliases": True},
     "dedup_duplicate_clusters": _TRAP,
