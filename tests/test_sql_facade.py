@@ -18,7 +18,7 @@ through ``sql_dialect.translate_duckdb`` and value-matched against the
 DataFrame twin the same way (VERDICT r8 #5). Some translated names
 need documented run options (``TRANSLATED_OPTS``, VERDICT r9 #2):
 
-- ``materialize_ctes`` — the 11 quadratic-HOF char-fold pipelines
+- ``materialize_ctes`` — the 13 quadratic-HOF char-fold pipelines
   whose one-string SQL plan is the measured CollapseProject trap
   (NOTES r3/r8): each CTE (and each nested ``(WITH ...)`` subquery)
   executes behind a localCheckpoint barrier, so Catalyst cannot inline
