@@ -61,66 +61,66 @@ def register(
     return deco
 
 
-# Driver-window rotation (round 10). As of CORRECTNESS_r09 every one
-# of the 137 registered queries has a driver cert in some round, so the
-# rotation is now pure least-recently-certified: the 50 names whose
-# latest cert is oldest (the round-7/8 cohort not touched since —
-# dedup_exact, the TPC-H analogs, the SCD2/CDC/streaming-window wave,
-# pack/chunk/pagerank, etc.), produced mechanically by
-# scripts/rotate_window.py. Overlap with CORRECTNESS_r09.json is
-# 0 <= 25, so the rotation gate (tests/test_window_rotation.py) is
-# green and these 50 get their first re-certification since r7/r8.
+# Driver-window rotation (round 11), produced mechanically by
+# scripts/rotate_window.py: the 50 names whose latest driver cert is
+# oldest — the r9 cohort (the full TPC-H analog sweep q2/q4/q6-q17/
+# q19-q22, the ANN family, asof/rolling/resample temporal ops, the
+# salted join/agg pair, substring_dedup_clean/_incremental, and the
+# avro/orc/tfrecord roundtrips), none certified since r9. Overlap with
+# CORRECTNESS_r10.json is 0 <= 25, so the rotation gate
+# (tests/test_window_rotation.py) is green and every name gets its
+# first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "dedup_exact",
-    "dedup_minhash_pairs_fast",
-    "dedup_quality_survivor",
-    "dedup_simhash",
-    "filter_project",
-    "flagship_group_sum",
-    "flat_map_explode",
-    "funnel_signup_click_purchase",
-    "group_count_distinct",
-    "grouping_sets_rollup",
-    "heavy_hitters_countmin",
-    "incremental_rollup_orders",
-    "json_roundtrip_agg",
-    "multi_table_join_chain",
-    "multimodal_decode_features",
-    "pack_sequences",
-    "pagerank_supplier_customer",
-    "partition_route",
-    "percentiles_exact",
-    "pii_scrub_stats",
-    "q18_large_volume_customers",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "range_join_events",
-    "retention_cohorts",
-    "scd2_user_event_history",
-    "semantic_dedup_prune",
-    "semantic_kmeans_assign",
-    "sessionize_events",
-    "snapshot_diff_orders",
-    "substring_dedup_stats",
-    "text_profile_single_pass",
-    "unigram_lm_quality",
-    "vocab_coverage_curve",
-    "window_rank_analytics",
-    "window_tumbling",
-    "approx_distinct_hll_by_type",
-    "approx_quantile_histogram",
-    "bloom_decontaminate",
-    "boilerplate_ngrams",
-    "corpus_audit_report",
-    "corpus_build_full",
-    "corpus_mix_temperature",
-    "corpus_split_train_val",
-    "dedup_incremental_minhash",
-    "dedup_segments",
-    "dq_violation_summary",
-    "embedding_normalize_quantize",
-    "fuzzy_match_part_names",
+    "group_sorted_values",
+    "orc_roundtrip_agg",
+    "pii_redact_roundtrip",
+    "pivot_event_matrix",
+    "q10_returned_items",
+    "q11_important_part_value",
+    "q12_priority_lines_by_class",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q20_excess_shipped_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_customer_balance",
+    "q2_min_cost_supplier",
+    "q4_order_priority_exists",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "resample_ffill_events",
+    "rolling_avg_events",
+    "salted_aggregate_lineitem",
+    "salted_join_lineitem_orders",
+    "scalar_subquery_above_avg",
+    "sequential_ids_orders",
+    "stats_corr_ols_lineitem",
+    "substring_dedup_clean",
+    "substring_dedup_incremental",
+    "text_repetition_ratio",
+    "tfidf_top_terms",
+    "tfrecord_roundtrip_agg",
+    "token_length_histogram",
+    "udtf_split_segments",
+    "zorder_curve",
+    "ann_brute_topk",
+    "ann_ivf_topk",
+    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "approx_distinct",
+    "approx_distinct_hll",
+    "approx_percentile",
+    "asof_join_events",
+    "avro_roundtrip_agg",
+    "broadcast_dim_join",
+    "cdc_merge_orders",
+    "cogroup_by_key",
+    "combine_fn_udaf",
 )
 
 
