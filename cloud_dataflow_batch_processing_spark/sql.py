@@ -221,7 +221,7 @@ def _ckpt_union_safe(spark: SparkSession, df: DataFrame) -> DataFrame:
             spark.conf.set(key, prev)
 
 
-def _run_recursive_with(spark: SparkSession, query: str, gen) -> DataFrame:
+def _run_recursive_with(spark: SparkSession, query: str, gen, reg=None) -> DataFrame:
     """Execute a ``WITH RECURSIVE`` query (unsupported by Spark 4.1's
     parser) as a driver-side FIXPOINT LOOP — semantically DuckDB's
     UNION DISTINCT recursion (duckdb.org docs: the working table each
@@ -247,10 +247,12 @@ def _run_recursive_with(spark: SparkSession, query: str, gen) -> DataFrame:
         )
         is_recursive = self_ref.search(body) is not None
         if not is_recursive:
-            df = _run_with_cte_barriers(spark, body, gen)
+            df = _run_with_cte_barriers(spark, body, gen, reg)
             if cols:
                 df = df.toDF(*cols)
             df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+            if reg is not None:
+                reg.append(name)
             continue
         terms = _split_union_terms(body)
         if len(terms) < 2:
@@ -277,6 +279,8 @@ def _run_recursive_with(spark: SparkSession, query: str, gen) -> DataFrame:
             # explicit alias always mints a fresh id.
             return df.select(*[df[i].alias(nm) for i, nm in enumerate(names)])
 
+        if reg is not None:
+            reg.append(name)
         acc = run_term(base_terms[0])
         for t in base_terms[1:]:
             acc = acc.unionByName(run_term(t))
@@ -298,10 +302,10 @@ def _run_recursive_with(spark: SparkSession, query: str, gen) -> DataFrame:
                 f"{_MAX_FIXPOINT_ITERS} iterations"
             )
         acc.createOrReplaceTempView(name)
-    return spark.sql(_lift_nested_withs(spark, tail, gen))
+    return spark.sql(_lift_nested_withs(spark, tail, gen, reg))
 
 
-def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
+def _lift_nested_withs(spark: SparkSession, s: str, gen, reg=None) -> str:
     """Rewrite every parenthesized ``(WITH ...)`` subquery in ``s`` into
     ``(SELECT * FROM <fresh view>)``, executing the inner query through
     ``_run_with_cte_barriers`` (mutual recursion) and checkpointing the
@@ -335,9 +339,11 @@ def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
             inner = s[i + 1 : j - 1]
             runner = _run_recursive_with if recursive else _run_with_cte_barriers
             name = f"__barrier_sub_{next(gen)}"
-            runner(spark, inner, gen).localCheckpoint(eager=True).createOrReplaceTempView(
+            runner(spark, inner, gen, reg).localCheckpoint(eager=True).createOrReplaceTempView(
                 name
             )
+            if reg is not None:
+                reg.append(name)
             out.append(f"(SELECT * FROM {name})")
             i = j
             continue
@@ -346,7 +352,7 @@ def _lift_nested_withs(spark: SparkSession, s: str, gen) -> str:
     return "".join(out)
 
 
-def _run_with_cte_barriers(spark: SparkSession, query: str, gen=None) -> DataFrame:
+def _run_with_cte_barriers(spark: SparkSession, query: str, gen=None, reg=None) -> DataFrame:
     """Execute each top-level CTE as its own job with a lineage-cutting
     ``localCheckpoint`` between stages, then run the tail against the
     materialized views. RECURSIVE: a parenthesized ``(WITH ...)``
@@ -377,13 +383,15 @@ def _run_with_cte_barriers(spark: SparkSession, query: str, gen=None) -> DataFra
     if gen is None:
         gen = itertools.count()
     if re.match(r"\s*WITH\s+RECURSIVE\b", query, flags=re.IGNORECASE):
-        return _run_recursive_with(spark, query, gen)
+        return _run_recursive_with(spark, query, gen, reg)
     ctes, tail = split_ctes(query)
     for name, body in ctes:
-        _run_with_cte_barriers(spark, body, gen).localCheckpoint(
+        _run_with_cte_barriers(spark, body, gen, reg).localCheckpoint(
             eager=True
         ).createOrReplaceTempView(name)
-    return spark.sql(_lift_nested_withs(spark, tail, gen))
+        if reg is not None:
+            reg.append(name)
+    return spark.sql(_lift_nested_withs(spark, tail, gen, reg))
 
 
 def sql(
@@ -416,5 +424,17 @@ def sql(
         raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
     register_views(spark, sf_dir)
     if materialize_ctes:
-        return _run_with_cte_barriers(spark, query)
+        # Drop the CTE-named (and __barrier_sub_N) temp views once the
+        # tail DataFrame exists: spark.sql analyzes eagerly, so the
+        # returned frame already holds the resolved LogicalRDD plans —
+        # keeping the views would pin the eager checkpoints in the
+        # catalog AND let a later query that references a same-named
+        # but undefined CTE silently read this run's stale
+        # materialization instead of failing (ADVICE r10).
+        reg: list[str] = []
+        try:
+            return _run_with_cte_barriers(spark, query, reg=reg)
+        finally:
+            for name in dict.fromkeys(reg):
+                spark.catalog.dropTempView(name)
     return spark.sql(query)

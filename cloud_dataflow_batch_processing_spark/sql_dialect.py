@@ -465,6 +465,72 @@ _CLAUSE_END = re.compile(
 )
 
 
+def _match_case_backward(s: str, end_start: int) -> int | None:
+    """Given the index of the ``E`` of a trailing ``END``, return the
+    index of the matching ``CASE`` (handles nesting); None if absent."""
+    depth = 1
+    for wm in reversed(
+        list(re.finditer(r"\b(CASE|END)\b", s[:end_start], flags=re.IGNORECASE))
+    ):
+        if wm.group(1).upper() == "END":
+            depth += 1
+        else:
+            depth -= 1
+            if depth == 0:
+                return wm.start()
+    return None
+
+
+def _left_operand_start(s: str, k: int) -> int | None:
+    """Start of the operand primary ENDING at s[k], extended across the
+    constructs ``_expr_start``'s right-to-left scan cannot see (ADVICE
+    r10): a ``CASE ... END`` block, a windowed value ``fn(...) OVER
+    (...)`` / ``fn(...) OVER w`` (where the right-to-left scan only
+    sees the OVER clause or the window name), and ``expr::type`` cast
+    chains (where it only sees the type name). None = unparseable."""
+    b0 = _expr_start(s, k)
+    if b0 is None:
+        return None
+    word = s[b0 : k + 1].upper()
+    if word == "END":
+        b0 = _match_case_backward(s, b0)
+        if b0 is None:
+            return None
+    elif word in _SUBSCRIPT_KEYWORDS:
+        return None
+    while True:
+        p = b0 - 1
+        while p >= 0 and s[p].isspace():
+            p -= 1
+        if p >= 1 and s[p] == ":" and s[p - 1] == ":":
+            q = p - 2
+            while q >= 0 and s[q].isspace():
+                q -= 1
+            if q < 0:
+                return None
+            nb = _left_operand_start(s, q)
+            if nb is None:
+                return None
+            b0 = nb
+            continue
+        if p >= 0 and (s[p].isalnum() or s[p] == "_"):
+            q = p
+            while q >= 0 and (s[q].isalnum() or s[q] == "_"):
+                q -= 1
+            if s[q + 1 : p + 1].upper() == "OVER":
+                q2 = q
+                while q2 >= 0 and s[q2].isspace():
+                    q2 -= 1
+                if q2 < 0 or s[q2] != ")":
+                    return None
+                nb = _expr_start(s, q2)
+                if nb is None or s[nb : q2 + 1].upper() in _SUBSCRIPT_KEYWORDS:
+                    return None
+                b0 = nb
+                continue
+        return b0
+
+
 def _rw_division(s: str) -> str:
     """``A / B`` → ``try_divide(A, B)``: DuckDB division returns NULL
     on a zero divisor (int AND double), Spark under ANSI raises
@@ -492,8 +558,8 @@ def _rw_division(s: str) -> str:
         k = i - 1
         while k >= 0 and s[k].isspace():
             k -= 1
-        b0 = _expr_start(s, k) if k >= 0 else None
-        if b0 is None or s[b0 : k + 1].upper() in _SUBSCRIPT_KEYWORDS:
+        b0 = _left_operand_start(s, k) if k >= 0 else None
+        if b0 is None:
             raise ValueError(
                 f"cannot parse division left operand before offset {i}: "
                 f"{s[max(0, i - 60) : i]!r}"
@@ -507,8 +573,8 @@ def _rw_division(s: str) -> str:
             k4 = k3 - 1
             while k4 >= 0 and s[k4].isspace():
                 k4 -= 1
-            nb = _expr_start(s, k4) if k4 >= 0 else None
-            if nb is None or s[nb : k4 + 1].upper() in _SUBSCRIPT_KEYWORDS:
+            nb = _left_operand_start(s, k4) if k4 >= 0 else None
+            if nb is None:
                 break
             b0 = nb
         left = s[b0 : k + 1]
@@ -523,12 +589,27 @@ def _rw_division(s: str) -> str:
                 j += 1
         pm = _PRIMARY_FWD.match(s, j)
         if pm:
-            if pm.group(1).upper() in _SUBSCRIPT_KEYWORDS:
+            if pm.group(1).upper() == "CASE":
+                # forward scan to the matching END (nesting-aware)
+                depth2 = 1
+                j2 = pm.end()
+                for wm in re.finditer(r"\b(CASE|END)\b", s[pm.end() :], flags=re.IGNORECASE):
+                    depth2 += 1 if wm.group(1).upper() == "CASE" else -1
+                    if depth2 == 0:
+                        j2 = pm.end() + wm.end()
+                        break
+                if depth2:
+                    raise ValueError(
+                        f"unterminated CASE in division right operand at offset {j}"
+                    )
+                j = j2
+            elif pm.group(1).upper() in _SUBSCRIPT_KEYWORDS:
                 raise ValueError(
                     f"cannot parse division right operand at offset {j}: "
                     f"{s[j : j + 60]!r}"
                 )
-            j = pm.end()
+            else:
+                j = pm.end()
         elif j < n and s[j] == "(":
             j = _close_paren(s, j) + 1
         else:
@@ -572,6 +653,14 @@ def _rw_division(s: str) -> str:
             if k2 < n and onm:
                 j = k2 + onm.end()
                 continue
+            # a `::type` cast binds tighter than `/` — absorb it so the
+            # CAST stays on the divisor (`a / b::INT` was silently
+            # emitting `try_divide(a, b)::INT`, casting the quotient —
+            # ADVICE r10). Parameterized types (DECIMAL(10,2)) included.
+            tm = re.match(r"::\s*\w+(\s*\([^()]*\))?", s[k2:])
+            if k2 < n and tm:
+                j = k2 + tm.end()
+                continue
             break
         right = s[i + 1 : j].strip()
         s = s[:b0] + f"try_divide({left}, {right})" + s[j:]
@@ -603,15 +692,17 @@ def _rw_asof_left_join(s: str) -> str:
     sf0.1 (VERDICT r9 #3 A/B, NOTES r10) and quadratic per equality
     group at scale.
 
-    Caveat (documented, certified queries project explicitly): the
-    derived table exposes one extra ``__asof_end`` column under the
-    right alias, so a bare ``SELECT *`` over the join would include it.
-    Plain (inner) ASOF JOIN is left untouched → fails loudly."""
+    The derived table exposes one extra ``__asof_end`` column under the
+    right alias; a bare ``SELECT *`` (or ``r.*``) over the join would
+    silently include it — a schema divergence from DuckDB — so that
+    shape RAISES (ADVICE r10): project columns explicitly. Plain
+    (inner) ASOF JOIN is left untouched → fails loudly."""
     while True:
         m = _ASOF.search(s)
         if m is None:
             return s
         rtbl, ralias = m.group(1), m.group(2) or m.group(1)
+        _reject_star_over_asof(s, m.start(), ralias)
         # condition extent: depth-0 scan to the next clause keyword /
         # closing paren / end of string
         j, depth, end = m.end(), 0, len(s)
@@ -686,6 +777,46 @@ def _rw_asof_left_join(s: str) -> str:
         )
         rep = f"LEFT JOIN {derived} AS {ralias} ON {cond}{extra} "
         s = s[: m.start()] + rep + s[end:]
+
+
+def _reject_star_over_asof(s: str, pos: int, ralias: str) -> None:
+    """The ASOF rewrite's derived table carries a helper ``__asof_end``
+    column, so the owning SELECT must project explicitly: a bare ``*``
+    or ``<ralias>.*`` select list would silently return one more column
+    than DuckDB. Raise instead of diverging (string literals are
+    stashed at this point, so paren counting is reliable)."""
+    owner = None
+    for sm in re.finditer(r"\bSELECT\b", s[:pos], flags=re.IGNORECASE):
+        seg = s[sm.end() : pos]
+        if seg.count("(") == seg.count(")"):
+            owner = sm
+    if owner is None:
+        return
+    j, depth, n = owner.end(), 0, len(s)
+    list_end = n
+    while j < n:
+        c = s[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                list_end = j
+                break
+            depth -= 1
+        elif depth == 0 and re.match(r"\bFROM\b", s[j : j + 4], flags=re.IGNORECASE) and not (
+            s[j - 1].isalnum() or s[j - 1] == "_"
+        ):
+            list_end = j
+            break
+        j += 1
+    sel = s[owner.end() : list_end].strip()
+    if sel == "*" or re.search(rf"(?:^|[,\s]){re.escape(ralias)}\s*\.\s*\*", sel):
+        raise ValueError(
+            "ASOF LEFT JOIN under a bare SELECT * (or "
+            f"{ralias}.*) — the rewrite adds a helper __asof_end column "
+            "that would silently widen the schema; project columns "
+            "explicitly"
+        )
 
 
 def _split_top_and(cond: str) -> list[str]:
@@ -1216,7 +1347,11 @@ def _rw_multi_unnest(s: str, lits: list[str]) -> str:
 # alias-in-WHERE inlining (opt-in)
 # ---------------------------------------------------------------------------
 
-_CLAUSE_END = re.compile(
+# NOT named _CLAUSE_END: a previous revision shadowed the module-level
+# _CLAUSE_END above (the one the ASOF scanner uses to find the end of
+# its ON condition), which made ASOF LEFT JOIN followed by WHERE or a
+# second join swallow the trailing clause into the condition.
+_WHERE_CLAUSE_END = re.compile(
     r"\b(GROUP\s+BY|ORDER\s+BY|HAVING|LIMIT|QUALIFY|UNION|INTERSECT|EXCEPT|WINDOW)\b",
     flags=re.IGNORECASE,
 )
@@ -1318,7 +1453,7 @@ def _rw_alias_in_where(s: str) -> str:
                     break
                 depth -= 1
             elif depth == 0:
-                cm = _CLAUSE_END.match(s, j)
+                cm = _WHERE_CLAUSE_END.match(s, j)
                 if cm and not (s[j - 1].isalnum() or s[j - 1] == "_"):
                     where_end = j
                     break

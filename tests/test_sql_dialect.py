@@ -343,3 +343,121 @@ def test_range_empty_and_null(spark):
     q = "SELECT range(1, CAST(NULL AS INT)) AS v"
     assert duckdb.sql(q).fetchone()[0] is None
     assert spark.sql(translate_duckdb(q)).collect()[0].v is None
+
+
+def test_division_cast_stays_on_operand(spark):
+    """`a / b::T` casts the DIVISOR, not the quotient: the right-operand
+    scan absorbs a trailing `::type` (ADVICE r10 — `7 / 2::INT` was
+    silently emitting `try_divide(7, 2)::INT` = 3 instead of 3.5).
+    Left-side casts, parameterized types, and chains included."""
+    for expr in [
+        "7 / 2::INT",
+        "7::INT / 2",
+        "7 / 2::DECIMAL(10,2)",
+        "9 / 2::INT::DOUBLE",
+        "3 * 7::INT / 2",
+    ]:
+        want, got = _both(spark, expr)
+        assert float(got) == float(want), (expr, want, got)
+
+
+def test_division_windowed_and_case_numerators(spark):
+    """The left-operand scan extends across `OVER (...)` / `OVER w` and
+    `CASE ... END` (ADVICE r10 — a windowed numerator emitted invalid
+    SQL `SUM(x) OVER try_divide((...), cnt)`; a CASE numerator raised
+    at translate time)."""
+    q = (
+        "WITH t(k, x, cnt) AS (VALUES (1, 10, 4), (1, 30, 4)) "
+        "SELECT SUM(x) OVER (PARTITION BY k) / cnt AS v FROM t"
+    )
+    want = sorted(r[0] for r in duckdb.sql(q).fetchall())
+    got = sorted(r.v for r in spark.sql(translate_duckdb(q)).collect())
+    assert got == want == [10.0, 10.0]
+    for expr, expect in [
+        ("CASE WHEN 1 > 0 THEN 1 ELSE 2 END / 2", 0.5),
+        ("10 / CASE WHEN 1 > 0 THEN 4 ELSE 2 END", 2.5),
+        ("CASE WHEN 1 > 0 THEN CASE WHEN 2 > 1 THEN 3 ELSE 1 END ELSE 2 END / 2", 1.5),
+    ]:
+        want, got = _both(spark, expr)
+        assert got == want == expect, (expr, want, got)
+    q2 = (
+        "WITH t(k, x) AS (VALUES (1, 10), (1, 30)) "
+        "SELECT avg(x) OVER w / 2 AS v FROM t WINDOW w AS (PARTITION BY k)"
+    )
+    got2 = sorted(r.v for r in spark.sql(translate_duckdb(q2)).collect())
+    assert got2 == [10.0, 10.0]
+
+
+def test_asof_left_join_with_trailing_where(spark):
+    """ASOF LEFT JOIN followed by WHERE / another join must not swallow
+    the trailing clause into the ON condition (ADVICE r10 — a second
+    `_CLAUSE_END` definition shadowed the scanner's clause-terminator
+    set and this shape raised 'without a recognizable inequality')."""
+    q = (
+        "WITH l(k, x) AS (VALUES (1, 10), (1, 25), (2, 5)), "
+        "r(k, y, v) AS (VALUES (1, 8, 'a'), (1, 20, 'b')) "
+        "SELECT l.k, l.x, r.v FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND l.x >= r.y WHERE l.x > 6 ORDER BY l.k, l.x"
+    )
+    want = duckdb.sql(q).fetchall()
+    got = [tuple(row) for row in spark.sql(translate_duckdb(q)).collect()]
+    assert got == want
+
+
+def test_asof_left_join_select_star_raises():
+    """A bare SELECT * (or r.*) over the rewritten ASOF join would
+    silently include the helper __asof_end column — schema divergence
+    from DuckDB — so it raises loudly (ADVICE r10)."""
+    base = "FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.x >= r.y"
+    for sel in ["SELECT * ", "SELECT l.*, r.* "]:
+        with pytest.raises(ValueError, match="__asof_end"):
+            translate_duckdb(sel + base)
+    # explicit projections and a * confined to a subquery are fine
+    translate_duckdb("SELECT l.*, r.v " + base)
+    translate_duckdb("SELECT l.id, r.v FROM (SELECT * FROM x) l "
+                     "ASOF LEFT JOIN r ON l.k = r.k AND l.x >= r.y")
+
+
+def test_materialize_ctes_drops_views_after_run(spark, sf_dir):
+    """materialize_ctes=True must not leak CTE-named temp views into
+    the session catalog (ADVICE r10): a later query referencing a
+    same-named but UNDEFINED CTE would silently read the stale eager
+    checkpoint instead of failing. The returned frame stays valid —
+    spark.sql analyzes eagerly, so the views resolved before the drop."""
+    from pyspark.sql.utils import AnalysisException
+
+    from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
+
+    q = (
+        "WITH __leak_probe AS (SELECT 1 AS a UNION ALL SELECT 2), "
+        "__leak_sub AS (SELECT a, (SELECT MAX(b) FROM (WITH inner_w AS "
+        "(SELECT 3 AS b) SELECT b FROM inner_w)) AS m FROM __leak_probe) "
+        "SELECT a, m FROM __leak_sub"
+    )
+    df = engine_sql(spark, q, sf_dir, materialize_ctes=True)
+    assert sorted((r.a, r.m) for r in df.collect()) == [(1, 3), (2, 3)]
+    names = {t.name for t in spark.catalog.listTables()}
+    leaked = {n for n in names if n.startswith(("__leak_", "__barrier_sub_", "inner_w"))}
+    assert leaked == set(), leaked
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT * FROM __leak_probe").collect()
+
+
+def test_recursive_fixpoint_drops_views(spark, sf_dir):
+    """The WITH RECURSIVE driver-side fixpoint also unregisters its
+    working/member views after the tail is analyzed."""
+    from cloud_dataflow_batch_processing_spark.sql import sql as engine_sql
+
+    q = (
+        "WITH RECURSIVE __leak_e(s, d) AS (SELECT * FROM (VALUES (1, 2), (2, 3))), "
+        "__leak_reach(node) AS ("
+        "  SELECT s FROM (SELECT DISTINCT s FROM __leak_e)"
+        "  UNION "
+        "  SELECT e.d FROM __leak_reach r JOIN __leak_e e ON e.s = r.node"
+        ") "
+        "SELECT COUNT(*) AS n FROM __leak_reach"
+    )
+    df = engine_sql(spark, q, sf_dir, materialize_ctes=True)
+    assert df.collect()[0].n == 3
+    names = {t.name for t in spark.catalog.listTables()}
+    assert not {n for n in names if n.startswith("__leak_")}, names
