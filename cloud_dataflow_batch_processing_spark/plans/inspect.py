@@ -70,14 +70,47 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
 
 def count_shuffles(df: DataFrame) -> int:
-    """Number of *shuffle* exchange operators in the executed plan (AQE
-    may later coalesce them, but each is a full shuffle write).
-    BroadcastExchange deliberately excluded — broadcasting a dim is the
-    cheap alternative to a shuffle, not a shuffle."""
-    plan = executed_plan(df)
-    return len(
-        re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition|RoundRobinPartitioning)", plan)
-    )
+    """Number of DISTINCT shuffle-exchange operators in the executed
+    plan (AQE may later coalesce them, but each is a full shuffle
+    write). BroadcastExchange deliberately excluded — broadcasting a
+    dim is the cheap alternative to a shuffle, not a shuffle.
+
+    Counted by walking the plan tree and deduplicating on
+    ``SparkPlan.id`` — NOT by regexing the dump (VERDICT r10 #3): the
+    textual explain re-prints every InMemoryRelation's full build
+    lineage at each cache reference, so a composed cached pipeline
+    reported thousands of phantom exchanges (corpus_build_full:
+    "2027"). Each distinct cache's build shuffles count ONCE (the build
+    runs once, at materialization); ``ReusedExchange`` wrappers resolve
+    to an already-counted node id, so exchange reuse never
+    double-counts."""
+    seen: set[int] = set()
+    for node in iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        name = node.nodeName()
+        if name.startswith("Exchange") and not name.startswith("Broadcast"):
+            seen.add(node.id())
+    return len(seen)
+
+
+def iter_plan_nodes(plan, _seen_caches: set[int] | None = None):
+    """``_jwalk`` extended through cache boundaries: recurses into each
+    DISTINCT InMemoryRelation's build plan exactly once (an
+    InMemoryTableScan node has no plan children — its build lineage
+    lives behind ``relation().cachedPlan()``), so composed cached
+    pipelines expose their one-time build work without per-reference
+    multiplication."""
+    if _seen_caches is None:
+        _seen_caches = set()
+    for n in _jwalk(plan):
+        yield n
+        if n.nodeName().startswith("InMemoryTableScan"):
+            try:
+                cp = n.relation().cachedPlan()
+            except Exception:
+                continue
+            if cp.id() not in _seen_caches:
+                _seen_caches.add(cp.id())
+                yield from iter_plan_nodes(cp, _seen_caches)
 
 
 def _jwalk(node):

@@ -607,3 +607,22 @@ def test_runtime_bloom_filter_injects_at_scale_thresholds(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_composed_pipeline_shuffle_count_is_truthful(spark, sf_dir):
+    """count_shuffles on the composed CACHED pipelines counts distinct
+    Exchange nodes via the plan-tree walk, not the textual dump
+    (VERDICT r10 #3: the regex count reported 2027 for corpus_build_full
+    because every InMemoryRelation reference re-prints its build
+    lineage). The real number is the semantic budget: each stage's
+    groupBy/join shuffles once, cache builds count once."""
+    budgets = {
+        "corpus_build_full": 12,
+        "corpus_clean_pipeline": 9,
+    }
+    for name, budget in budgets.items():
+        df = REGISTRY[name].fn(spark, sf_dir)
+        got = count_shuffles(df)
+        # a phantom-free count is small AND nonzero (the walk must
+        # reach through the cache boundaries, not stop at the scans)
+        assert 2 <= got <= budget, (name, got, budget)
