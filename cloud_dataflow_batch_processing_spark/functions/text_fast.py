@@ -190,6 +190,19 @@ def nfc_normalize_fast(col: Column) -> Column:
     return pandas_udf(_nfc_series, T.StringType())(col)
 
 
+def register_sql_functions(spark) -> None:
+    """Register the Arrow-batched text functions that have a DuckDB
+    twin under the DuckDB NAME as Spark SQL functions, so oracle
+    strings that use them run on the SQL façade unchanged.
+    ``nfc_normalize`` is the one such name (VERDICT r10 #6): Spark SQL
+    has no Unicode-NFC builtin, but registering the stdlib
+    ``unicodedata.normalize`` pandas UDF makes the session a superset —
+    same Arrow batch path as ``nfc_normalize_fast``, byte-identical to
+    DuckDB's ``nfc_normalize`` including astral-plane and NULL inputs.
+    Idempotent (re-registration replaces)."""
+    spark.udf.register("nfc_normalize", pandas_udf(_nfc_series, T.StringType()))
+
+
 def lang_id_fast(col: Column) -> Column:
     """Value-identical twin of ``text.lang_id`` (same stopword argmax
     and precedence; NULL text -> 'und' like the CASE fall-through)."""

@@ -41,6 +41,14 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> tuple[s
     apply identically to SQL and DataFrame consumers."""
     for name, df in load_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+    # SQL-function superset: DuckDB names the engine implements but
+    # Spark SQL lacks (currently nfc_normalize — VERDICT r10 #6), so
+    # every registry oracle runs on the façade.
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        register_sql_functions,
+    )
+
+    register_sql_functions(spark)
     return TABLES
 
 

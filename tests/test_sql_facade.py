@@ -39,9 +39,11 @@ need documented run options (``TRANSLATED_OPTS``, VERDICT r9 #2):
 ``sql.py``'s driver-side fixpoint loop — semantically DuckDB's UNION
 DISTINCT recursion — reached via ``materialize_ctes=True``; and DuckDB
 list comprehensions / struct literals now translate mechanically
-(``substring_dedup_clean``). The remaining 1 stays DataFrame-only
-(``NOT_TRANSLATED``): nfc_normalize has no Spark SQL twin — the
-engine normalizes via the Python stdlib. (The two roundtrip names'
+(``substring_dedup_clean``). Since round 11 the tiers cover ALL
+137 oracles: the last residue, ``text_normalize_nfc``, certifies via a
+registered SQL function — ``register_views`` installs the stdlib-NFC
+pandas UDF under DuckDB's name ``nfc_normalize``, a documented session
+requirement rather than a string rewrite. (The two roundtrip names'
 "reads files outside the façade" exclusion was stale — their ORACLES
 read only the registered views, and the r10 shim translates them;
 certified at both scales, round 10.)
@@ -193,6 +195,7 @@ TRANSLATED_CERTIFIED = [
     "text_chunks",
     "text_fingerprint",
     "text_lang_id",
+    "text_normalize_nfc",
     "text_profile_single_pass",
     "text_quality_filter",
     "text_repetition_ratio",
@@ -235,12 +238,14 @@ TRANSLATED_OPTS = {
     "text_repetition_ratio": _TRAP,
 }
 
-# Documented DataFrame-only residue (see module docstring), with the
-# exclusion class for each — kept exhaustive so every registry oracle
-# is accounted for in exactly one tier.
-NOT_TRANSLATED = {
-    "text_normalize_nfc": "nfc_normalize has no Spark SQL twin",
-}
+# Documented DataFrame-only residue, with the exclusion class for
+# each — kept exhaustive so every registry oracle is accounted for in
+# exactly one tier. EMPTY since round 11: the last residue
+# (text_normalize_nfc) certifies now that sql()'s register_views also
+# registers the stdlib-NFC pandas UDF under DuckDB's name
+# `nfc_normalize` (functions/text_fast.py::register_sql_functions) —
+# the oracle string needs no rewriting, only that session function.
+NOT_TRANSLATED: dict[str, str] = {}
 
 
 def test_every_oracle_is_accounted_for():
