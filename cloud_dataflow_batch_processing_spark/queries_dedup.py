@@ -709,7 +709,25 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain). Scale posture: the union of each stage's posture — no
     all-pairs joins, eval side broadcast, substring dup-marking one
     hash shuffle; stage boundaries are anti-joins on doc_id (narrow
-    keys)."""
+    keys). The 100 TB submission configuration passes
+    ``materialize='bucketed'`` for BOTH stores via :func:`corpus_build`
+    (certified end-to-end at 5M docs — tests/test_corpus_scale.py)."""
+    return corpus_build(spark, sf_dir)
+
+
+def corpus_build(
+    spark: SparkSession,
+    sf_dir: str,
+    materialize: str = "cache",
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Parameterized corpus build behind ``corpus_build_full``: the
+    ``materialize``/``scratch_dir`` knob pair is forwarded to BOTH
+    heavy stores (the MinHash signature store and the substring span
+    store) so the composed pipeline can run the bench posture
+    ('cache', default), the fault-isolation posture ('checkpoint'), or
+    the corpus-scale posture ('bucketed' — zero wide re-exchange,
+    adopted via the 500k/5M A/Bs, NOTES r10) as ONE configuration."""
     from cloud_dataflow_batch_processing_spark.extensions import substring as _SUB
     from cloud_dataflow_batch_processing_spark.functions.text_fast import (
         quality_score_fast,
@@ -735,7 +753,10 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would be checkpoint writes (the dedup family's materialize knob).
     q2 = materialize_stage(q1.join(keep, "doc_id"))
     nd = (
-        D.minhash_near_dup_pairs(q2, "doc_id", "text", threshold=0.8)
+        D.minhash_near_dup_pairs(
+            q2, "doc_id", "text", threshold=0.8,
+            materialize=materialize, scratch_dir=scratch_dir,
+        )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -763,7 +784,9 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     q4 = materialize_stage(q3.join(contaminated, "doc_id", "left_anti"))
-    st = _SUB.substring_dup_stats(q4)
+    st = _SUB.substring_dup_stats(
+        q4, materialize=materialize, scratch_dir=scratch_dir
+    )
     return (
         q4.join(st, "doc_id")
         .groupBy("source")
