@@ -68,7 +68,8 @@ def _gen_int(r: random.Random, depth: int) -> str:
         return str(r.randint(-9, 9))
     c = r.choice(
         ["add", "mul", "len", "subscript", "fold", "floordiv", "truediv",
-         "mod", "shift", "minmax", "case", "filtered_len"]
+         "mod", "shift", "minmax", "case", "filtered_len",
+         "truediv_cast", "case_div"]
     )
     if c == "add":
         return f"({_gen_int(r, depth - 1)} + {_gen_int(r, depth - 1)})"
@@ -92,6 +93,34 @@ def _gen_int(r: random.Random, depth: int) -> str:
         return (
             f"CAST(floor(coalesce(({_gen_int(r, depth - 1)})"
             f" / ({r.randint(0, 3)}), 0)) AS BIGINT)"
+        )
+    if c == "truediv_cast":
+        # `::` casts adjacent to either division operand (ADVICE r10:
+        # a divisor-side cast was silently relocated onto the quotient)
+        if r.random() < 0.5:
+            return (
+                f"CAST(floor(coalesce(({_gen_int(r, depth - 1)})"
+                f" / {r.randint(0, 3)}::BIGINT, 0)) AS BIGINT)"
+            )
+        return (
+            f"CAST(floor(coalesce({r.randint(-9, 9)}::BIGINT"
+            f" / ({_gen_int(r, depth - 1)}), 0)) AS BIGINT)"
+        )
+    if c == "case_div":
+        # CASE blocks as division operands (ADVICE r10: a CASE
+        # numerator raised at translate time; a CASE divisor raised too)
+        a, b = _gen_int(r, depth - 1), _gen_int(r, depth - 1)
+        t, e = _gen_int(r, depth - 1), r.randint(1, 5)
+        case = f"CASE WHEN {a} >= {b} THEN {t} ELSE {e} END"
+        roll = r.random()
+        if roll < 0.33:
+            return f"CAST(floor(coalesce(({case}) / {r.randint(0, 3)}, 0)) AS BIGINT)"
+        if roll < 0.66:
+            # bare (unparenthesized) CASE numerator — the backward-scan
+            # END...CASE extension path
+            return f"CAST(floor(coalesce({case} / {r.randint(0, 3)}, 0)) AS BIGINT)"
+        return (
+            f"CAST(floor(coalesce({r.randint(-9, 9)} / {case}, 0)) AS BIGINT)"
         )
     if c == "mod":
         return f"({_gen_int(r, depth - 1)} % {r.randint(1, 5)})"
