@@ -38,18 +38,26 @@ queries()
 SF01 = "/root/testdata/sf0.1"
 
 # name -> measured cause. Every entry must cite the mechanism and the
-# round it was measured in; "it's slow" is not a reason.
+# round it was measured in; "it's slow" is not a reason. Kept TIGHT:
+# entries the r11 sweep showed non-material were removed (notably
+# dedup_quality_survivor 1.19x and dedup_duplicate_clusters 1.22x after
+# the r11 connected_components rewrite), so a future regression on
+# those names trips the gate again. Full r11 ratio table in NOTES.
 PINNED_RATIO_EXCEPTIONS = {
-    "corpus_build_full": "interpreted HOF char-fold SQL vs Arrow twins, 42x (NOTES r10)",
-    "bloom_decontaminate": "interpreted char-fold after barriers, 39x (NOTES r10)",
-    "text_fingerprint": "interpreted rolling-hash fold, ~2 s abs (NOTES r10)",
-    "corpus_clean_pipeline": "interpreted char-fold pipeline SQL (NOTES r10/r11)",
-    "corpus_audit_report": "same char-fold family, barriered CTEs (NOTES r11)",
-    "decontaminate_eval_overlap": "shingle char-fold on both sides (NOTES r11)",
-    "dedup_ngram_jaccard": "interpreted shingle fold + all-pairs intersect (NOTES r11)",
-    "text_repetition_ratio": "interpreted n-gram fold per doc (NOTES r11)",
-    "dedup_quality_survivor": "driver-side recursive fixpoint + barriers vs one-plan twin (NOTES r11)",
-    "dedup_duplicate_clusters": "driver-side recursive fixpoint vs checkpointed CC loop (NOTES r11)",
+    # All one mechanism: the SQL spelling evaluates the interpreted
+    # higher-order token/shingle/span-hash char-folds that the twins
+    # run as Arrow UDFs (HOFs don't codegen; folds embedding
+    # regexp_replace re-run it per element). Compatibility tier.
+    "corpus_build_full": "interpreted HOF char-fold SQL vs Arrow twins, 43x (r11 sweep; 42x NOTES r10)",
+    "bloom_decontaminate": "interpreted char-fold after barriers, 22x (r11 sweep; 39x NOTES r10)",
+    "substring_dedup_stats": "interpreted span-hash fold vs Arrow span store, 2.15x (r11 sweep)",
+    "substring_dedup_clean": "interpreted span-hash fold vs Arrow span store, 2.21x (r11 sweep)",
+    "substring_dedup_incremental": "interpreted span-hash fold, both batch and store sides, 2.75x (r11 sweep)",
+    "decontaminate_eval_overlap": "shingle char-fold on both sides, 2.77x/+1.2s (r11 sweep)",
+    "text_fingerprint": "interpreted rolling-hash fold, 23x/+1.6s (r11 sweep; NOTES r10)",
+    "text_profile_single_pass": "quality-formula char-fold, 5.3x/+1.7s (r11 sweep)",
+    "corpus_clean_pipeline": "char-fold pipeline, 1.5x at r11 but family-bound (NOTES r10)",
+    "corpus_audit_report": "same char-fold family, barriered CTEs, 1.85x (r11 sweep)",
 }
 
 
