@@ -995,6 +995,22 @@ def incremental_pipeline_sql(
     split_id, new = the rest: the same signature/band/guard pipeline
     as :func:`minhash_pipeline_sql`, but the probe side of the pair
     join is restricted to the new batch."""
+    return incremental_pipeline_pred_sql(
+        f"a.doc_id >= {split_id}", threshold, source, max_bucket_size
+    )
+
+
+def incremental_pipeline_pred_sql(
+    new_pred: str,
+    threshold: float = 0.8,
+    source: str = "documents",
+    max_bucket_size: int = 1000,
+) -> str:
+    """Generalized incremental oracle: ``new_pred`` is a SQL predicate
+    over the probe-side alias (``a.doc_id``) selecting the NEW batch
+    (e.g. ``'a.doc_id % 2 = 1'`` for the streaming LSH filter's
+    even/odd replay split). Guard counts over ALL of ``source`` —
+    matching the batch path's corpus ∪ batch bucket guard."""
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, sh, {b} AS band_id, {band_hash_sql(b)} AS bh FROM sig"
         for b in range(NUM_BANDS)
@@ -1026,7 +1042,7 @@ def incremental_pipeline_sql(
         CASE WHEN a.doc_id < b.doc_id THEN b.sh ELSE a.sh END AS sh_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id <> b.doc_id
-      WHERE a.doc_id >= {split_id}
+      WHERE {new_pred}
     ),
     scored AS (
       SELECT doc_a, doc_b,

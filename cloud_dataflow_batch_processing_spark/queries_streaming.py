@@ -146,3 +146,79 @@ def window_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.sum(_dec("value")).cast("double").alias("sum_value"),
     )
+
+
+def _streaming_lsh_oracle() -> str:
+    from cloud_dataflow_batch_processing_spark.extensions import dedup as D
+
+    return f"""
+    WITH b0 AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    p1 AS (SELECT doc_a, doc_b FROM ({D.minhash_pipeline_sql(0.8, 'b0')}) q1),
+    s0 AS (SELECT doc_id FROM b0
+           WHERE doc_id NOT IN (SELECT doc_b FROM p1)),
+    p2 AS (SELECT doc_a, doc_b
+           FROM ({D.incremental_pipeline_pred_sql('a.doc_id % 2 = 1')}) q2),
+    d2 AS (SELECT DISTINCT
+             CASE WHEN doc_b % 2 = 1 THEN doc_b ELSE doc_a END AS doc_id
+           FROM p2),
+    s1 AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+           AND doc_id NOT IN (SELECT doc_id FROM d2))
+    SELECT doc_id, CAST(doc_id % 2 AS INT) AS batch FROM s0
+    UNION ALL
+    SELECT doc_id, CAST(doc_id % 2 AS INT) AS batch FROM s1
+    """
+
+
+@register(
+    "streaming_lsh_dedup",
+    late=True,
+    oracle=_streaming_lsh_oracle(),
+)
+def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup filter (streaming/lsh_dedup.py):
+    the documents table replayed as TWO micro-batches (even doc_ids,
+    then odd) through a real file-source Structured Streaming query —
+    foreachBatch computes batch signatures, probes the durable
+    signature store built by earlier batches (incremental_near_dups:
+    batch-only probe side, old x old never generated), drops the
+    batch-side document of every pair (a re-arrival of anything SEEN
+    never re-enters the corpus; within-batch the greater id loses),
+    and appends ALL batch signatures to the store. Survivors land in a
+    batch-partitioned parquet sink; the oracle replays the identical
+    two-phase semantics relationally. ``batch`` is derived from the
+    split (doc_id % 2), not the micro-batch counter, so an empty first
+    batch can't shift the labels."""
+    import os
+    import shutil
+
+    from cloud_dataflow_batch_processing_spark.queries_io import _REPO_ROOT
+    from cloud_dataflow_batch_processing_spark.streaming.lsh_dedup import (
+        read_survivors,
+        run_streaming_lsh_dedup,
+    )
+
+    d = load_tables(spark, sf_dir)["documents"]
+    scratch = os.path.join(
+        _REPO_ROOT,
+        "spark-warehouse",
+        f"stream_lsh_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    src = os.path.join(scratch, "src")
+    store = os.path.join(scratch, "store")
+    out = os.path.join(scratch, "out")
+    ckpt = os.path.join(scratch, "ckpt")
+    for i, batch in enumerate(
+        [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)]
+    ):
+        batch.write.mode("overwrite").json(os.path.join(src, f"b{i}"))
+        sdf = spark.readStream.schema(d.schema).json(os.path.join(src, "b*"))
+        run_streaming_lsh_dedup(
+            sdf, "doc_id", "text", store, out, ckpt, threshold=0.8
+        )
+    surv = read_survivors(spark, out)
+    if surv is None:
+        return spark.createDataFrame([], "doc_id long, batch int")
+    return surv.select(
+        "doc_id", (F.col("doc_id") % 2).cast("int").alias("batch")
+    )

@@ -1,0 +1,71 @@
+"""Streaming MinHash-LSH near-dup filter (streaming/lsh_dedup.py):
+store-all semantics, redelivery idempotence, and streaming == the
+registry oracle's two-phase replay (the oracle itself is certified
+against DuckDB in the parity suites)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from cloud_dataflow_batch_processing_spark.streaming.lsh_dedup import (
+    process_lsh_dedup_batch,
+    read_survivors,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 8
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "store"), str(tmp_path / "out")
+
+
+def test_batch_side_loses_and_store_is_all_docs(spark, dirs):
+    store, out = dirs
+    b0 = _docs(spark, [(10, BASE), (11, BASE + " tail"), (99, "totally different words " * 30)])
+    process_lsh_dedup_batch(b0, 0, "doc_id", "text", store, out)
+    s0 = {r.doc_id for r in read_survivors(spark, out).collect()}
+    # 10 and 11 near-dup: greater id (11) loses within the batch
+    assert s0 == {10, 99}
+    # a re-arrival near-dupping the DROPPED 11 must still be dropped
+    # (store-all: dedup against everything seen, not just survivors)
+    b1 = _docs(spark, [(5, BASE + " tail"), (200, "other corpus entirely " * 30)])
+    process_lsh_dedup_batch(b1, 1, "doc_id", "text", store, out)
+    s_all = {r.doc_id for r in read_survivors(spark, out).collect()}
+    # 5 pairs with 10/11 (old) -> the batch side (5) loses despite 5 < 10
+    assert s_all == {10, 99, 200}
+
+
+def test_redelivery_is_idempotent(spark, dirs):
+    store, out = dirs
+    b0 = _docs(spark, [(1, BASE), (2, BASE + " x")])
+    process_lsh_dedup_batch(b0, 0, "doc_id", "text", store, out)
+    b1 = _docs(spark, [(3, BASE + " y"), (4, "unrelated text here " * 30)])
+    process_lsh_dedup_batch(b1, 1, "doc_id", "text", store, out)
+    first = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    # redeliver batch 1 (a post-write crash): the store read excludes
+    # batch>=1, so the verdicts recompute against the pre-batch store
+    # and the partition overwrites to the identical state
+    process_lsh_dedup_batch(b1, 1, "doc_id", "text", store, out)
+    again = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    assert again == first == [1, 4]
+    # store holds every seen doc exactly once
+    import glob
+
+    store_ids = sorted(
+        r["__id"]
+        for r in spark.read.parquet(*glob.glob(store + "/batch=*")).collect()
+    )
+    assert store_ids == [1, 2, 3, 4]
+
+
+def test_empty_stream_reports_none(spark, dirs):
+    store, out = dirs
+    assert read_survivors(spark, out) is None

@@ -189,6 +189,7 @@ TRANSLATED_CERTIFIED = [
     "semantic_kmeans_assign",
     "semantic_kmeans_assign_arrow",
     "sessionize_events",
+    "streaming_lsh_dedup",
     "substring_dedup_clean",
     "substring_dedup_incremental",
     "substring_dedup_stats",
@@ -231,6 +232,7 @@ TRANSLATED_OPTS = {
     "dedup_minhash_pairs": _TRAP,
     "dedup_minhash_pairs_fast": _TRAP,
     "dedup_near_exact_keep": _TRAP,
+    "streaming_lsh_dedup": _TRAP,
     "substring_dedup_incremental": _TRAP,
     "substring_dedup_stats": _TRAP,
     "text_profile_single_pass": {"double_literals": True},
