@@ -63,9 +63,20 @@ def main() -> None:
     ]
     release_managed_caches()
 
+    # Parity baseline: materialize='checkpoint' — the BENCH scale
+    # posture, itself oracle-matched at the sf1-equivalent point every
+    # round (build_full_match_oracle). NOT 'cache': the lazy-cache mode
+    # is the measured pathology at 5M (executor-memory pressure is why
+    # the bucketed/checkpoint knobs exist) and ground past the gate's
+    # timeout in the first certify run.
     t0 = time.perf_counter()
     cache_rows = sorted(
-        map(tuple, corpus_build(spark, sf_dir).collect())
+        map(
+            tuple,
+            corpus_build(
+                spark, sf_dir, materialize="checkpoint", scratch_dir=scratch
+            ).collect(),
+        )
     )
     cache_sec = round(time.perf_counter() - t0, 2)
     release_managed_caches()
@@ -80,7 +91,7 @@ def main() -> None:
                 "bucketed_scans": bucketed_scans,
                 "wide_exchanges": wide_exchanges,
                 "bucketed_sec": bucketed_sec,
-                "cache_sec": cache_sec,
+                "checkpoint_sec": cache_sec,
             }
         ),
         flush=True,
