@@ -762,15 +762,24 @@ def corpus_build(
     )
     q3 = materialize_stage(q2.join(nd, "doc_id", "left_anti"))
 
+    # Arrow token hashes (value-identical twin of the HOF fold — the
+    # same fast path minhash_near_dup_pairs defaults to): at 5M docs
+    # the interpreted char-fold made THESE two stages the composed
+    # build's dominant cost (r11 certify profiling); the stage caches
+    # keep the once-per-doc contract either way.
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        token_hashes_fast,
+    )
+
     staged_ev = (
         d.filter(F.col("doc_id") % 97 == 0)
-        .select(D.token_hashes("text").alias("__th"))
+        .select(token_hashes_fast(F.col("text")).alias("__th"))
         .select(D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
         .select(F.explode(F.array_distinct("__shl")).alias("h"))
         .distinct()
     )
     staged_ex = materialize_stage(
-        q3.select("doc_id", D.token_hashes("text").alias("__th"))
+        q3.select("doc_id", token_hashes_fast(F.col("text")).alias("__th"))
         .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
         .select("doc_id", F.array_distinct("__shl").alias("sh"))
         .filter(F.size("sh") > 0)

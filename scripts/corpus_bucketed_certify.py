@@ -33,14 +33,20 @@ def main() -> None:
     from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
     from cloud_dataflow_batch_processing_spark.queries_dedup import corpus_build
     from cloud_dataflow_batch_processing_spark.session import get_spark
-    from scripts.gen_scale_docs import ensure_scale_docs
+    from scripts.gen_scale_docs import ensure_diverse_docs
 
     spark = get_spark(
         app_name="cdbp-corpus-bucketed-certify",
         shuffle_partitions=SHUFFLE_PARTITIONS,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    path = ensure_scale_docs(os.path.join(BASE, ".bench_data", "sf100_docs"), n_docs=N_DOCS)
+    # Diverse-vocab corpus: the legacy 31-word generator saturates the
+    # 3-shingle space above ~500k docs, making decontamination drop
+    # EVERY document (r11 discovery — oracle agreed, so parity held
+    # vacuously on empty results). See ensure_diverse_docs.
+    path = ensure_diverse_docs(
+        os.path.join(BASE, ".bench_data", "sf100d_docs"), n_docs=N_DOCS
+    )
     sf_dir = os.path.dirname(path)
     scratch = os.path.join(BASE, ".bench_data", "corpus_bkt_scratch")
 

@@ -97,6 +97,75 @@ def ensure_scale_docs(out_dir: str, n_docs: int = N_DOCS) -> str:
     return path
 
 
+def ensure_diverse_docs(
+    out_dir: str, n_docs: int, vocab_size: int = 20_000
+) -> str:
+    """A corpus whose SHINGLE SPACE scales with the vocabulary — for
+    corpus-scale tests of stages that are degenerate on the legacy
+    31-word corpus. Discovery (r11 certify): with |V|=31 the 3-shingle
+    space is 31^3 = 29,791; at 500k docs the 1/97 eval sample already
+    emits 29,785 distinct shingles — the ENTIRE space — so
+    decontamination's >20%-overlap rule correctly drops every document
+    and corpus_build_full returns zero rows. Not an engine bug (the
+    DuckDB oracle agrees; parity held) — a corpus-realism bug: real
+    corpora grow vocabulary with size (Heaps' law). Here |V|=20k plus
+    an 8-word stopword stratum (10% of draws, so the quality filter's
+    stopword signal stays realistic); shingle space ~8e12, eval
+    coverage ~0. Near/exact duplicates planted at the legacy densities.
+    NumPy-vectorized: 5M docs generate in ~2 min instead of ~30."""
+    path = os.path.join(out_dir, "documents.parquet")
+    if os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(path).metadata.num_rows == n_docs:
+            return path
+        os.remove(path)
+    os.makedirs(out_dir, exist_ok=True)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    vocab = np.array([f"w{j}" for j in range(vocab_size)], dtype=object)
+    stop = np.array(["the", "a", "of", "and", "to", "in", "is", "it"], dtype=object)
+    n_tok = rng.integers(10, 101, size=n_docs)
+    total = int(n_tok.sum())
+    words = vocab[rng.integers(0, vocab_size, size=total)]
+    sw_mask = rng.random(total) < 0.10
+    words[sw_mask] = stop[rng.integers(0, len(stop), size=int(sw_mask.sum()))]
+    offs = np.concatenate([[0], np.cumsum(n_tok)])
+    wl = words.tolist()
+    texts = [" ".join(wl[offs[i] : offs[i + 1]]) for i in range(n_docs)]
+    py = random.Random(SEED)
+    for _ in range(round(NEAR_DUP_PAIRS * n_docs / N_DOCS)):
+        src = py.randrange(0, n_docs // 2)
+        dst = py.randrange(n_docs // 2, n_docs)
+        toks = texts[src].split(" ")
+        toks[py.randrange(len(toks))] = f"w{py.randrange(vocab_size)}"
+        texts[dst] = " ".join(toks)
+    for _ in range(round(EXACT_DUP_PAIRS * n_docs / N_DOCS)):
+        src = py.randrange(0, n_docs // 2)
+        dst = py.randrange(n_docs // 2, n_docs)
+        texts[dst] = texts[src]
+    langs = np.array(LANGS, dtype=object)[rng.integers(0, len(LANGS), size=n_docs)]
+    sources = np.array(
+        [f"src{j}" for j in range(20)], dtype=object
+    )[rng.integers(0, 20, size=n_docs)]
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 N_VECS = 50_000
 DIM = 64
 
