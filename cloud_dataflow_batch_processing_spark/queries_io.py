@@ -191,3 +191,151 @@ def tfrecord_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+# Shared VCF-line derivation: the Spark side BUILDS real VCF files from
+# events, reads them back through sources/vcf.py, and aggregates the
+# PARSED record model; the oracle recomputes the same aggregates
+# analytically from events. Any divergence in the parser's POS/END/
+# ALT/ID/QUAL/FILTER/INFO/GT semantics shifts a sum and fails the
+# driver's value hash — the roundtrip-through-exact-aggregate pattern
+# the avro/orc/tfrecord queries use, extended to a parsed format.
+_VCF_N = 4000
+
+
+@register(
+    "vcf_variants_agg",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, value, event_type
+      FROM events
+      WHERE event_id < {_VCF_N} AND value IS NOT NULL AND event_type IS NOT NULL
+    ),
+    d AS (
+      SELECT
+        'chr' || CAST(user_id % 5 AS STRING) AS reference_name,
+        event_id + 1 AS pos,
+        CASE WHEN event_id % 4 = 3 THEN 2 ELSE 1 END AS ref_len,
+        CASE WHEN event_id % 11 = 0 THEN event_id + 11
+             ELSE event_id + CASE WHEN event_id % 4 = 3 THEN 2 ELSE 1 END
+        END AS end_val,
+        CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS n_names,
+        CASE WHEN event_type = 'click' THEN 2
+             WHEN event_type = 'view' THEN 0 ELSE 1 END AS n_alts,
+        CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END AS is_pass,
+        CASE WHEN event_id % 7 = 0 THEN 0
+             ELSE CAST(FLOOR(value) AS BIGINT) END AS qual_floor,
+        CASE WHEN event_id % 13 = 0 THEN -1
+             WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS gt1_sum,
+        CASE WHEN event_id % 13 <> 0 AND event_id % 2 = 0 THEN 1 ELSE 0 END
+          AS phased1,
+        user_id AS ns_val,
+        CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS has_db
+      FROM e
+    )
+    SELECT reference_name,
+           COUNT(*) AS n_variants,
+           CAST(SUM(end_val) AS BIGINT) AS sum_end,
+           CAST(SUM(is_pass) AS BIGINT) AS n_pass,
+           CAST(SUM(n_names) AS BIGINT) AS sum_names,
+           CAST(SUM(n_alts) AS BIGINT) AS sum_alts,
+           CAST(SUM(qual_floor) AS BIGINT) AS qual_sum,
+           CAST(SUM(gt1_sum) AS BIGINT) AS gt_sum,
+           CAST(SUM(phased1) AS BIGINT) AS n_phased,
+           CAST(SUM(ns_val) AS BIGINT) AS ns_sum,
+           CAST(SUM(has_db) AS BIGINT) AS db_count
+    FROM d
+    GROUP BY reference_name
+    """,
+)
+def vcf_variants_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadFromVcf twin end-to-end (beam/io/vcfio.py:441; record model
+    :72-229): derive deterministic VCF records from events, write two
+    real VCF files (distinct files → the per-file-header path is live),
+    parse them back with sources/vcf.read_vcf, and reduce the PARSED
+    Variant rows — END-override end, names/alt list shapes, PASS
+    filter, flag INFO keys, per-sample genotype incl. the -1 missing
+    convention, phaseset defaulting — to exact integer aggregates the
+    oracle recomputes analytically."""
+    from cloud_dataflow_batch_processing_spark.sources.vcf import (
+        read_vcf,
+        write_vcf_lines,
+    )
+
+    e = (
+        load_tables(spark, sf_dir)["events"]
+        .filter(
+            (F.col("event_id") < _VCF_N)
+            & F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+        )
+        .select("event_id", "user_id", "value", "event_type")
+    )
+    eid = F.col("event_id")
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (F.col("user_id") % 5).cast("string")),
+        (eid + 1).cast("string"),
+        F.when(eid % 3 == 0, F.concat(F.lit("rs"), eid.cast("string"))).otherwise(
+            F.lit(".")
+        ),
+        # REF: len 2 when event_id%4==3, else len 1 — end = pos-1+len.
+        F.when(eid % 4 == 3, F.lit("AC")).otherwise(
+            F.substring(F.lit("ACG"), (eid % 4 + 1).cast("int"), 1)
+        ),
+        F.when(F.col("event_type") == "click", F.lit("T,TA"))
+        .when(F.col("event_type") == "view", F.lit("."))
+        .otherwise(F.lit("C")),
+        F.when(eid % 7 == 0, F.lit(".")).otherwise(
+            F.floor("value").cast("string")
+        ),
+        F.when(eid % 5 == 0, F.lit("PASS"))
+        .when(eid % 5 == 1, F.lit("."))
+        .otherwise(F.lit("q10;s50")),
+        F.concat(
+            F.lit("NS="),
+            F.col("user_id").cast("string"),
+            F.when(eid % 11 == 0, F.concat(F.lit(";END="), (eid + 11).cast("string"))).otherwise(F.lit("")),
+            F.when(eid % 2 == 0, F.lit(";DB")).otherwise(F.lit("")),
+        ),
+        F.lit("GT:DP"),
+        F.concat(
+            F.when(eid % 13 == 0, F.lit("."))
+            .when(eid % 2 == 0, F.lit("0|1"))
+            .otherwise(F.lit("1/1")),
+            F.lit(":"),
+            F.col("user_id").cast("string"),
+        ),
+        F.lit("0/0:7"),
+    ).alias("value")
+    hdr = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=NS,Number=1,Type=Integer,Description="ns">',
+        '##INFO=<ID=DB,Number=0,Type=Flag,Description="db">',
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="gt">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="dp">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2",
+    ]
+    scratch = os.path.join(
+        _REPO_ROOT, "spark-warehouse", f"vcf_rt_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    # Two files → two header-table rows → the multi-file path is live.
+    write_vcf_lines(e.filter(eid % 2 == 0).select(line), os.path.join(scratch, "even.vcf"), hdr)
+    write_vcf_lines(e.filter(eid % 2 == 1).select(line), os.path.join(scratch, "odd.vcf"), hdr)
+    v = read_vcf(spark, os.path.join(scratch, "*.vcf"))
+    gt_all = F.flatten(F.transform("calls", lambda c: c["genotype"]))
+    return v.groupBy("reference_name").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.sum("end").cast("long").alias("sum_end"),
+        F.sum(F.array_contains("filters", "PASS").cast("int")).cast("long").alias("n_pass"),
+        F.sum(F.size("names")).cast("long").alias("sum_names"),
+        F.sum(F.size("alternate_bases")).cast("long").alias("sum_alts"),
+        F.sum(F.coalesce(F.col("quality"), F.lit(0.0))).cast("long").alias("qual_sum"),
+        # gt_sum counts ONLY sample 1's alleles: S2 is the constant
+        # '0/0' (sum 0), so summing the flattened array equals gt1_sum.
+        F.sum(F.aggregate(gt_all, F.lit(0).cast("long"), lambda a, x: a + x)).alias("gt_sum"),
+        F.sum(F.size(F.filter("calls", lambda c: c["phaseset"].isNotNull()))).cast("long").alias("n_phased"),
+        F.sum(F.try_element_at(F.try_element_at("info", F.lit("NS"))["data"], F.lit(1)).cast("long")).alias("ns_sum"),
+        F.sum(F.map_contains_key("info", "DB").cast("int")).cast("long").alias("db_count"),
+    )

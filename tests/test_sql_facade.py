@@ -131,6 +131,7 @@ VERBATIM_CERTIFIED = [
     "union_all",
     "union_distinct",
     "unpivot_roundtrip",
+    "vcf_variants_agg",
     "window_global",
     "window_rank_analytics",
     "zorder_curve",
