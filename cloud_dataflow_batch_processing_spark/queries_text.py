@@ -746,3 +746,103 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(nfc).alias("n_chars_nfc"),
         (~F.col("text").eqNullSafe(nfc)).alias("changed"),
     )
+
+
+@register(
+    "corpus_source_tv_divergence",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({X.tokens_sql('text')}) AS tok
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    ),
+    st AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c_st
+      FROM toks GROUP BY source, tok
+    ),
+    tt AS (
+      SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c FROM tt),
+    cs AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st GROUP BY source
+    ),
+    terms AS (
+      SELECT st.source,
+             CAST(SUM(ABS(st.c_st * tot.c - tt.c_t * cs.c_s)) AS BIGINT)
+               AS present_term,
+             CAST(SUM(tt.c_t) AS BIGINT) AS s_s
+      FROM st JOIN tt USING (tok) JOIN cs USING (source) CROSS JOIN tot
+      GROUP BY st.source
+    )
+    SELECT t.source,
+           cs.c_s AS n_tokens,
+           FLOOR(CAST(t.present_term + cs.c_s * (tot.c - t.s_s) AS DOUBLE)
+                 / CAST(2 * cs.c_s * tot.c AS DOUBLE) * 1000000 + 0.5)
+             / 1000000.0 AS tv_distance
+    FROM terms t JOIN cs USING (source) CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def corpus_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution shift for corpus mixture design: the
+    total-variation distance between each source's unigram distribution
+    P_s and the whole-corpus distribution Q — the metric a data-mixing
+    team reads before re-weighting sources (high TV = the source is
+    lexically atypical). INTEGER-EXACT like the lm.py family: TV =
+    sum_t |P_s(t) − Q(t)| / 2 is computed with the divisions multiplied
+    through, ``|c_st·C − c_t·C_s|`` (pure BIGINT — no float log, no
+    per-token division), tokens absent from a source folded in closed
+    form as ``C_s·(C − S_s)`` (their |0 − Q| mass), and ONE double
+    division at the end, floor-quantized — so the value survives the
+    cross-engine hash gate bit-for-bit.
+
+    Scale posture (100 TB): one hash-agg to (source, token) counts, one
+    vocab-sized rollup to corpus counts, one token-keyed join (AQE
+    broadcasts the vocab side when it fits), per-source totals
+    broadcast — never all-pairs, never a collect, every expression
+    codegen'd. Mergeable across shards exactly like unigram_freq
+    (counter sums). Beam-surface anchor: the CombinePerKey +
+    AsSingleton side-input composition (beam/transforms/core.py:936;
+    pvalue.AsSingleton) a Beam pipeline would need for the same
+    statistic."""
+    d = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    toks = d.select("source", F.explode(X.tokens("text")).alias("tok"))
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    tt = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    cs = st.groupBy("source").agg(F.sum("c_st").alias("c_s"))
+    tot = tt.agg(F.sum("c_t").alias("c"))
+    j = (
+        st.join(tt, "tok")
+        .join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    terms = j.groupBy("source").agg(
+        F.sum(F.abs(F.col("c_st") * F.col("c") - F.col("c_t") * F.col("c_s"))).alias(
+            "present_term"
+        ),
+        F.sum("c_t").alias("s_s"),
+    )
+    out = (
+        terms.join(F.broadcast(cs), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("c_s").alias("n_tokens"),
+            (
+                F.floor(
+                    (
+                        F.col("present_term")
+                        + F.col("c_s") * (F.col("c") - F.col("s_s"))
+                    ).cast("double")
+                    / (2 * F.col("c_s") * F.col("c")).cast("double")
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("tv_distance"),
+        )
+        .orderBy("source")
+    )
+    return out

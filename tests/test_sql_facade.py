@@ -155,6 +155,7 @@ TRANSLATED_CERTIFIED = [
     "corpus_audit_report",
     "corpus_build_full",
     "corpus_clean_pipeline",
+    "corpus_source_tv_divergence",
     "decontaminate_eval_overlap",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
