@@ -42,6 +42,11 @@ def main() -> None:
         "q17_small_quantity_revenue",
         "q19_disjunctive_predicates",
         "q21_waiting_suppliers",
+        # round 11: the VCF parse must stay a map-only scan with a
+        # broadcast header join; the TV divergence's only exchanges are
+        # the (source,token) agg, the vocab rollup, and the token join.
+        "vcf_variants_agg",
+        "corpus_source_tv_divergence",
     ]
     audited = dict(headline_queries())
     audited.update({n: REGISTRY[n].fn for n in extra})
