@@ -170,6 +170,7 @@ def write_text(
     num_shards: int = 0,
     mode: str = "overwrite",
     compression: str | None = None,
+    header: str | None = None,
 ) -> None:
     """Beam twin: WriteToText (beam/io/textio.py:528). The frame must be
     a single string column (use :func:`rows_as_repr_lines` or
@@ -179,12 +180,56 @@ def write_text(
     runner-decided sharding); ``num_shards=n`` coalesces. Beam's
     ``-SSSSS-of-NNNNN`` shard template is an output-committer naming
     detail we deliberately do not reproduce (part-* naming instead).
+
+    ``header`` is written at the beginning of EVERY shard file (Beam
+    semantics — textio.py:540,575: the sink's ``open`` emits it per
+    file, empty shards included). Spark's text sink has no header
+    option, so this branch is the documented RDD carve-out: a
+    per-partition ``mapPartitions`` prepend — genuinely imperative
+    per-file logic, still one distributed pass, no driver
+    materialization. Roundtrips with ``read_text(skip_header_lines=1)``
+    / ``read_csv(header=True)``.
     """
     out = df if num_shards <= 0 else df.coalesce(num_shards)
-    w = out.write.mode(mode)
-    if compression:
-        w = w.option("compression", compression)
-    w.text(path)
+    if header is None:
+        w = out.write.mode(mode)
+        if compression:
+            w = w.option("compression", compression)
+        w.text(path)
+        return
+    import itertools
+
+    spark = df.sparkSession
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
+        if mode == "overwrite":
+            fs.delete(jpath, True)
+        elif mode in ("error", "errorifexists"):
+            raise FileExistsError(path)
+        elif mode == "ignore":
+            return
+        else:
+            raise ValueError(
+                f"mode {mode!r} unsupported with header= (append would "
+                "interleave headers mid-directory)"
+            )
+    lines = out.rdd.map(lambda r: "" if r[0] is None else str(r[0]))
+    with_header = lines.mapPartitions(
+        lambda it, h=header: itertools.chain([h], it)
+    )
+    codec = {
+        "gzip": "org.apache.hadoop.io.compress.GzipCodec",
+        "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+        "deflate": "org.apache.hadoop.io.compress.DeflateCodec",
+    }.get(compression or "")
+    if compression and codec is None:
+        raise ValueError(f"unsupported compression with header=: {compression!r}")
+    if codec:
+        with_header.saveAsTextFile(path, codec)
+    else:
+        with_header.saveAsTextFile(path)
 
 
 def write_csv(

@@ -68,6 +68,32 @@ def test_write_text_shards(spark, tmp_path):
     assert spark.read.text(out).count() == 20
 
 
+def test_write_text_header_per_shard(spark, tmp_path):
+    """Beam WriteToText(header=...) writes the header at the start of
+    EVERY shard file (textio.py:540,575)."""
+    df = create(spark, [f"row{i}" for i in range(10)]).select(
+        F.col("value").cast("string")
+    )
+    out = str(tmp_path / "hdr_out")
+    write_text(df, out, num_shards=2, header="col_a")
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) == 2
+    for part in parts:
+        with open(os.path.join(out, part)) as fh:
+            assert fh.readline().rstrip("\n") == "col_a"
+    # roundtrip: per-file header skip removes exactly the two headers
+    back = read_text(spark, out, skip_header_lines=1)
+    assert sorted(r.value for r in back.collect()) == sorted(
+        f"row{i}" for i in range(10)
+    )
+    # overwrite replaces; errorifexists refuses
+    write_text(df, out, num_shards=1, header="col_a", mode="overwrite")
+    import pytest as _pytest
+
+    with _pytest.raises(FileExistsError):
+        write_text(df, out, header="col_a", mode="errorifexists")
+
+
 def test_rows_as_repr_lines(spark):
     df = create(spark, [("a", 1)], schema=["k", "v"])
     line = rows_as_repr_lines(df).head().value
