@@ -362,6 +362,11 @@ def _parsed_lines(spark: SparkSession, file_pattern: str) -> DataFrame:
     )
     lines = (
         spark.read.text(file_pattern)
+        # CRLF files: Spark's text reader splits on \n and KEEPS the
+        # \r, which would silently pollute the last sample column
+        # (Beam's TextSource strips \r\n — textio.py strip_trailing_
+        # newlines). Strip it before field split.
+        .withColumn("value", F.regexp_replace("value", "\r$", ""))
         .withColumn("__vcf_file", _norm_file(F.input_file_name()))
         .filter(~F.col("value").startswith("#"))
     )

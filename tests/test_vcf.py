@@ -184,3 +184,48 @@ def test_parse_is_map_only_no_shuffle(spark, vcf_dir):
     assert count_shuffles(df) == 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_crlf_line_endings(spark, tmp_path):
+    """CRLF files must parse identically — Spark's text reader keeps
+    the \\r (Beam's TextSource strips it), so the reader strips it
+    before the field split or the last sample column is polluted."""
+    path = str(tmp_path / "crlf.vcf")
+    body = "\r\n".join(HDR_B + RECS_B) + "\r\n"
+    with open(path, "w", newline="") as f:
+        f.write(body)
+    rows = read_vcf(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["calls"][0]["genotype"] == [1, 1]
+    assert rows[0]["calls"][0]["name"] == "SAMP_X"
+
+
+def test_sites_only_vcf_no_samples(spark, tmp_path):
+    """A sites-only VCF (8 fixed columns, no FORMAT/sample columns) —
+    calls must be an empty array, not an error."""
+    hdr = [
+        "##fileformat=VCFv4.2",
+        '##INFO=<ID=NS,Number=1,Type=Integer,Description="n">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO",
+    ]
+    recs = ["chr1\t5\t.\tA\tC\t9\tPASS\tNS=2"]
+    path = _write(spark, str(tmp_path), "sites.vcf", hdr, recs)
+    rows = read_vcf(spark, path).collect()
+    assert len(rows) == 1
+    assert rows[0]["calls"] == []
+    assert rows[0]["info"]["NS"]["data"] == ["2"]
+
+
+def test_directory_path_read(spark, tmp_path):
+    """A bare directory of plain VCF files (no glob) reads every file,
+    with per-file headers — the usual corpus-directory shape."""
+    d = tmp_path / "plain"
+    d.mkdir()
+    (d / "x.vcf").write_text("\n".join(HDR_B + RECS_B) + "\n")
+    (d / "y.vcf").write_text(
+        "\n".join(HDR_A + RECS_A[:1]) + "\n"
+    )
+    df = read_vcf(spark, str(d))
+    assert df.count() == 2
+    names = {r["reference_name"]: [c["name"] for c in r["calls"]] for r in df.collect()}
+    assert names == {"chr3": ["SAMP_X"], "chr1": ["NA1", "NA2"]}
