@@ -63,7 +63,6 @@ from __future__ import annotations
 
 import gzip
 import io
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
