@@ -108,8 +108,10 @@ def orc_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     # Same roundtrip-through-exact-aggregate class as avro_roundtrip_agg
     # (which keeps the primary slot: it exercises our own codec; JSONL
-    # r7: promoted into the driver's 50-query window (window rotation
-    # — this operator class had only local-oracle coverage before).
+    # is Spark-native). Driver-certified r7; demoted late=True in r11
+    # to rebalance the 50-primary budget when vcf_variants_agg joined
+    # the roundtrip class.
+    late=True,
 )
 def json_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gzip'd JSON-lines write→read roundtrip — the interchange layout

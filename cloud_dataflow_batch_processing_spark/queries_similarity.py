@@ -209,6 +209,10 @@ def embedding_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_kmeans_assign",
     oracle=S.kmeans_assign_sql(k=8, iters=2),
+    # Driver-certified r9; demoted late=True in r11 (50-primary budget):
+    # the k-means class stays primary via semantic_dedup_prune and the
+    # production Arrow twin semantic_kmeans_assign_arrow (late, r9).
+    late=True,
 )
 def semantic_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means over the embeddings table (k=8, two

@@ -561,6 +561,9 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
         # plans BNLJ — but the build side is the literal top-k list
         # (a handful of broadcast rows), bounded by construction.
         "vocab_coverage_curve",
+        # the corpus-total side is a groupless aggregate — exactly one
+        # row by construction — crossed onto the vocab-sized stats.
+        "corpus_source_tv_divergence",
     }
     offenders = []
     for name, q in REGISTRY.items():
