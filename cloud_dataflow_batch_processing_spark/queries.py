@@ -63,19 +63,21 @@ def register(
 
 # Driver-window rotation (round 11), produced mechanically by
 # scripts/rotate_window.py: the never-driver-certified names first
-# (corpus_source_tv_divergence, streaming_lsh_dedup, and
-# vcf_variants_agg, all new this round), then the 47 whose latest
-# driver cert is oldest — the r9 cohort (the full TPC-H analog sweep
-# q2/q4/q6-q17/q19-q22, the ANN family, asof/rolling/resample temporal
-# ops, the salted join/agg pair, substring_dedup_clean/_incremental,
-# and the avro/orc/tfrecord roundtrips), none certified since r9
-# (broadcast_dim_join's cohort-mates cdc_merge_orders, cogroup_by_key,
-# and combine_fn_udaf fall to the next rotation). Overlap with
+# (corpus_source_tv_divergence, datastore_mutations_agg,
+# streaming_lsh_dedup, and vcf_variants_agg, all new this round), then
+# the 46 whose latest driver cert is oldest — the r9 cohort (the full
+# TPC-H analog sweep q2/q4/q6-q17/q19-q22, the ANN family,
+# asof/rolling/resample temporal ops, the salted join/agg pair,
+# substring_dedup_clean/_incremental, and the avro/orc/tfrecord
+# roundtrips), none certified since r9 (broadcast_dim_join,
+# cdc_merge_orders, cogroup_by_key, and combine_fn_udaf fall to the
+# next rotation). Overlap with
 # CORRECTNESS_r10.json is 0 <= 25, so the rotation gate
 # (tests/test_window_rotation.py) is green and every name gets its
 # first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_source_tv_divergence",
+    "datastore_mutations_agg",
     "streaming_lsh_dedup",
     "vcf_variants_agg",
     "group_sorted_values",
@@ -124,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "approx_percentile",
     "asof_join_events",
     "avro_roundtrip_agg",
-    "broadcast_dim_join",
 )
 
 

@@ -341,3 +341,83 @@ def vcf_variants_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.try_element_at(F.try_element_at("info", F.lit("NS"))["data"], F.lit(1)).cast("long")).alias("ns_sum"),
         F.sum(F.map_contains_key("info", "DB").cast("int")).cast("long").alias("db_count"),
     )
+
+
+@register(
+    "datastore_mutations_agg",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey >= 1500 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey < 4500 AND o_orderkey % 7 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_entities,
+           CAST(SUM(CAST(FLOOR(price) AS BIGINT)) AS BIGINT) AS price_floor,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key
+    FROM merged GROUP BY o_orderstatus
+    """,
+    # The mutation-semantics class; registers late (the primary-50
+    # budget is held by the format roundtrips' avro slot + the r11
+    # vcf_variants_agg addition).
+    late=True,
+)
+def datastore_mutations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datastore I/O twin end-to-end (datastoreio.py:50,460,492): three
+    mutation batches against the versioned entity warehouse — initial
+    upsert (orderkey < 3000), overlapping upsert that re-prices
+    1500 <= orderkey < 4500 (newest-wins on __key__), then delete of
+    every orderkey % 7 == 0 — and a query-model read aggregated to
+    exact integers. The oracle replays the same merge analytically, so
+    any divergence in upsert/delete/newest-wins semantics shifts the
+    counts or sums and fails the value hash."""
+    from cloud_dataflow_batch_processing_spark.sources.datastore import (
+        KEY_COL,
+        Query,
+        delete_entities,
+        read_entities,
+        write_entities,
+    )
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    wh = os.path.join(
+        _REPO_ROOT,
+        "spark-warehouse",
+        f"dstore_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    ent = lambda df: df.select(  # noqa: E731
+        F.col("o_orderkey").alias(KEY_COL),
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").alias("price"),
+    )
+    write_entities(
+        ent(orders.filter(F.col("o_orderkey") < 3000)),
+        "proj", "Order", warehouse=wh,
+    )
+    write_entities(
+        ent(
+            orders.filter(
+                (F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 4500)
+            ).withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        ),
+        "proj", "Order", warehouse=wh,
+    )
+    delete_entities(
+        orders.filter(
+            (F.col("o_orderkey") < 4500) & (F.col("o_orderkey") % 7 == 0)
+        ).select(F.col("o_orderkey").alias(KEY_COL)),
+        "proj", "Order", warehouse=wh,
+    )
+    got = read_entities(spark, "proj", Query(kind="Order"), warehouse=wh)
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum(F.floor("price").cast("long")).alias("price_floor"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -77,6 +77,7 @@ VERBATIM_CERTIFIED = [
     "corpus_mix_temperature",
     "corpus_split_train_val",
     "count_per_element",
+    "datastore_mutations_agg",
     "dedup_exact",
     "distinct_values",
     "filter_project",
