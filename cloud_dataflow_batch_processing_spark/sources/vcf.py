@@ -56,7 +56,13 @@ Malformed records: ``allow_malformed_records=False`` (Beam's default,
 from the variant output, and :func:`read_vcf_malformed` returns them
 as ``(file_name, line)`` rows — the relational spelling of Beam's
 ``MalformedVcfRecord`` union (:60-65), since one DataFrame cannot
-carry two row types.
+carry two row types. Structural = field count / POS / QUAL; two
+finer-grained PyVCF failure classes are deliberately value-level here
+instead of record-level: a non-numeric GT allele yields a NULL
+genotype element (PyVCF raises → dead-letters the whole record), and a
+non-numeric ``END=`` value falls back to ``start + len(REF)`` (PyVCF
+raises). Both keep the record's other fields — stricter callers can
+filter on ``exists(genotype, isnull)``.
 """
 
 from __future__ import annotations

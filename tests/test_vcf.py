@@ -167,7 +167,7 @@ def test_malformed_tolerant_and_dead_letter(spark, tmp_path):
     assert good.count() == 1
     dead = read_vcf_malformed(spark, path)
     assert sorted(r["line"] for r in dead.collect()) == sorted(bad_lines)
-    assert all(r["file_name"].endswith(".txt") for r in dead.collect()) or True
+    assert all("mixed.vcf" in r["file_name"] for r in dead.collect())
 
 
 def test_no_files_raises(spark, tmp_path):
