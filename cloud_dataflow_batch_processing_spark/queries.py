@@ -63,8 +63,11 @@ def register(
 
 # Driver-window rotation (round 11), produced mechanically by
 # scripts/rotate_window.py: the never-driver-certified names first
-# (corpus_source_tv_divergence, datastore_mutations_agg,
-# streaming_lsh_dedup, and vcf_variants_agg, all new this round), then
+# (dedup_cross_source_matrix, corpus_source_tv_divergence,
+# datastore_mutations_agg, streaming_lsh_dedup, and vcf_variants_agg,
+# all new this round; avro_roundtrip_agg yields its slot to the
+# next rotation — certified r9, the roundtrip class keeps
+# orc/tfrecord rows in-window), then
 # the 46 whose latest driver cert is oldest — the r9 cohort (the full
 # TPC-H analog sweep q2/q4/q6-q17/q19-q22, the ANN family,
 # asof/rolling/resample temporal ops, the salted join/agg pair,
@@ -76,6 +79,7 @@ def register(
 # (tests/test_window_rotation.py) is green and every name gets its
 # first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
+    "dedup_cross_source_matrix",
     "corpus_source_tv_divergence",
     "datastore_mutations_agg",
     "streaming_lsh_dedup",
@@ -125,7 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "approx_distinct_hll",
     "approx_percentile",
     "asof_join_events",
-    "avro_roundtrip_agg",
 )
 
 

@@ -1003,3 +1003,83 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+@register(
+    "dedup_cross_source_matrix",
+    # New round-11 audit composition over driver-covered stages
+    # (minhash pairs: dedup_minhash_pairs_fast; relational audit:
+    # corpus_audit_report) — registers late, leads DRIVER_WINDOW for
+    # first-exposure certification (never-certified-first rule).
+    late=True,
+    oracle=f"""
+    WITH pairs AS ({D.minhash_pipeline_sql(threshold=0.8)}),
+    m AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             p.jaccard
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(ROUND(jaccard * 10000, 0) AS BIGINT)) AS BIGINT)
+             AS sum_jaccard_bp,
+           MAX(jaccard) AS max_jaccard
+    FROM m GROUP BY source_a, source_b
+    """,
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate leakage matrix: MinHash-LSH pairs
+    (threshold 0.8) attributed to the unordered (source, source) pair
+    of the two documents — the audit a mixture designer runs before
+    setting per-source sampling weights (a source whose rows duplicate
+    ANOTHER source contributes less novel text than its token count
+    suggests; the diagonal is intra-source redundancy). Aggregates are
+    exact: pair counts plus the jaccard sum in integer basis points
+    (jaccard is already ROUND(·,4), so ×10000 is integral — no float
+    summation-order hazard in the driver hash), and MAX over rounded
+    doubles.
+
+    Scale posture: the pair frame is bounded by the near-dup rate (≪
+    corpus) and feeds TWO join branches, so it is materialized once
+    (``materialize_stage`` — without the eager cache the second
+    broadcast build re-executes the whole LSH pipeline; measured 46 s
+    vs 11 s at sf0.1) and both source-fetch joins broadcast it —
+    documents is scanned twice but only as the narrow (doc_id, source)
+    projection, and the wide shingle/text columns never shuffle; the
+    final groupBy keys on source×source (tiny). Parity: Beam would
+    spell this as the CoGroupByKey of the pair PCollection with a
+    doc→source side input (beam/transforms/util.py CoGroupByKey); here
+    the LSH pipeline and the audit rollup stay one Catalyst plan."""
+    from cloud_dataflow_batch_processing_spark.caching import materialize_stage
+
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = materialize_stage(
+        D.minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.8)
+    )
+    src = d.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("__sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("__sb")
+    )
+    withs_a = sa.join(F.broadcast(pairs), "doc_a")
+    j = sb.join(F.broadcast(withs_a), "doc_b")
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.round(F.col("jaccard") * 10000, 0).cast("long"))
+            .cast("long")
+            .alias("sum_jaccard_bp"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )

@@ -158,6 +158,7 @@ TRANSLATED_CERTIFIED = [
     "corpus_clean_pipeline",
     "corpus_source_tv_divergence",
     "decontaminate_eval_overlap",
+    "dedup_cross_source_matrix",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
     "dedup_incremental_minhash",
@@ -226,6 +227,7 @@ TRANSLATED_OPTS = {
     "boilerplate_ngrams": _TRAP,
     "corpus_audit_report": {"materialize_ctes": True, "double_literals": True},
     "corpus_build_full": {"materialize_ctes": True, "inline_where_aliases": True},
+    "dedup_cross_source_matrix": _TRAP,
     "dedup_duplicate_clusters": _TRAP,
     "dedup_quality_survivor": {"materialize_ctes": True, "double_literals": True},
     "corpus_clean_pipeline": _TRAP,
