@@ -294,8 +294,16 @@ def remove_intervals(
     (doc_id, start_pos, end_pos) with token positions 1-based and
     end exclusive."""
     dup = _dup_spans(df, id_col, text_col, k, fast_hashing, dup_marking, materialize, scratch_dir)
+    return _merge_marked_spans(dup, k)
+
+
+def _merge_marked_spans(marked: DataFrame, k: int) -> DataFrame:
+    """Merge marked K-token spans (doc_id, pos, ...) into maximal
+    removal intervals via lag-based gaps-and-islands: same-length
+    intervals sorted by pos merge iff the gap <= k. Returns
+    (doc_id, start_pos, end_pos), positions 1-based, end exclusive."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = dup.withColumn(
+    flagged = marked.withColumn(
         "__new",
         F.when(F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-k)) > k, 1).otherwise(0),
     )
@@ -676,5 +684,138 @@ def incremental_substring_stats_sql(
            CAST(b.n_tokens - COALESCE(p.removed_tokens, 0) AS BIGINT) AS kept_tokens,
            ROUND(CAST(COALESCE(p.removed_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
              AS removed_frac
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+
+
+def decontaminate_span_stats(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = SPAN_TOKENS,
+    fast_hashing: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Exact-substring benchmark decontamination (the GPT-3 appendix-C /
+    Lee et al. 2022 hygiene step): mark every K-token span of a training
+    document whose content occurs ANYWHERE in a held-out eval set, merge
+    the marked spans into maximal contamination intervals, and report
+    per-document (doc_id, n_tokens, n_contam_intervals,
+    contaminated_tokens, kept_tokens, contaminated_frac) over ALL
+    corpus documents (clean docs report zeros).
+
+    This is surgical span-level decontamination — distinct from the
+    doc-level shingle-overlap score (``decontaminate_eval_overlap``)
+    and the doc-level bloom drop (``bloom_decontaminate``): instead of
+    dropping a whole document that quotes one benchmark question, only
+    the quoted interval is reported (and can be excised with the same
+    interval semantics as ``substring_dedup_text``).
+
+    Scale posture (100 TB corpus, bounded eval set): the eval side is a
+    benchmark suite — its DISTINCT span-hash set is small and ships
+    once per executor as a broadcast; the corpus side is one
+    Arrow-batched hash pass + a map-side LEFT SEMI probe, so the only
+    exchanges are the narrow per-doc interval merge and stats
+    aggregation (both on doc_id, the partitioning the next corpus
+    stage wants). The corpus never self-joins and never re-exchanges
+    its span volume. Set ``broadcast_eval=False`` if the eval span set
+    exceeds the broadcast threshold — AQE then picks the join strategy.
+
+    Engine-neutral by construction: span hashes are the certified
+    rolling polynomial (same fold both engines), interval merge is
+    integer window arithmetic — see ``decontaminate_span_stats_sql``
+    for the DuckDB twin the driver's hash gate runs."""
+    eval_h = _span_frame(eval_df, id_col, text_col, k, fast_hashing).select("h").distinct()
+    if broadcast_eval:
+        eval_h = F.broadcast(eval_h)
+    spans = _span_frame(corpus, id_col, text_col, k, fast_hashing)
+    marked = spans.join(eval_h, "h", "left_semi").select("doc_id", "n_tokens", "pos")
+    iv = _merge_marked_spans(marked, k)
+    per_doc = iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contam_intervals"),
+        F.sum(F.col("end_pos") - F.col("start_pos")).alias("contaminated_tokens"),
+    )
+    base = corpus.select(
+        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    out = base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_contam_intervals", F.lit(0)).alias("n_contam_intervals"),
+        F.coalesce("contaminated_tokens", F.lit(0)).alias("contaminated_tokens"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_contam_intervals",
+        "contaminated_tokens",
+        (F.col("n_tokens") - F.col("contaminated_tokens")).alias("kept_tokens"),
+        # empty/whitespace-only doc: fraction undefined -> NULL, matching
+        # DuckDB's division-by-zero NULL (same contract as
+        # substring_dup_stats; never an ANSI DIVIDE_BY_ZERO).
+        F.round(
+            F.col("contaminated_tokens") / F.nullif(F.col("n_tokens"), F.lit(0)), 4
+        ).alias("contaminated_frac"),
+    )
+
+
+def decontaminate_span_stats_sql(
+    corpus_where: str, eval_where: str, source: str = "documents", k: int = SPAN_TOKENS
+) -> str:
+    """Oracle twin over one relation split by predicates into the
+    training corpus and the held-out eval set."""
+    return f"""
+    WITH th_t AS (
+      SELECT doc_id, {token_hashes_sql('text')} AS th FROM {source}
+    ),
+    spans AS (
+      SELECT doc_id, len(th) AS n_tokens, pos0 + 1 AS pos, h
+      FROM (
+        SELECT doc_id, th, unnest({span_hashes_sql(k)}) AS h,
+               unnest(range(0, len(th) - {k - 1})) AS pos0
+        FROM th_t WHERE len(th) >= {k}
+      )
+    ),
+    ev AS (
+      SELECT DISTINCT h FROM spans WHERE {eval_where}
+    ),
+    hit AS (
+      SELECT doc_id, n_tokens, pos FROM spans
+      WHERE ({corpus_where}) AND h IN (SELECT h FROM ev)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - COALESCE(
+                 LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), -{k}) > {k}
+             THEN 1 ELSE 0 END AS new_island
+      FROM hit
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    iv AS (
+      SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + {k} AS end_pos
+      FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_contam_intervals,
+             SUM(end_pos - start_pos) AS contaminated_tokens
+      FROM iv GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, len({tokens_sql('text')}) AS n_tokens FROM {source}
+      WHERE {corpus_where}
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(p.n_contam_intervals, 0) AS BIGINT) AS n_contam_intervals,
+           CAST(COALESCE(p.contaminated_tokens, 0) AS BIGINT) AS contaminated_tokens,
+           CAST(b.n_tokens - COALESCE(p.contaminated_tokens, 0) AS BIGINT)
+             AS kept_tokens,
+           ROUND(CAST(COALESCE(p.contaminated_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
+             AS contaminated_frac
     FROM base b LEFT JOIN per_doc p USING (doc_id)
     """

@@ -79,6 +79,10 @@ def register(
 # (tests/test_window_rotation.py) is green and every name gets its
 # first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
+    # Session-4 additions, never-certified-first: exact-span
+    # decontamination takes the front; asof_join_events (certified r9)
+    # yields the tail slot to the next rotation.
+    "decontaminate_exact_spans",
     "dedup_cross_source_matrix",
     "corpus_source_tv_divergence",
     "datastore_mutations_agg",
@@ -128,7 +132,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "approx_distinct",
     "approx_distinct_hll",
     "approx_percentile",
-    "asof_join_events",
 )
 
 

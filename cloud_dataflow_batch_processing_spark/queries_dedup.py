@@ -589,6 +589,32 @@ def substring_dedup_clean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_exact_spans",
+    oracle=SUB.decontaminate_span_stats_sql(
+        corpus_where="doc_id % 97 <> 0", eval_where="doc_id % 97 = 0"
+    ),
+)
+def decontaminate_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring benchmark decontamination (GPT-3 appendix C /
+    Lee et al. 2022): documents with ``doc_id % 97 == 0`` stand in for
+    a held-out eval set (same split as ``decontaminate_eval_overlap``);
+    every 8-token span of a training document whose hash occurs
+    anywhere in the eval set is marked and merged into maximal
+    contamination intervals; per-doc report over ALL training docs
+    (clean docs report zeros). Surgical span-level hygiene — a third
+    decontamination mechanism next to the doc-level shingle-overlap
+    score and the doc-level bloom drop: a doc quoting one benchmark
+    question loses the quote, not the document. Eval span hashes are
+    the bounded broadcast side; the corpus never self-joins and the
+    only shuffles are the narrow per-doc interval merge and stats.
+    Impl: extensions/substring.py::decontaminate_span_stats."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return SUB.decontaminate_span_stats(
+        d.filter(F.col("doc_id") % 97 != 0), d.filter(F.col("doc_id") % 97 == 0)
+    )
+
+
+@register(
     "approx_distinct_hll",
     oracle=f"""
     SELECT o.est AS est_orderkey, p.est AS est_partkey

@@ -1146,8 +1146,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q18_large_volume_customers",
-    # r7: promoted into the driver's 50-query window (window rotation
-    # — this operator class had only local-oracle coverage before).
+    # r7: promoted into the driver's 50-query window; r11: demoted late
+    # — the aggregate-then-semi-join class is carried by
+    # q20_excess_shipped_suppliers (in-window) and the analog sweep;
+    # its primary slot funds decontaminate_exact_spans (a new class).
+    late=True,
     oracle="""
     WITH big AS (
       SELECT l_orderkey FROM lineitem GROUP BY l_orderkey

@@ -47,6 +47,12 @@ def main() -> None:
         # the (source,token) agg, the vocab rollup, and the token join.
         "vcf_variants_agg",
         "corpus_source_tv_divergence",
+        # round 11 session 4: eval span hashes must broadcast; the only
+        # exchanges are the per-doc interval merge and stats join; the
+        # corpus-side leakage matrix must fetch sources off a
+        # materialized narrow pair frame.
+        "decontaminate_exact_spans",
+        "dedup_cross_source_matrix",
     ]
     audited = dict(headline_queries())
     audited.update({n: REGISTRY[n].fn for n in extra})

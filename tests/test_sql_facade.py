@@ -158,6 +158,7 @@ TRANSLATED_CERTIFIED = [
     "corpus_clean_pipeline",
     "corpus_source_tv_divergence",
     "decontaminate_eval_overlap",
+    "decontaminate_exact_spans",
     "dedup_cross_source_matrix",
     "dedup_duplicate_clusters",
     "dedup_embedding_cosine",
@@ -232,6 +233,7 @@ TRANSLATED_OPTS = {
     "dedup_quality_survivor": {"materialize_ctes": True, "double_literals": True},
     "corpus_clean_pipeline": _TRAP,
     "decontaminate_eval_overlap": _TRAP,
+    "decontaminate_exact_spans": _TRAP,
     "dedup_embedding_cosine": _TRAP,
     "dedup_incremental_minhash": _TRAP,
     "dedup_minhash_pairs": _TRAP,

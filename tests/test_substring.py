@@ -426,3 +426,111 @@ def test_plan_wide_node_walk_local_sort_is_narrow(spark):
     df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, t string")
     assert not _plan_has_wide_node(df.sortWithinPartitions("id"))
     assert _plan_has_wide_node(df.orderBy("id"))
+
+
+# --- exact-span decontamination (decontaminate_span_stats) ---------------
+
+
+@pytest.fixture(scope="module")
+def decon_corpus(spark):
+    """Training docs + a held-out eval set with planted contamination."""
+    ev = [
+        # the eval set: one benchmark question of 10 tokens, and one
+        # short prompt (< K tokens, contributes no spans).
+        (100, _w("q", 10)),
+        (101, _w("p", K - 1)),
+    ]
+    tr = [
+        # T1 quotes the full benchmark question mid-document: the 3
+        # overlapping hits must merge into ONE 10-token interval.
+        (1, _w("u", 5) + " " + _w("q", 10) + " " + _w("v", 5)),
+        # T2 shares 8 tokens with T1's filler but NOTHING with the eval
+        # set: within-corpus duplication is NOT contamination.
+        (2, _w("u", 5) + " " + _w("v", 5) + " " + _w("w", 3)),
+        # T3 is clean and long.
+        (3, _w("x", 12)),
+        # T4 is shorter than K tokens: exempt, zeros.
+        (4, _w("y", K - 1)),
+        # T5 quotes the question twice, far apart: two disjoint
+        # intervals.
+        (5, _w("q", 10) + " " + _w("z", 10) + " " + _w("q", 10)),
+    ]
+    schema = "doc_id long, text string"
+    return (
+        spark.createDataFrame(tr, schema),
+        spark.createDataFrame(ev, schema),
+        pd.DataFrame(tr + ev, columns=["doc_id", "text"]),
+    )
+
+
+def _decon(spark_pair):
+    tr, ev, _ = spark_pair
+    return {
+        r["doc_id"]: r.asDict()
+        for r in SS.decontaminate_span_stats(tr, ev).collect()
+    }
+
+
+def test_decon_quote_becomes_one_interval(spark, decon_corpus):
+    st = _decon(decon_corpus)
+    assert st[1]["n_contam_intervals"] == 1
+    assert st[1]["contaminated_tokens"] == 10
+    assert st[1]["kept_tokens"] == 10
+    assert st[1]["contaminated_frac"] == pytest.approx(0.5)
+
+
+def test_decon_within_corpus_duplication_is_not_contamination(spark, decon_corpus):
+    st = _decon(decon_corpus)
+    # T2 duplicates T1's filler tokens but touches no eval span.
+    assert st[2]["n_contam_intervals"] == 0
+    assert st[2]["contaminated_tokens"] == 0
+    assert st[2]["kept_tokens"] == st[2]["n_tokens"] == 13
+
+
+def test_decon_clean_and_short_docs_report_zeros(spark, decon_corpus):
+    st = _decon(decon_corpus)
+    assert set(st) == {1, 2, 3, 4, 5}  # ALL training docs present
+    for doc in (3, 4):
+        assert st[doc]["n_contam_intervals"] == 0
+        assert st[doc]["contaminated_tokens"] == 0
+        assert st[doc]["kept_tokens"] == st[doc]["n_tokens"]
+
+
+def test_decon_two_disjoint_intervals(spark, decon_corpus):
+    st = _decon(decon_corpus)
+    assert st[5]["n_contam_intervals"] == 2
+    assert st[5]["contaminated_tokens"] == 20
+    assert st[5]["kept_tokens"] == 10
+
+
+def test_decon_empty_eval_set_marks_nothing(spark, decon_corpus):
+    tr, ev, _ = decon_corpus
+    out = SS.decontaminate_span_stats(tr, ev.filter("doc_id < 0"))
+    assert out.count() == 5
+    assert out.filter("n_contam_intervals != 0").count() == 0
+
+
+def test_decon_fixture_matches_duckdb_twin(spark, decon_corpus):
+    tr, ev, pdf = decon_corpus
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = SS.decontaminate_span_stats_sql(
+        corpus_where="doc_id < 100", eval_where="doc_id >= 100"
+    )
+    want = con.execute(sql).df().sort_values("doc_id").reset_index(drop=True)
+    got = (
+        SS.decontaminate_span_stats(
+            tr, ev
+        ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    got = got.astype({c: want[c].dtype for c in want.columns})
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_decon_eval_side_is_broadcast(spark, decon_corpus):
+    tr, ev, _ = decon_corpus
+    plan = (
+        SS.decontaminate_span_stats(tr, ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
