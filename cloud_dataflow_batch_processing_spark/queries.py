@@ -80,8 +80,10 @@ def register(
 # first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
     # Session-4 additions, never-certified-first: exact-span
-    # decontamination takes the front; asof_join_events (certified r9)
-    # yields the tail slot to the next rotation.
+    # decontamination and the Gopher repetition rules take the front;
+    # asof_join_events and approx_percentile (both certified r9) yield
+    # the tail slots to the next rotation.
+    "gopher_repetition_filter",
     "decontaminate_exact_spans",
     "dedup_cross_source_matrix",
     "corpus_source_tv_divergence",
@@ -131,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_lsh_pairs",
     "approx_distinct",
     "approx_distinct_hll",
-    "approx_percentile",
 )
 
 

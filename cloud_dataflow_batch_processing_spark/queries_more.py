@@ -1104,8 +1104,11 @@ def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q5_local_supplier_volume",
-    # r7: promoted into the driver's 50-query window (window rotation
-    # — this operator class had only local-oracle coverage before).
+    # r7: promoted into the driver's 50-query window; r11: demoted late
+    # — the multi-join region-slice agg class is carried in-window by
+    # q7/q8/q9 and by the primary multi_table_join_chain; its slot
+    # funds gopher_repetition_filter (a new class).
+    late=True,
     oracle="""
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

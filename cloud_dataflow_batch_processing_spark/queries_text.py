@@ -857,3 +857,26 @@ def corpus_source_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
     return out
+
+
+from cloud_dataflow_batch_processing_spark.extensions import repetition as REP  # noqa: E402
+
+
+@register(
+    "gopher_repetition_filter",
+    oracle=REP.gopher_repetition_sql(),
+)
+def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal rules (Rae et al. 2021 Table A1): per-
+    document top-{2,3,4}-gram and duplicated-{5..10}-gram character
+    fractions plus the published keep/drop conjunction — the standard
+    pre-mixing quality gate of large-scale training-data pipelines.
+    Per-doc metrics need no cross-document data, so the operator is
+    ZERO-shuffle: scan → one Arrow-batched pass emitting exact integer
+    numerators (prefix-sum char windows over the certified token-hash
+    fold) → fraction/threshold projection. The DuckDB oracle is the
+    relational formulation (explode all nine n-gram widths) and
+    certifies the values. Impl:
+    extensions/repetition.py::gopher_repetition_stats."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return REP.gopher_repetition_stats(d)

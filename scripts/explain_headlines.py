@@ -53,6 +53,8 @@ def main() -> None:
         # materialized narrow pair frame.
         "decontaminate_exact_spans",
         "dedup_cross_source_matrix",
+        # zero-shuffle contract: scan -> one Arrow pass -> projection
+        "gopher_repetition_filter",
     ]
     audited = dict(headline_queries())
     audited.update({n: REGISTRY[n].fn for n in extra})

@@ -178,6 +178,7 @@ TRANSLATED_CERTIFIED = [
     "flat_map_explode",
     "funnel_signup_click_purchase",
     "fuzzy_match_part_names",
+    "gopher_repetition_filter",
     "group_by_key_lists",
     "group_sorted_values",
     "multimodal_decode_features",
@@ -239,6 +240,7 @@ TRANSLATED_OPTS = {
     "dedup_minhash_pairs": _TRAP,
     "dedup_minhash_pairs_fast": _TRAP,
     "dedup_near_exact_keep": _TRAP,
+    "gopher_repetition_filter": _TRAP,
     "streaming_lsh_dedup": _TRAP,
     "substring_dedup_incremental": _TRAP,
     "substring_dedup_stats": _TRAP,
