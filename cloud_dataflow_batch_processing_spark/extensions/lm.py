@@ -223,3 +223,154 @@ def vocab_coverage_sql(
            FLOOR(CAST(r.cum_cnt AS BIGINT) / CAST(r.total AS BIGINT) * 10000 + 0.5) / 10000.0 AS coverage
     FROM ranked r JOIN ks ON r.rank = LEAST(ks.top_k, r.n_types)
     """
+
+
+def bpe_merge_pair_counts(
+    df: DataFrame, text_col: str = "text", top_k: int = 100
+) -> DataFrame:
+    """Vocabulary induction, step 1 of BPE/WordPiece training (Sennrich
+    et al. 2016): corpus-wide adjacent-token-pair frequencies, top-k
+    merge candidates. A tokenizer trainer iterates this count -> pick
+    argmax -> re-segment loop; the count is the distributed part (the
+    merge-table update is vocab-sized), so this operator IS the scale
+    bottleneck of tokenizer training, expressed relationally.
+
+    Shape: per-doc adjacent pairs come from one codegen ``transform``
+    over the token array (no self-join of token positions); the count
+    is ONE partial/final hash aggregation on the pair key (map-side
+    combine absorbs the Zipf head before the shuffle — 'the the' never
+    crosses the wire more than once per task); top-k plans as
+    TakeOrderedAndProject, never a global sort. Counts are mergeable
+    across shards/days like :func:`unigram_freq`.
+
+    Ties break (count DESC, left ASC, right ASC) — a total order, so
+    the limit boundary is engine-independent.
+    """
+    d = df.filter(F.col(text_col).isNotNull()).select(tokens(text_col).alias("t"))
+    return (
+        _pair_counts_from_arrays(d)
+        .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+        .limit(top_k)
+    )
+
+
+def bpe_merge_pairs_sql(
+    source: str = "documents", text_col: str = "text", top_k: int = 100
+) -> str:
+    """DuckDB twin of :func:`bpe_merge_pair_counts` (1-based list
+    subscripts; ``range(1, len)`` is end-exclusive = positions of every
+    pair's left token)."""
+    return f"""
+    WITH toks AS (
+      SELECT {tokens_sql(text_col)} AS t
+      FROM {source} WHERE {text_col} IS NOT NULL
+    ),
+    idx AS (
+      SELECT t, unnest(range(1, len(t))) AS i FROM toks WHERE len(t) >= 2
+    ),
+    pairs AS (
+      SELECT t[i] AS left_tok, t[i + 1] AS right_tok FROM idx
+    )
+    SELECT left_tok, right_tok, CAST(COUNT(*) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY left_tok, right_tok
+    ORDER BY pair_count DESC, left_tok, right_tok
+    LIMIT {top_k}
+    """
+
+
+def _pair_counts_from_arrays(d: DataFrame) -> DataFrame:
+    """(left_tok, right_tok, pair_count) over a frame with token-array
+    column ``t`` — the shared count kernel of
+    :func:`bpe_merge_pair_counts` and :func:`bpe_train`."""
+    pairs = d.filter(F.size("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(t[i-1] AS left_tok, t[i] AS right_tok))"
+            )
+        ).alias("p")
+    ).select("p.left_tok", "p.right_tok")
+    return pairs.groupBy("left_tok", "right_tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("pair_count")
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_count: int = 2,
+    sep: str = "\x1e",
+    checkpoint_every: int = 2,
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Full BPE merge-table training (Sennrich et al. 2016) over the
+    corpus token streams: iterate count -> adopt the most frequent
+    pair -> re-segment -> repeat. Returns the learned merge table
+    ``[(left, right, count_at_adoption), ...]`` and the final
+    segmentation frame (``doc_id``, ``t``) where merged units join
+    their parts with ``sep``.
+
+    Semantics pinned by the pure-Python property oracle in
+    tests/test_lm.py: adoption tiebreak (count DESC, left ASC, right
+    ASC); re-segmentation is leftmost-greedy non-overlapping ('a a a'
+    + merge (a,a) -> ['a<sep>a', 'a']); training stops early when the
+    best pair's count falls under ``min_count``.
+
+    Scale posture (100 TB): each round is ONE partial/final hash agg
+    (the count), a 1-row driver collect (the argmax — vocab-update
+    sized, the same bounded-collect contract as the watermark reads),
+    and one zero-shuffle Arrow pass (the re-segment, per-doc greedy —
+    no cross-doc data). Round state is an eager localCheckpoint every
+    ``checkpoint_every`` rounds so the plan never accretes n_merges
+    chained UDF layers (the connected-components precedent). Real
+    trainers batch many merges per count; the loop adopts one per
+    round for exactness — batching changes the constant, not the
+    shape.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    cur = (
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", tokens(text_col).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str, int]] = []
+    for rnd in range(n_merges):
+        top = (
+            _pair_counts_from_arrays(cur)
+            .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["pair_count"] < min_count:
+            break
+        a, b, cnt = top[0]["left_tok"], top[0]["right_tok"], top[0]["pair_count"]
+        merges.append((a, b, int(cnt)))
+        joined = f"{a}{sep}{b}"
+
+        def make_apply(_a: str, _b: str, _j: str):
+            def apply_merge(col):
+                def one(toks):
+                    if toks is None:
+                        return toks
+                    out, i, n = [], 0, len(toks)
+                    while i < n:
+                        if i + 1 < n and toks[i] == _a and toks[i + 1] == _b:
+                            out.append(_j)
+                            i += 2
+                        else:
+                            out.append(toks[i])
+                            i += 1
+                    return out
+
+                return col.map(one)
+
+            return pandas_udf(apply_merge, T.ArrayType(T.StringType()))
+
+        cur = cur.withColumn("t", make_apply(a, b, joined)("t"))
+        if (rnd + 1) % checkpoint_every == 0:
+            nxt = cur.localCheckpoint(eager=True)
+            cur = nxt
+    return merges, cur.localCheckpoint(eager=True)

@@ -79,10 +79,15 @@ def register(
 # (tests/test_window_rotation.py) is green and every name gets its
 # first re-certification in two rounds.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Session-4 additions, never-certified-first: exact-span
-    # decontamination and the Gopher repetition rules take the front;
-    # asof_join_events and approx_percentile (both certified r9) yield
+    # Session-4/5 additions, never-certified-first: exact-span
+    # decontamination, the Gopher repetition rules, BPE merge-pair
+    # counting, shuffle-sharding, and classifier scoring take the
+    # front; asof_join_events, approx_percentile, approx_distinct,
+    # approx_distinct_hll, and ann_lsh_pairs (all certified r9) yield
     # the tail slots to the next rotation.
+    "classifier_quality_score",
+    "bpe_merge_pairs",
+    "corpus_shuffle_shard",
     "gopher_repetition_filter",
     "decontaminate_exact_spans",
     "dedup_cross_source_matrix",
@@ -130,9 +135,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_brute_topk",
     "ann_ivf_topk",
     "ann_lsh_buckets",
-    "ann_lsh_pairs",
-    "approx_distinct",
-    "approx_distinct_hll",
 )
 
 

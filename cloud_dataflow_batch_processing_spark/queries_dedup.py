@@ -100,6 +100,12 @@ def dedup_minhash_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
+    # r11: demoted late — the banded near-dup class is carried by the
+    # minhash family (pairs/fast/incremental, certified r10) plus
+    # ngram_jaccard and embedding_cosine; simhash itself certified
+    # r10. Its slot funds classifier_quality_score (a new class:
+    # model-based quality filtering).
+    late=True,
     oracle=f"""
     WITH th_t AS (
       SELECT doc_id, {D.token_hashes_sql('text')} AS th FROM documents WHERE doc_id < 100

@@ -32,6 +32,12 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
            MAX(o_orderkey) AS max_key
     FROM orders GROUP BY o_orderstatus
     """,
+    # r11: demoted late — the file-format roundtrip class is carried
+    # in-window by orc_roundtrip_agg and tfrecord_roundtrip_agg (both
+    # in the r11 window); avro itself was driver-certified r9 and its
+    # OCF codec stays unit-pinned. Its slot funds corpus_shuffle_shard
+    # (a new class: deterministic shuffle/shard layout).
+    late=True,
 )
 def avro_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro OCF write→read roundtrip (beam/io/avroio.py:66,380 parity),

@@ -750,6 +750,11 @@ def group_sorted_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (multi_table_join_chain, q1_pricing_summary, top_n_global); the
     # r7: promoted into the driver's 50-query window (window rotation
     # — this operator class had only local-oracle coverage before).
+    # r11: demoted late — the 3-table join + rollup + bounded top-k
+    # class is carried in-window by q10 and by the primary
+    # multi_table_join_chain; its slot funds bpe_merge_pairs (a new
+    # class: vocabulary induction).
+    late=True,
     oracle="""
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -880,3 +880,68 @@ def gopher_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     extensions/repetition.py::gopher_repetition_stats."""
     d = load_tables(spark, sf_dir)["documents"]
     return REP.gopher_repetition_stats(d)
+
+
+from cloud_dataflow_batch_processing_spark.extensions import lm as LM  # noqa: E402
+from cloud_dataflow_batch_processing_spark.extensions import shard as SHARD  # noqa: E402
+
+
+@register(
+    "bpe_merge_pairs",
+    oracle=LM.bpe_merge_pairs_sql("documents", "text", 100),
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE/WordPiece vocabulary induction, the count step (Sennrich et
+    al. 2016): corpus-wide adjacent-token-pair frequencies, top-100
+    merge candidates with a total-order tiebreak. Per-doc pairs from
+    one codegen transform over the token array (no position self-join);
+    ONE partial/final hash agg on the pair key (map-side combine
+    absorbs the Zipf head); top-k plans as TakeOrderedAndProject.
+    Counts merge across shards like unigram_freq — tokenizer training
+    at 100 TB is this count iterated with a vocab-sized driver-side
+    merge table. Impl: extensions/lm.py::bpe_merge_pair_counts."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return LM.bpe_merge_pair_counts(d, "text", top_k=100)
+
+
+@register(
+    "corpus_shuffle_shard",
+    oracle=SHARD.shuffle_shard_sql("documents", "doc_id", "n_chars", 8, "r11"),
+)
+def corpus_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + round-robin sharding — the
+    corpus-to-training-shards step: seeded md5 permutation key, global
+    rank WITHOUT an unpartitioned row_number (reuses the range-
+    partition + prefix-offset two-pass of operators/ids.py — one range
+    shuffle + a partition-count collect, no single-reduce stage),
+    shard_id = rank % 8 (exact ±1 balance, every shard an unbiased
+    interleave of sources). Result is the per-shard manifest (counts,
+    sizes, permutation checksum, key ranges); the oracle is the naive
+    ROW_NUMBER form, so the hash gate proves the scalable spelling is
+    permutation-exact. Impl: extensions/shard.py::shuffle_shard_assign."""
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+    return SHARD.shard_stats(
+        SHARD.shuffle_shard_assign(d, "doc_id", n_shards=8, seed="r11")
+    )
+
+
+from cloud_dataflow_batch_processing_spark.extensions import classifier as CLF  # noqa: E402
+
+
+@register(
+    "classifier_quality_score",
+    oracle=CLF.hashed_linear_score_sql("documents", "text", 4096, 50, 0.0),
+)
+def classifier_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext / FineWeb-Edu-
+    classifier-shaped admission gate): hashed bag-of-tokens linear
+    scoring, keep = score > threshold. ZERO-shuffle — scan → one
+    codegen projection (rolling hash per token nested inside a bigint
+    fold over the token array; milli-quantized weights, one double
+    division per doc) → done; no UDF, no explode, no join. The
+    weight-TABLE path (broadcast lookup join, the shape real trained
+    weights ship in) is unit-pinned equivalent, so swapping in a
+    trained model changes no plumbing. Impl:
+    extensions/classifier.py::hashed_linear_score."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return CLF.hashed_linear_score(d, "text", n_buckets=4096)

@@ -55,6 +55,12 @@ def main() -> None:
         "dedup_cross_source_matrix",
         # zero-shuffle contract: scan -> one Arrow pass -> projection
         "gopher_repetition_filter",
+        # one pair-key hash agg + TakeOrderedAndProject
+        "bpe_merge_pairs",
+        # range shuffle + manifest hash agg; no Window/SinglePartition
+        "corpus_shuffle_shard",
+        # zero-shuffle codegen projection; no EvalPython anywhere
+        "classifier_quality_score",
     ]
     audited = dict(headline_queries())
     audited.update({n: REGISTRY[n].fn for n in extra})

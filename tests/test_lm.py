@@ -112,3 +112,156 @@ def test_vocab_coverage_global_window_is_bounded(spark):
     )
     assert got[5] == sum(r["cnt"] for r in full[:5])
     assert got[10] == sum(r["cnt"] for r in full[:10])
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (vocabulary induction, round 11)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_fixture(spark):
+    """'a a a b' contributes (a,a)x2, (a,b)x1 — overlapping pairs each
+    count; docs with <2 tokens and NULL text contribute nothing."""
+    d = _docs(
+        spark,
+        [(1, "a a a b"), (2, "a b"), (3, "x"), (4, ""), (5, None), (6, "b a")],
+    )
+    got = {
+        (r["left_tok"], r["right_tok"]): r["pair_count"]
+        for r in LM.bpe_merge_pair_counts(d, top_k=10).collect()
+    }
+    assert got == {("a", "a"): 2, ("a", "b"): 2, ("b", "a"): 1}
+
+
+def test_bpe_pair_counts_tie_and_limit_order(spark):
+    """top_k cuts on the (count DESC, left ASC, right ASC) total order
+    — the limit boundary is deterministic under ties."""
+    d = _docs(spark, [(1, "b c"), (2, "a d"), (3, "a c")])
+    rows = [
+        (r["left_tok"], r["right_tok"], r["pair_count"])
+        for r in LM.bpe_merge_pair_counts(d, top_k=2).collect()
+    ]
+    assert rows == [("a", "c", 1), ("a", "d", 1)]
+
+
+def test_bpe_pair_counts_merge_across_shards(spark):
+    """Pair counts are counter-sum mergeable — the incremental posture:
+    counting shards then summing == counting the union."""
+    d = _docs(spark, [(1, "a b a b"), (2, "b a"), (3, "a b c"), (4, "c c a")])
+    whole = {
+        (r["left_tok"], r["right_tok"]): r["pair_count"]
+        for r in LM.bpe_merge_pair_counts(d, top_k=100).collect()
+    }
+    halves = [
+        LM.bpe_merge_pair_counts(d.filter(F.col("doc_id") <= 2), top_k=100),
+        LM.bpe_merge_pair_counts(d.filter(F.col("doc_id") > 2), top_k=100),
+    ]
+    merged: dict = {}
+    for h in halves:
+        for r in h.collect():
+            k = (r["left_tok"], r["right_tok"])
+            merged[k] = merged.get(k, 0) + r["pair_count"]
+    assert merged == whole
+
+
+def test_bpe_pair_counts_plan(spark):
+    """One pair-key hash-agg shuffle; the explode is a codegen
+    transform (no Python); top-k plans as TakeOrderedAndProject, not a
+    global sort."""
+    from cloud_dataflow_batch_processing_spark.plans.inspect import (
+        count_shuffles,
+        executed_plan,
+    )
+
+    d = _docs(spark, [(1, "a b c d e"), (2, "b c d")])
+    df = LM.bpe_merge_pair_counts(d, top_k=5)
+    plan = executed_plan(df)
+    assert count_shuffles(df) == 1
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer (count -> adopt -> re-segment loop) vs a pure-Python oracle
+# ---------------------------------------------------------------------------
+
+
+def _py_bpe(texts, n_merges, min_count=2, sep="\x1e"):
+    """Independent reference: same adoption tiebreak (count DESC, left
+    ASC, right ASC), same leftmost-greedy non-overlapping re-segment."""
+    toks = {i: t.split() for i, t in texts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for t in toks.values():
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + 1
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if c < min_count:
+            break
+        merges.append((a, b, c))
+        j = a + sep + b
+        for k, t in toks.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(j)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            toks[k] = out
+    return merges, toks
+
+
+def _run_both(spark, texts, n_merges, **kw):
+    d = _docs(spark, list(texts.items()))
+    merges, seg = LM.bpe_train(d, n_merges=n_merges, **kw)
+    got_seg = {r["doc_id"]: list(r["t"]) for r in seg.collect()}
+    exp_merges, exp_seg = _py_bpe(texts, n_merges, **kw)
+    return (merges, got_seg), (exp_merges, exp_seg)
+
+
+def test_bpe_train_matches_python_oracle(spark):
+    """Merge sequence AND final segmentation match the reference on a
+    corpus exercising overlap ('a a a'), ties, and merged-unit reuse
+    (a merge's output participating in a later merge)."""
+    texts = {
+        1: "a a a b c",
+        2: "a b c a b",
+        3: "b c b c a a",
+        4: "c a a b",
+    }
+    (merges, seg), (exp_merges, exp_seg) = _run_both(spark, texts, n_merges=5)
+    assert merges == exp_merges
+    assert seg == exp_seg
+    # merged units really chain: some adopted pair contains the separator
+    assert any("\x1e" in a or "\x1e" in b for a, b, _ in merges)
+
+
+def test_bpe_train_early_stop_below_min_count(spark):
+    """All pairs unique -> best count 1 < min_count=2 -> zero merges,
+    segmentation unchanged."""
+    texts = {1: "a b c", 2: "d e f"}
+    (merges, seg), (exp_merges, exp_seg) = _run_both(spark, texts, n_merges=4)
+    assert merges == exp_merges == []
+    assert seg == {1: ["a", "b", "c"], 2: ["d", "e", "f"]}
+
+
+def test_bpe_train_seeded_random_sweep(spark):
+    """120-doc seeded-random corpus over a 5-token alphabet: the full
+    (merge table, segmentation) pair matches the reference — the same
+    adversarial style as the VCF/dialect property sweeps."""
+    import random
+
+    rng = random.Random(1107)
+    texts = {
+        i: " ".join(rng.choice("abcde") for _ in range(rng.randrange(0, 14)))
+        for i in range(120)
+    }
+    texts = {i: t for i, t in texts.items() if t}
+    (merges, seg), (exp_merges, exp_seg) = _run_both(spark, texts, n_merges=6)
+    assert merges == exp_merges
+    assert seg == exp_seg

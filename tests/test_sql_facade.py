@@ -151,11 +151,14 @@ TRANSLATED_CERTIFIED = [
     "asof_join_events",
     "bloom_decontaminate",
     "boilerplate_ngrams",
+    "bpe_merge_pairs",
     "cdc_merge_orders",
+    "classifier_quality_score",
     "cogroup_by_key",
     "corpus_audit_report",
     "corpus_build_full",
     "corpus_clean_pipeline",
+    "corpus_shuffle_shard",
     "corpus_source_tv_divergence",
     "decontaminate_eval_overlap",
     "decontaminate_exact_spans",
