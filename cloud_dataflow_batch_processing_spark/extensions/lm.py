@@ -374,3 +374,55 @@ def bpe_train(
             nxt = cur.localCheckpoint(eager=True)
             cur = nxt
     return merges, cur.localCheckpoint(eager=True)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple],
+    text_col: str = "text",
+    sep: str = "\x1e",
+    out_col: str = "t",
+) -> DataFrame:
+    """Tokenizer ENCODE: apply a learned merge table (the
+    :func:`bpe_train` output, adoption order) to text — the
+    deployment half of the tokenizer pair. Applying the merges in
+    adoption order with the same leftmost-greedy semantics reproduces
+    the training segmentation exactly on the training corpus
+    (unit-pinned), and segments new text the way the trained
+    tokenizer would.
+
+    Scale posture (100 TB): ZERO-shuffle — the whole merge table
+    ships in the UDF closure (vocab-sized, the same bounded side as a
+    broadcast dim) and every document encodes in ONE Arrow pass (the
+    per-merge loop runs in-process per batch, not as chained plan
+    nodes). NULL text -> NULL tokens.
+    """
+    import pandas as pd  # noqa: F401 — executor-side import
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    pairs = [(m[0], m[1], f"{m[0]}{sep}{m[1]}") for m in merges]
+
+    def enc(col):
+        def one(text):
+            if text is None:
+                return None
+            toks = text.split()
+            for a, b, j in pairs:
+                out, i, n = [], 0, len(toks)
+                while i < n:
+                    if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                        out.append(j)
+                        i += 2
+                    else:
+                        out.append(toks[i])
+                        i += 1
+                toks = out
+            return toks
+
+        return col.map(one)
+
+    return df.withColumn(
+        out_col, pandas_udf(enc, T.ArrayType(T.StringType()))(text_col)
+    )

@@ -28,7 +28,14 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # Canonicalize the missing marker BEFORE stringifying:
+            # Spark's toPandas ships SQL NULL as None, DuckDB's .df()
+            # (and Arrow-backed UDF outputs) as NaN — astype(str) would
+            # read the same missing value as 'None' vs 'nan' (first hit:
+            # classifier_quality_score's nullable BOOLEAN on the
+            # adversarial corpus). '<NULL>' also keeps missing distinct
+            # from literal 'nan'/'None' strings.
+            df[c] = df[c].where(pd.notna(df[c]), "<NULL>").astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -60,7 +67,11 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str)
             # so a last-ulp difference is a real failure, not noise.
             bad = 0
             worst = 0.0
-            for x, y in zip(av.astype(float), bv.astype(float)):
+            # the canonical '<NULL>' marker reads back as NaN here (a
+            # float column's missing value), matching NaN==NaN below
+            fa = [float("nan") if str(x) == "<NULL>" else float(x) for x in av]
+            fb = [float("nan") if str(y) == "<NULL>" else float(y) for y in bv]
+            for x, y in zip(fa, fb):
                 if math.isnan(x) and math.isnan(y):
                     continue
                 if x != y:

@@ -265,3 +265,49 @@ def test_bpe_train_seeded_random_sweep(spark):
     (merges, seg), (exp_merges, exp_seg) = _run_both(spark, texts, n_merges=6)
     assert merges == exp_merges
     assert seg == exp_seg
+
+
+def test_bpe_encode_reproduces_training_segmentation(spark):
+    """The train/encode contract: encoding the TRAINING corpus with
+    the learned merge table reproduces bpe_train's final segmentation
+    exactly (adoption-order greedy apply == the training trajectory)."""
+    texts = {1: "a a a b c", 2: "a b c a b", 3: "b c b c a a", 4: "c a a b"}
+    d = _docs(spark, list(texts.items()))
+    merges, seg = LM.bpe_train(d, n_merges=5)
+    trained = {r["doc_id"]: list(r["t"]) for r in seg.collect()}
+    encoded = {
+        r["doc_id"]: list(r["t"])
+        for r in LM.bpe_encode(d, merges).select("doc_id", "t").collect()
+    }
+    assert encoded == trained
+
+
+def test_bpe_encode_new_text_and_nulls(spark):
+    """Unseen text segments with the learned merges; chained merges
+    apply transitively; NULL text stays NULL."""
+    train = _docs(spark, [(1, "x y z x y z"), (2, "x y z")])
+    merges, _ = LM.bpe_train(train, n_merges=2)
+    # learned: (x,y) then (x<sep>y, z)
+    assert [(m[0], m[1]) for m in merges] == [("x", "y"), ("x\x1ey", "z")]
+    new = _docs(spark, [(10, "q x y z x y q"), (11, None)])
+    got = {
+        r["doc_id"]: (list(r["t"]) if r["t"] is not None else None)
+        for r in LM.bpe_encode(new, merges).select("doc_id", "t").collect()
+    }
+    assert got == {10: ["q", "x\x1ey\x1ez", "x\x1ey", "q"], 11: None}
+
+
+def test_bpe_encode_zero_shuffle_single_arrow_pass(spark):
+    """Plan pin: no Exchange; exactly one ArrowEvalPython node however
+    many merges the table holds."""
+    from cloud_dataflow_batch_processing_spark.plans.inspect import (
+        count_shuffles,
+        executed_plan,
+    )
+
+    d = _docs(spark, [(1, "a b a b")])
+    merges = [("a", "b", 2), ("a\x1eb", "a\x1eb", 1)]
+    df = LM.bpe_encode(d, merges)
+    plan = executed_plan(df)
+    assert count_shuffles(df) == 0
+    assert plan.count("ArrowEvalPython") == 1
