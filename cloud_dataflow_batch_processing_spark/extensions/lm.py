@@ -169,7 +169,11 @@ def vocab_coverage(
     totals = freq.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_types")
     )
-    ks = freq.sparkSession.createDataFrame([(k,) for k in top_ks], "top_k int")
+    from cloud_dataflow_batch_processing_spark.sources.create import local_df
+
+    # Literal JVM frame — the createDataFrame form re-evaluated a
+    # 32-slice Python RDD on every action (sources/create.local_df).
+    ks = local_df(freq.sparkSession, [(k,) for k in top_ks], "top_k int")
     # A k beyond the vocabulary clamps to the last rank (coverage 1.0)
     # instead of silently dropping the point. Resolving the clamp on
     # the tiny ks × totals side makes the main join an EQUI join

@@ -218,7 +218,9 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     surv = read_survivors(spark, out)
     if surv is None:
-        return spark.createDataFrame([], "doc_id long, batch int")
+        from cloud_dataflow_batch_processing_spark.sources.create import local_df
+
+        return local_df(spark, [], "doc_id long, batch int")
     return surv.select(
         "doc_id", (F.col("doc_id") % 2).cast("int").alias("batch")
     )

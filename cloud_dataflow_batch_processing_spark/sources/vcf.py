@@ -216,7 +216,13 @@ def _header_table(spark: SparkSession, pattern: str) -> DataFrame:
         rows.append((path, samples, info_counts))
     if not rows:
         raise FileNotFoundError(f"no files match VCF pattern: {pattern!r}")
-    return spark.createDataFrame(rows, _HEADER_SCHEMA)
+    # Literal JVM frame, not createDataFrame: the header table is a
+    # broadcast side evaluated on EVERY read action — the Python-RDD
+    # form re-ran defaultParallelism Python-worker slices per action
+    # (sources/create.local_df docstring has the measurement).
+    from cloud_dataflow_batch_processing_spark.sources.create import local_df
+
+    return local_df(spark, rows, _HEADER_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -506,8 +512,14 @@ def write_vcf_lines(
     header belongs to exactly one file); write several files for
     multi-file / per-file-header coverage."""
     spark = df.sparkSession
-    hdr_df = spark.createDataFrame(
-        [(i, line) for i, line in enumerate(header_lines)], "ord long, value string"
+    # Literal JVM frame (sources/create.local_df): the createDataFrame
+    # form was a 32-slice Python RDD whose coalesce(1) write evaluated
+    # every slice SEQUENTIALLY in one task — ~5 s per file written for
+    # a 6-line header (measured, r11 optimization round).
+    from cloud_dataflow_batch_processing_spark.sources.create import local_df
+
+    hdr_df = local_df(
+        spark, [(i, line) for i, line in enumerate(header_lines)], "ord long, value string"
     )
     rec_df = df.select(F.lit(len(header_lines)).alias("ord"), "value")
     (

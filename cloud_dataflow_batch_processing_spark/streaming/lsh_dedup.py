@@ -89,7 +89,9 @@ def process_lsh_dedup_batch(
     if parts:
         store = spark.read.parquet(*parts)
     else:
-        store = spark.createDataFrame([], sigs.schema)
+        from cloud_dataflow_batch_processing_spark.sources.create import local_df
+
+        store = local_df(spark, [], sigs.schema)  # empty JVM frame, no Python RDD
     pairs = incremental_near_dups(
         store, sigs, threshold=threshold, max_bucket_size=max_bucket_size
     )

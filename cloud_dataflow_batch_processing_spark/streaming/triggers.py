@@ -284,10 +284,17 @@ def discarding_early_sink(
                     newstate = newstate.filter(F.col(evict_col) >= F.lit(horizon))
             newstate.write.mode("overwrite").parquet(_spath(bid, "state"))
             if evict_col is not None:
+                # Literal JVM 1-row frame (sources/create.local_df):
+                # the createDataFrame + coalesce(1) form paid every
+                # Python-RDD slice sequentially in one task, per batch.
+                from cloud_dataflow_batch_processing_spark.sources.create import (
+                    local_df,
+                )
+
                 wm_schema = StructType(
                     [StructField("max_wm", df.schema[evict_col].dataType, True)]
                 )
-                spark.createDataFrame([(max_wm,)], wm_schema).coalesce(1).write.mode(
+                local_df(spark, [(max_wm,)], wm_schema).coalesce(1).write.mode(
                     "overwrite"
                 ).parquet(_spath(bid, "wm"))
             result = sink(out, batch_id)
