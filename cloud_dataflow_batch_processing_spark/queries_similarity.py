@@ -255,6 +255,13 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.9; reported per cluster as (n_members, n_dropped,
     n_kept). Candidate generation is bucketed by cluster id — the same
     bounded-bucket self-join shape as the LSH pipelines, never
-    all-pairs."""
+    all-pairs. assign_method="arrow": bit-identical to the literal-
+    expression path (the semantic_kmeans_assign / _arrow twin pair
+    certifies both against ONE oracle) and the SemDeDup-realistic
+    posture (k grows to 10k-100k clusters, where the literal plan is
+    impossible); at sf0.1 it cut the three interpreted-HOF assignment
+    passes from ~5 s to ~1.5 s (r11, guide §4)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return S.semantic_dedup_stats(emb, k=8, iters=2, min_cosine=0.9)
+    return S.semantic_dedup_stats(
+        emb, k=8, iters=2, min_cosine=0.9, assign_method="arrow"
+    )

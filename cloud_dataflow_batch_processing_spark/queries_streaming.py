@@ -211,8 +211,13 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, batch in enumerate(
         [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)]
     ):
-        batch.write.mode("overwrite").json(os.path.join(src, f"b{i}"))
-        sdf = spark.readStream.schema(d.schema).json(os.path.join(src, "b*"))
+        # Parquet staging (was JSON): identical rows enter the stream,
+        # but the text-heavy documents table serializes/parses several
+        # times faster, and the micro-batch frame is re-scanned per
+        # foreachBatch action (signatures + survivor anti-join) — the
+        # file-source streaming semantics are unchanged (guide §6).
+        batch.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+        sdf = spark.readStream.schema(d.schema).parquet(os.path.join(src, "b*"))
         run_streaming_lsh_dedup(
             sdf, "doc_id", "text", store, out, ckpt, threshold=0.8
         )
