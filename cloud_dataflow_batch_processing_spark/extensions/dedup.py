@@ -202,23 +202,7 @@ def minhash_near_dup_pairs(
     #   stage 3: 16 minhash lanes + distinct shingle set
     # then cache: the band explosion, bucket sizing, and the pair join
     # all reuse the signature frame instead of recomputing it 6x.
-    if fast_hashing:
-        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
-            token_hashes_fast,
-        )
-
-        th_expr = token_hashes_fast(F.col(text_col))
-    else:
-        th_expr = token_hashes(text_col)
-    th_df = df.select(F.col(id_col).alias("__id"), th_expr.alias("__th"))
-    sh_df = th_df.select(
-        "__id", shingles_from_token_hashes(F.col("__th")).alias("__shl")
-    )
-    sig_frame = sh_df.select(
-        "__id",
-        F.array_distinct("__shl").alias("__sh"),
-        *minhash_from_shingles(F.col("__shl")),
-    )
+    sig_frame = minhash_signatures(df, id_col, text_col, fast_hashing)
     if materialize == "bucketed":
         # VERDICT r9 #6: persist the SIGNATURE store bucketed (and
         # sorted) by __id — the two wide fetch joins below then consume
@@ -898,7 +882,20 @@ def minhash_signatures(
     snapshot (parquet, partitioned however the corpus is); incremental
     dedup then recomputes signatures ONLY for the new batch and reads
     the store for everything else — the signature pass over a 100 TB
-    corpus is the dominant cost, and this is what makes it one-time."""
+    corpus is the dominant cost, and this is what makes it one-time.
+
+    ``minhash_near_dup_pairs`` builds its signature frame THROUGH this
+    function (r11) so the two construct byte-identical plans — that is
+    what lets corpus_build_full's decontamination stage re-hit the
+    near-dup stage's signature cache instead of re-tokenizing.
+
+    Deliberately NO pre-UDF fan-out here (unlike the gopher/quality
+    passes): the r11 interleaved A/B showed the repartition REGRESSES
+    this family at bench scale (incremental 2.0 -> 4.3 s; pairs_fast
+    1.6 -> 2.2 s) — the signature output (shingle sets + 16 lanes) then
+    flows through every downstream join at the inflated partition
+    count, and the tokenize here is too cheap per doc to amortize it.
+    At real scale input splits exceed cores anyway."""
     if fast_hashing:
         from cloud_dataflow_batch_processing_spark.functions.text_fast import (
             token_hashes_fast,

@@ -67,6 +67,7 @@ def _gopher_numerators_series(col):
     """Arrow-batched per-doc integer numerators. Executor-side import
     of the tokenizer twin keeps the fold bit-identical to tokens() /
     token_hashes() (the certified polynomial)."""
+    import numpy as np
     import pandas as pd
 
     from cloud_dataflow_batch_processing_spark.functions.text_fast import (
@@ -80,39 +81,46 @@ def _gopher_numerators_series(col):
         if s is None:
             return {f: None for f in _NUM_FIELDS}
         toks = _toks(s)
-        th = [_hash_str(t, memo) for t in toks]
         m = len(toks)
+        th = np.fromiter(
+            (_hash_str(t, memo) for t in toks), dtype=np.int64, count=m
+        )
         # prefix sums of token char lengths: window chars in O(1)
-        pl = [0] * (m + 1)
-        for i, t in enumerate(toks):
-            pl[i + 1] = pl[i] + len(t)
-        out = {"n_tokens": m, "total_chars": pl[m]}
+        pl = np.zeros(m + 1, dtype=np.int64)
+        if m:
+            np.cumsum(np.fromiter((len(t) for t in toks), np.int64, m), out=pl[1:])
+        out = {"n_tokens": m, "total_chars": int(pl[m])}
         for n in TOP_NS + DUP_NS:
-            counts: dict[int, list[int]] = {}
-            for i in range(m - n + 1):
-                acc = th[i]
-                for off in range(1, n):
-                    acc = (acc * HASH_MULT + th[i + off]) % HASH_MOD
-                gchars = pl[i + n] - pl[i]
-                e = counts.get(acc)
-                if e is None:
-                    counts[acc] = [1, gchars]
-                else:
-                    e[0] += 1
-                    # hash-tied grams: keep MAX chars (mirrors the
-                    # oracle's MAX(gchars) GROUP BY)
-                    if gchars > e[1]:
-                        e[1] = gchars
             key = (
                 f"top_{n}gram_chars" if n in TOP_NS else f"dup_{n}gram_chars"
             )
-            if not counts:
+            w = m - n + 1
+            if w <= 0:
                 out[key] = 0
-            elif n in TOP_NS:
-                mx = max(c for c, _ in counts.values())
-                out[key] = mx * max(g for c, g in counts.values() if c == mx)
+                continue
+            # Vectorized rolling fold — the same per-step
+            # (acc*MULT + th) % MOD arithmetic as the certified scalar
+            # fold (HASH_MOD < 2^30, so acc*31 + th < 2^35 fits int64
+            # exactly; r11 guide §4 — the per-position Python inner
+            # loop was ~10x this cost at identical values).
+            acc = th[:w].copy()
+            for off in range(1, n):
+                acc *= HASH_MULT
+                acc += th[off : off + w]
+                acc %= HASH_MOD
+            gchars = pl[n : n + w] - pl[:w]
+            uniq, inv = np.unique(acc, return_inverse=True)
+            counts = np.bincount(inv, minlength=len(uniq))
+            # hash-tied grams: keep MAX chars (mirrors the oracle's
+            # MAX(gchars) GROUP BY)
+            gmax = np.zeros(len(uniq), dtype=np.int64)
+            np.maximum.at(gmax, inv, gchars)
+            if n in TOP_NS:
+                mx = counts.max()
+                out[key] = int(mx) * int(gmax[counts == mx].max())
             else:
-                out[key] = sum(c * g for c, g in counts.values() if c >= 2)
+                dup = counts >= 2
+                out[key] = int((counts[dup] * gmax[dup]).sum())
         return out
 
     # explicit column order + empty-batch shape (a bare DataFrame of an
@@ -125,7 +133,23 @@ def gopher_repetition_stats(
 ) -> DataFrame:
     """Per-document Gopher repetition report:
     (doc_id, n_tokens, total_chars, top_{2,3,4}gram_frac,
-    dup_{5..10}gram_frac, pass_repetition). Zero shuffles."""
+    dup_{5..10}gram_frac, pass_repetition). Zero shuffles at real
+    scale; see the fan-out note below."""
+    from cloud_dataflow_batch_processing_spark.extensions.substring import (
+        _plan_has_wide_node,
+    )
+
+    # The Arrow pass runs where the scan runs: a corpus read from fewer
+    # splits than cores (ONE single-row-group file at bench scale)
+    # computes every document on one task. Fan out scan-shaped inputs
+    # first — a narrow exchange of raw text that is a no-op at real
+    # scale where input splits exceed the core count (the exact
+    # substring.py::substring span-stage pattern, incl. the
+    # hash-not-round-robin and scan-shaped-only rationale). r11: warm
+    # 2.0s single-task -> measured below with 32-way spread (guide §2).
+    sc = df.sparkSession.sparkContext
+    if not _plan_has_wide_node(df) and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism, F.col(id_col))
     stats = pandas_udf(_gopher_numerators_series, _NUM_SCHEMA)(F.col(text_col))
     flat = df.select(F.col(id_col).alias("doc_id"), stats.alias("__g")).select(
         "doc_id", "__g.*"

@@ -54,50 +54,13 @@ from cloud_dataflow_batch_processing_spark.functions.text import (
 
 SPAN_TOKENS = 8
 
-# Logical operators that imply the frame is already shuffle-spread
-# (so the pre-hash fan-out repartition would be a pure pessimization,
-# and probing .rdd partition counts would force AQE to execute the
-# upstream stages just for metadata).
-_WIDE_NODE_PREFIXES = (
-    "Join",
-    "Aggregate",
-    "Repartition",
-    "Window",
-    "Rebalance",
-    "Sort",         # global sort = range exchange
-    "Deduplicate",  # distinct() before optimization rewrites it
+# Canonical implementations moved to plans/inspect.py (r11 — the
+# fan-out pattern now serves several Arrow-pass operators and dedup.py
+# cannot import from this module without a cycle); re-exported here
+# for the existing importers.
+from cloud_dataflow_batch_processing_spark.plans.inspect import (  # noqa: F401
+    plan_has_wide_node as _plan_has_wide_node,
 )
-
-
-def _plan_has_wide_node(df: DataFrame) -> bool:
-    """True if the analyzed logical plan contains a shuffle-introducing
-    node. Walks node CLASS names via py4j (Join, Aggregate,
-    RepartitionByExpression, Window, ...) — never the rendered plan
-    string, which false-positives on column/relation names that happen
-    to contain 'Join'/'Window' (ADVICE r4). Subquery expressions carry
-    their own plans OUTSIDE children(), so each node's subqueries()
-    are walked too — a frame filtered on a scalar subquery whose only
-    Aggregate lives in the subquery is still shuffle-spread."""
-    stack = [df._jdf.queryExecution().analyzed()]
-    while stack:
-        node = stack.pop()
-        name = node.getClass().getSimpleName()
-        if name.startswith(_WIDE_NODE_PREFIXES):
-            # The Sort logical class covers BOTH orderBy (global=true,
-            # range exchange) and sortWithinPartitions (global=false,
-            # narrow) — only the global one makes the frame wide.
-            # ('global' is a Python keyword, hence getattr.)
-            if name.startswith("Sort") and not getattr(node, "global")():
-                pass
-            else:
-                return True
-        children = node.children()
-        for i in range(children.size()):
-            stack.append(children.apply(i))
-        subqueries = node.subqueries()
-        for i in range(subqueries.size()):
-            stack.append(subqueries.apply(i))
-    return False
 
 
 def _dup_spans(

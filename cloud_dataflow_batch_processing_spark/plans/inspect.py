@@ -92,6 +92,87 @@ def count_shuffles(df: DataFrame) -> int:
     return len(seen)
 
 
+# Logical operators that imply the frame is already shuffle-spread
+# (so a pre-UDF fan-out repartition would be a pure pessimization, and
+# probing .rdd partition counts would force AQE to execute the
+# upstream stages just for metadata). Canonical home of the helper
+# formerly in extensions/substring.py (r11: the fan-out pattern now
+# serves several Arrow-pass operators and dedup.py cannot import from
+# substring.py without a cycle).
+_WIDE_NODE_PREFIXES = (
+    "Join",
+    "Aggregate",
+    "Repartition",
+    "Window",
+    "Rebalance",
+    "Sort",         # global sort = range exchange
+    "Deduplicate",  # distinct() before optimization rewrites it
+)
+
+
+def plan_has_wide_node(df: DataFrame) -> bool:
+    """True if the analyzed logical plan contains a shuffle-introducing
+    node. Walks node CLASS names via py4j (Join, Aggregate,
+    RepartitionByExpression, Window, ...) — never the rendered plan
+    string, which false-positives on column/relation names that happen
+    to contain 'Join'/'Window' (ADVICE r4). Subquery expressions carry
+    their own plans OUTSIDE children(), so each node's subqueries()
+    are walked too — a frame filtered on a scalar subquery whose only
+    Aggregate lives in the subquery is still shuffle-spread."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name.startswith(_WIDE_NODE_PREFIXES):
+            # The Sort logical class covers BOTH orderBy (global=true,
+            # range exchange) and sortWithinPartitions (global=false,
+            # narrow) — only the global one makes the frame wide.
+            # ('global' is a Python keyword, hence getattr.)
+            if name.startswith("Sort") and not getattr(node, "global")():
+                pass
+            else:
+                return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+        subqueries = node.subqueries()
+        for i in range(subqueries.size()):
+            stack.append(subqueries.apply(i))
+    return False
+
+
+def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition a SCAN-SHAPED frame to the core count when the
+    scan yields fewer splits than cores — so a following Arrow/UDF
+    pass parallelizes instead of running every row on one task (a
+    single-row-group bench file is unsplittable). A no-op at real
+    scale (splits >= cores) and for frames already downstream of a
+    wide node. Hash on ``key_col``, NOT round-robin: round-robin
+    injects a sort-before-repartition for retry determinism, which
+    re-derives the projection and duplicates the UDF node below the
+    exchange (the substring span-stage findings, r11-shared)."""
+    from pyspark.sql import functions as F
+
+    sc = df.sparkSession.sparkContext
+    if not plan_has_wide_node(df) and df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, F.col(key_col))
+    return df
+
+
+def count_plan_nodes(df: DataFrame, *name_prefixes: str) -> int:
+    """Distinct executed-plan nodes whose nodeName starts with any of
+    ``name_prefixes`` — same dedup discipline as :func:`count_shuffles`
+    (node ids, caches walked once), so e.g. the number of
+    ArrowEvalPython passes in a composed cached pipeline is truthful
+    where the textual count multiplies per cache reference."""
+    seen: set[int] = set()
+    for node in iter_plan_nodes(df._jdf.queryExecution().executedPlan()):
+        name = node.nodeName()
+        if any(name.startswith(p) for p in name_prefixes):
+            seen.add(node.id())
+    return len(seen)
+
+
 def iter_plan_nodes(plan, _seen_caches: set[int] | None = None):
     """``_jwalk`` extended through cache boundaries: recurses into each
     DISTINCT InMemoryRelation's build plan exactly once (an

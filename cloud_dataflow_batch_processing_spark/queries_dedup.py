@@ -810,12 +810,38 @@ def corpus_build(
         .select(F.explode(F.array_distinct("__shl")).alias("h"))
         .distinct()
     )
-    staged_ex = materialize_stage(
-        q3.select("doc_id", token_hashes_fast(F.col("text")).alias("__th"))
-        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
-        .select("doc_id", F.array_distinct("__shl").alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
+    if materialize == "cache":
+        # The near-dup stage above cached the q2 signature frame
+        # (managed_cache inside minhash_near_dup_pairs); rebuilding the
+        # IDENTICAL plan here substitutes that InMemoryRelation
+        # (verified: InMemoryTableScan in the executed plan), so the
+        # decontamination probe reads __sh from the cache instead of
+        # running a THIRD full tokenize+shingle pass over the corpus
+        # (r11, guide §2 "shuffle/scan fewer bytes": the signature pass
+        # is the dominant corpus-scale cost — NOTES). __sh is exactly
+        # array_distinct(shingles(token_hashes(text))), the value this
+        # branch computed inline before.
+        sigs_cached = D.minhash_signatures(q2, "doc_id", "text")
+        staged_ex = materialize_stage(
+            sigs_cached.select(
+                F.col("__id").alias("doc_id"), F.col("__sh").alias("sh")
+            )
+            .join(F.broadcast(q3.select("doc_id")), "doc_id", "left_semi")
+            .filter(F.size("sh") > 0)
+        )
+    else:
+        # checkpoint/bucketed postures materialize signatures under
+        # uuid-tagged paths/tables the plan matcher cannot see; the
+        # q3-only recompute stays (strictly less work than rebuilding
+        # the full-q2 signature frame on a cache miss).
+        staged_ex = materialize_stage(
+            q3.select("doc_id", token_hashes_fast(F.col("text")).alias("__th"))
+            .select(
+                "doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl")
+            )
+            .select("doc_id", F.array_distinct("__shl").alias("sh"))
+            .filter(F.size("sh") > 0)
+        )
     ex = staged_ex.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("h"))
     contaminated = (
         ex.join(F.broadcast(staged_ev), "h")

@@ -341,12 +341,25 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     therefore certifies the approximation bound, not the raw sketch."""
     t = load_tables(spark, sf_dir)
     rsd = 0.02
-    agg = t["lineitem"].agg(
-        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("a_ord"),
+    # The sketches and the exact counts are SEPARATE aggregates crossed
+    # at one row each: mixing approx_count_distinct with count_distinct
+    # in one .agg plans the distinct-rewrite Expand with a partial HLL
+    # sketch PER (key, gid) GROUP — ~600k 4KB register arrays at sf0.1
+    # (rsd=0.02) churned through two shuffles; measured 3.4-5.0s warm
+    # vs 0.6s split (r11, guide §2/§5). HLL registers are an
+    # idempotent max-merge, so the merged per-group sketches and the
+    # single global sketch are bit-identical — same estimate, same
+    # booleans, same oracle.
+    li = t["lineitem"]
+    exact = li.agg(
         F.count_distinct("l_orderkey").alias("x_ord"),
-        F.approx_count_distinct("l_partkey", rsd=rsd).alias("a_prt"),
         F.count_distinct("l_partkey").alias("x_prt"),
     )
+    approx = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("a_ord"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("a_prt"),
+    )
+    agg = exact.crossJoin(approx)  # 1 row x 1 row by construction
     bound = 2 * rsd
 
     def in_bound(a: str, x: str) -> F.Column:

@@ -70,10 +70,27 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + threshold filter — the standard pretraining
-    corpus-cleaning shape."""
+    corpus-cleaning shape. r11 (guide §4/§2): the Arrow twin of the
+    score (bit-identical — the corpus_build_full oracle certifies it
+    against the same SQL) instead of the interpreted HOF fold, scored
+    ONCE (the filter references the UDF output column, so Catalyst
+    cannot re-embed the fold into the predicate), with the substring-
+    pattern fan-out so a single-split bench scan doesn't run every
+    document on one task."""
+    from cloud_dataflow_batch_processing_spark.extensions.substring import (
+        _plan_has_wide_node,
+    )
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        quality_score_fast,
+    )
+
     d = load_tables(spark, sf_dir)["documents"]
-    q = X.quality_score("text")
-    return d.select("doc_id", q.alias("quality")).filter(q >= 0.5)
+    sc = spark.sparkContext
+    if not _plan_has_wide_node(d) and d.rdd.getNumPartitions() < sc.defaultParallelism:
+        d = d.repartition(sc.defaultParallelism, F.col("doc_id"))
+    return d.select(
+        "doc_id", quality_score_fast(F.col("text")).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
 
 
 @register(

@@ -144,7 +144,13 @@ def read_avro(spark: SparkSession, path: str, use_jvm: bool = True) -> DataFrame
             for content in pdf["content"]:
                 _, records = A.read_container(bytes(content))
                 rows.extend(records)
-            yield pd.DataFrame(rows, columns=field_names)
+            # Columnar assembly: pd.DataFrame(list-of-dicts) walks every
+            # dict per column internally; explicit per-column lists are
+            # ~2x faster at this record volume.
+            yield pd.DataFrame(
+                {n: [r.get(n) for r in rows] for n in field_names},
+                columns=field_names,
+            )
 
     return files_df.mapInPandas(parse, schema=struct)
 
@@ -191,17 +197,26 @@ def write_avro(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_partition(idx: int, it):
-        # Row.asDict(recursive=True) so nested structs become dicts the
-        # schema-driven encoder understands.
-        records = [row.asDict(recursive=True) for row in it]
+    def write_partition(batches):
+        # Arrow batches, not df.rdd: the Row-pickle boundary
+        # (JVM->pickle Row + asDict(recursive=True) per row) cost more
+        # than the Avro encode itself (guide §4). RecordBatch.to_pylist
+        # yields exactly the shapes encode_value accepts: None for
+        # nulls, datetime/date for temporals, bytes for binary, dict
+        # for structs, list for arrays.
+        from pyspark import TaskContext
+
+        records: list[dict] = []
+        for batch in batches:
+            records.extend(batch.to_pylist())
         if records:
+            idx = TaskContext.get().partitionId()
             blob = A.write_container(records, schema, codec=codec)
             with open(os.path.join(out_dir, f"part-{idx:05d}.avro"), "wb") as f:
                 f.write(blob)
         return iter(())
 
-    df.rdd.mapPartitionsWithIndex(write_partition).count()
+    df.mapInArrow(write_partition, schema="part int").count()
     if not any(f.endswith(".avro") for f in os.listdir(out_dir)):
         # Empty dataset: still commit one header-only OCF so the output
         # is a READABLE empty avro dataset (schema preserved), matching

@@ -127,22 +127,28 @@ def write_tfrecord(df: DataFrame, value_col: str, out_dir: str) -> None:
 
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_partition(idx: int, it):
+    def write_partition(batches):
+        # Arrow batches, not df.rdd (guide §4): the Row-pickle boundary
+        # dominated the frame/CRC encode. to_pylist yields bytes/None
+        # exactly as the row path did.
+        from pyspark import TaskContext
+
         records = []
-        for r in it:
-            if r is None:
-                raise ValueError(
-                    "NULL record cannot be TFRecord-framed; filter or "
-                    "coalesce upstream"
-                )
-            records.append(bytes(r))
+        for batch in batches:
+            for r in batch.column(0).to_pylist():
+                if r is None:
+                    raise ValueError(
+                        "NULL record cannot be TFRecord-framed; filter or "
+                        "coalesce upstream"
+                    )
+                records.append(bytes(r))
         if records:
+            idx = TaskContext.get().partitionId()
             with open(os.path.join(out_dir, f"part-{idx:05d}.tfrecord"), "wb") as f:
                 f.write(encode_records(records))
         return iter(())
 
-    rdd = df.select(F.col(value_col)).rdd.map(lambda r: r[0])
-    rdd.mapPartitionsWithIndex(write_partition).count()
+    df.select(F.col(value_col)).mapInArrow(write_partition, schema="part int").count()
     if not any(f.endswith(".tfrecord") for f in os.listdir(out_dir)):
         # Empty dataset: commit one zero-record file (valid TFRecord —
         # decode_records(b"") == []) so a downstream read of the

@@ -555,6 +555,9 @@ def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     single_row_cross_ok = {
         "approx_quantile_histogram",  # p50 x p90: both sides 1 row
         "approx_distinct_hll",        # est x est: both sides 1 row
+        # exact x approx: both groupless aggregates, 1 row each (the
+        # split that avoids per-group HLL buffers in the Expand path)
+        "approx_distinct",
         "funnel_signup_click_purchase",  # 3 single-row stage aggregates crossed
         "dedup_ngram_jaccard",  # brute-force ground truth, doc_id < 40 slice
         # rank == least(top_k, n_types) spans both sides, so Spark
