@@ -953,10 +953,17 @@ def corpus_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__nd", F.lit(True))
     )
+    # r11 (guide §4/§2): the near-dup stage above caches the signature
+    # frame over the same `d` (minhash_near_dup_pairs builds it through
+    # minhash_signatures); the IDENTICAL plan here resolves to that
+    # InMemoryRelation, so the audit's shingle sets come from the cache
+    # instead of a SECOND tokenize pass — and the old spelling's
+    # interpreted HOF fold (token_hashes) drops out entirely. __sh is
+    # exactly array_distinct(shingles(token_hashes(text))).
     staged = managed_cache(
-        base.select("doc_id", D.token_hashes("text").alias("__th"))
-        .select("doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl"))
-        .select("doc_id", F.array_distinct("__shl").alias("sh"))
+        D.minhash_signatures(d, "doc_id", "text").select(
+            F.col("__id").alias("doc_id"), F.col("__sh").alias("sh")
+        )
     )
     ev = (
         staged.filter(F.col("doc_id") % 97 == 0)
