@@ -63,10 +63,10 @@ def pagerank(
         # Empty graph: no nodes, no ranks — return the empty (node,
         # rank) frame with the right schema instead of dividing by N.
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = out_degrees(edges)
+    deg = managed_cache(out_degrees(edges))
     base = 1.0 - damping
     rank = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             edges.join(rank, edges["src"] == rank["node"])
             .join(deg, "src")
@@ -83,6 +83,17 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("rank"),
         )
+        if i < iters - 1:
+            # Round state is an EAGER localCheckpoint (the
+            # connected_components discipline, r11): each round's plan
+            # then starts from a LogicalRDD instead of re-entering AQE
+            # with the previous rounds' joins unrolled beneath it. The
+            # 2-column rank frame is tiny; old rounds' blocks release
+            # when the driver handle rotates. Values unchanged —
+            # checkpointing is plan surgery only. The LAST round stays
+            # lazy so the returned frame composes into the caller's
+            # plan as before.
+            rank = rank.localCheckpoint(eager=True)
     return rank.select("node", F.round("rank", 10).alias("rank"))
 
 
