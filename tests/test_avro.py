@@ -139,6 +139,42 @@ def test_spark_write_read_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_spark_write_read_roundtrip_map_column(spark, tmp_path):
+    """Spark-level roundtrip with a MapType column (ADVICE r11 #1): the
+    mapInArrow write path materializes map cells as lists of (key,
+    value) tuples via RecordBatch.to_pylist — the codec must encode
+    that shape identically to dicts, including a nested map inside an
+    array."""
+    out = str(tmp_path / "avro_map_rt")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                {f"k{i}": i, "c": None if i % 3 == 0 else i * 2},
+                [{f"n{i}": float(i)}],
+            )
+            for i in range(50)
+        ],
+        T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("attrs", T.MapType(T.StringType(), T.LongType(), True), False),
+                T.StructField(
+                    "nested",
+                    T.ArrayType(T.MapType(T.StringType(), T.DoubleType(), False), False),
+                    False,
+                ),
+            ]
+        ),
+    ).repartition(3)
+    write_avro(df, out, codec="deflate")
+    back = read_avro(spark, out + "/*.avro")
+    assert back.schema == df.schema
+    a = sorted(df.collect(), key=lambda r: r.id)
+    b = sorted(back.collect(), key=lambda r: r.id)
+    assert a == b
+
+
 def test_spark_roundtrip_from_testdata(spark, sf_dir, tmp_path):
     """Write a real parquet table out as Avro, read it back, and compare
     an aggregate — the end-to-end path the registered oracle query uses."""
