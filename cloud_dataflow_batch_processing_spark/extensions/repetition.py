@@ -135,9 +135,7 @@ def gopher_repetition_stats(
     (doc_id, n_tokens, total_chars, top_{2,3,4}gram_frac,
     dup_{5..10}gram_frac, pass_repetition). Zero shuffles at real
     scale; see the fan-out note below."""
-    from cloud_dataflow_batch_processing_spark.extensions.substring import (
-        _plan_has_wide_node,
-    )
+    from cloud_dataflow_batch_processing_spark.plans.inspect import fan_out_scan
 
     # The Arrow pass runs where the scan runs: a corpus read from fewer
     # splits than cores (ONE single-row-group file at bench scale)
@@ -147,9 +145,7 @@ def gopher_repetition_stats(
     # substring.py::substring span-stage pattern, incl. the
     # hash-not-round-robin and scan-shaped-only rationale). r11: warm
     # 2.0s single-task -> measured below with 32-way spread (guide §2).
-    sc = df.sparkSession.sparkContext
-    if not _plan_has_wide_node(df) and df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism, F.col(id_col))
+    df = fan_out_scan(df, id_col)
     stats = pandas_udf(_gopher_numerators_series, _NUM_SCHEMA)(F.col(text_col))
     flat = df.select(F.col(id_col).alias("doc_id"), stats.alias("__g")).select(
         "doc_id", "__g.*"

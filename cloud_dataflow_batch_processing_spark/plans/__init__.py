@@ -6,6 +6,8 @@ from cloud_dataflow_batch_processing_spark.plans.inspect import (
     assert_broadcast_join,
     assert_no_cartesian,
     count_shuffles,
+    count_plan_nodes,
+    fan_out_scan,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "assert_broadcast_join",
     "assert_no_cartesian",
     "count_shuffles",
+    "count_plan_nodes",
+    "fan_out_scan",
 ]

@@ -77,17 +77,12 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot re-embed the fold into the predicate), with the substring-
     pattern fan-out so a single-split bench scan doesn't run every
     document on one task."""
-    from cloud_dataflow_batch_processing_spark.extensions.substring import (
-        _plan_has_wide_node,
-    )
     from cloud_dataflow_batch_processing_spark.functions.text_fast import (
         quality_score_fast,
     )
+    from cloud_dataflow_batch_processing_spark.plans.inspect import fan_out_scan
 
-    d = load_tables(spark, sf_dir)["documents"]
-    sc = spark.sparkContext
-    if not _plan_has_wide_node(d) and d.rdd.getNumPartitions() < sc.defaultParallelism:
-        d = d.repartition(sc.defaultParallelism, F.col("doc_id"))
+    d = fan_out_scan(load_tables(spark, sf_dir)["documents"], "doc_id")
     return d.select(
         "doc_id", quality_score_fast(F.col("text")).alias("quality")
     ).filter(F.col("quality") >= 0.5)

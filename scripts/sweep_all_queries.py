@@ -21,7 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
-from cloud_dataflow_batch_processing_spark.plans import count_shuffles, executed_plan
+from cloud_dataflow_batch_processing_spark.plans import (
+    count_plan_nodes,
+    count_shuffles,
+    executed_plan,
+)
 from cloud_dataflow_batch_processing_spark.queries import queries
 from cloud_dataflow_batch_processing_spark.session import get_spark
 
@@ -71,8 +75,12 @@ def main() -> None:
                 cold=round(runs[0], 3),
                 warm=round(min(runs[1:]) if len(runs) > 1 else runs[0], 3),
                 shuffles=count_shuffles(df),
-                batch_eval_python=plan.count("BatchEvalPython"),
-                arrow_eval_python=plan.count("ArrowEvalPython"),
+                # Node-walk counters (plans/inspect.py), NOT string
+                # counts: the textual dump re-prints cached lineage per
+                # reference (4202 "ArrowEvalPython" where the truth was
+                # 5 — VERDICT r10 #3 / ADVICE r11 #3).
+                batch_eval_python=count_plan_nodes(df, "BatchEvalPython"),
+                arrow_eval_python=count_plan_nodes(df, "ArrowEvalPython"),
                 cartesian=("CartesianProduct" in plan)
                 or ("BroadcastNestedLoopJoin" in plan),
             )
