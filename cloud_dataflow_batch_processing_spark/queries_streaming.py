@@ -187,9 +187,24 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-partitioned parquet sink; the oracle replays the identical
     two-phase semantics relationally. ``batch`` is derived from the
     split (doc_id % 2), not the micro-batch counter, so an empty first
-    batch can't shift the labels."""
+    batch can't shift the labels.
+
+    r12 (guide §6 / VERDICT r11 #3): ONE availableNow streaming query
+    whose micro-batch boundary is controlled by ``maxFilesPerTrigger``
+    instead of two sequential queries (each paid ~1.5 s of streaming-
+    query startup). Both staged batches are written up front with
+    bounded file counts and STRICTLY ORDERED mtimes (b0 older than
+    b1); the file source picks unread files oldest-timestamp-first, so
+    micro-batch 0 is exactly b0's files and micro-batch 1 the rest —
+    the b0-fully-before-b1 semantics are unchanged (pinned by
+    tests/test_lsh_dedup_stream.py::test_single_query_batch_boundary).
+    If a staged write yields a file-count shape the one-query boundary
+    can't guarantee (empty split, or b1 wider than b0), fall back to
+    the sequential two-query form."""
+    import glob
     import os
     import shutil
+    import time
 
     from cloud_dataflow_batch_processing_spark.queries_io import _REPO_ROOT
     from cloud_dataflow_batch_processing_spark.streaming.lsh_dedup import (
@@ -208,19 +223,49 @@ def streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(scratch, "store")
     out = os.path.join(scratch, "out")
     ckpt = os.path.join(scratch, "ckpt")
-    for i, batch in enumerate(
-        [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)]
-    ):
-        # Parquet staging (was JSON): identical rows enter the stream,
-        # but the text-heavy documents table serializes/parses several
-        # times faster, and the micro-batch frame is re-scanned per
-        # foreachBatch action (signatures + survivor anti-join) — the
-        # file-source streaming semantics are unchanged (guide §6).
-        batch.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
-        sdf = spark.readStream.schema(d.schema).parquet(os.path.join(src, "b*"))
+    splits = [d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)]
+    # Parquet staging (r11, guide §6): identical rows enter the stream,
+    # but the text-heavy documents table serializes/parses several
+    # times faster than JSON, and the micro-batch frame is re-scanned
+    # per foreachBatch action (signatures + survivor anti-join).
+    # Hash-repartition (NOT round-robin, which injects a
+    # sort-before-repartition) bounds each batch at n_files part files
+    # so one maxFilesPerTrigger value covers either batch.
+    n_files = 4
+    part_lists: list[list[str]] = []
+    base_t = time.time() - 120.0
+    for i, batch in enumerate(splits):
+        batch.repartition(n_files, F.col("doc_id")).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+        parts = sorted(glob.glob(os.path.join(src, f"b{i}", "*.parquet")))
+        # Strictly ordered mtimes per batch dir: the file source's
+        # oldest-first pick is what makes micro-batch 0 == b0.
+        for p in parts:
+            os.utime(p, (base_t + 60.0 * i, base_t + 60.0 * i))
+        part_lists.append(parts)
+    n0, n1 = len(part_lists[0]), len(part_lists[1])
+    if 0 < n1 <= n0:
+        sdf = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", n0)
+            .parquet(os.path.join(src, "b*"))
+        )
         run_streaming_lsh_dedup(
             sdf, "doc_id", "text", store, out, ckpt, threshold=0.8
         )
+    else:
+        # Degenerate staging (an empty split writes 0-1 files): replay
+        # the staged batches through the pre-r12 sequential two-query
+        # form — write b_i, then a fresh query over the glob; the
+        # shared checkpoint carries the store boundary between queries.
+        shutil.rmtree(src, ignore_errors=True)
+        for i, batch in enumerate(splits):
+            batch.write.mode("overwrite").parquet(os.path.join(src, f"b{i}"))
+            sdf = spark.readStream.schema(d.schema).parquet(os.path.join(src, "b*"))
+            run_streaming_lsh_dedup(
+                sdf, "doc_id", "text", store, out, ckpt, threshold=0.8
+            )
     surv = read_survivors(spark, out)
     if surv is None:
         from cloud_dataflow_batch_processing_spark.sources.create import local_df

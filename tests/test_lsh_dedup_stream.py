@@ -69,3 +69,65 @@ def test_redelivery_is_idempotent(spark, dirs):
 def test_empty_stream_reports_none(spark, dirs):
     store, out = dirs
     assert read_survivors(spark, out) is None
+
+
+def test_single_query_batch_boundary(spark, tmp_path):
+    """r12 (VERDICT r11 #3): ONE availableNow query with
+    maxFilesPerTrigger must preserve the b0-fully-before-b1 micro-batch
+    semantics — the file source picks unread files oldest-mtime-first,
+    so with b0's files strictly older than b1's and maxFilesPerTrigger
+    = |b0 files|, micro-batch 0 is exactly b0. Pinned two ways: the
+    store's batch=0 partition holds exactly b0's ids (batch membership,
+    not just final survivors), and the survivor set equals the
+    sequential two-call reference."""
+    import glob
+    import os
+    import time
+
+    from cloud_dataflow_batch_processing_spark.streaming.lsh_dedup import (
+        process_lsh_dedup_batch,
+        run_streaming_lsh_dedup,
+    )
+
+    rows0 = [(10, BASE), (11, BASE + " tail"), (99, "totally different words " * 30)]
+    rows1 = [(5, BASE + " tail"), (200, "other corpus entirely " * 30)]
+    b0, b1 = _docs(spark, rows0), _docs(spark, rows1)
+
+    src = str(tmp_path / "src")
+    n_files = 2
+    base_t = time.time() - 120.0
+    for i, batch in enumerate([b0, b1]):
+        batch.repartition(n_files, F.col("doc_id")).write.mode("overwrite").parquet(
+            os.path.join(src, f"b{i}")
+        )
+        for p in glob.glob(os.path.join(src, f"b{i}", "*.parquet")):
+            os.utime(p, (base_t + 60.0 * i, base_t + 60.0 * i))
+    n0 = len(glob.glob(os.path.join(src, "b0", "*.parquet")))
+    assert n0 == n_files  # staging produced the bounded file count
+
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    sdf = (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", n0)
+        .parquet(os.path.join(src, "b*"))
+    )
+    run_streaming_lsh_dedup(
+        sdf, "doc_id", "text", store, str(out), str(tmp_path / "ckpt"), threshold=0.8
+    )
+
+    # Micro-batch MEMBERSHIP: the store's batch=N partition is written
+    # by foreachBatch batch N — batch 0 must be exactly b0's ids.
+    ids0 = sorted(r["__id"] for r in spark.read.parquet(store + "/batch=0").collect())
+    ids1 = sorted(r["__id"] for r in spark.read.parquet(store + "/batch=1").collect())
+    assert ids0 == sorted(r[0] for r in rows0)
+    assert ids1 == sorted(r[0] for r in rows1)
+
+    # Survivors identical to the sequential two-call reference.
+    got = sorted(r.doc_id for r in read_survivors(spark, out).collect())
+    store_ref = str(tmp_path / "store_ref")
+    out_ref = str(tmp_path / "out_ref")
+    process_lsh_dedup_batch(b0, 0, "doc_id", "text", store_ref, out_ref)
+    process_lsh_dedup_batch(b1, 1, "doc_id", "text", store_ref, out_ref)
+    want = sorted(r.doc_id for r in read_survivors(spark, out_ref).collect())
+    assert got == want == [10, 99, 200]
