@@ -70,6 +70,30 @@ def test_arrow_assign_identical_to_expr(spark, tables):
     assert a == b
 
 
+@pytest.mark.dualscale
+@pytest.mark.parametrize(
+    "scale_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"],
+    ids=["sf0.01", "sf0.1"],
+)
+def test_literal_assign_path_matches_oracle(spark, scale_dir):
+    """r12 (VERDICT r11 #8): the registry query semantic_kmeans_assign
+    now ships the arrow assign path, so the LITERAL-expression path's
+    oracle certification lives here — the same full-trajectory DuckDB
+    oracle, run against the expr path at both driver scales. Together
+    with test_arrow_assign_identical_to_expr this keeps the twin proof
+    (literal == oracle == arrow) intact."""
+    from tests.oracle import compare_frames, duckdb_con
+
+    con = duckdb_con(scale_dir)
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    emb = load_tables(spark, scale_dir)["embeddings"]
+    got = S.kmeans_assign(emb, k=8, iters=2, assign_method="expr").toPandas()
+    want = con.execute(S.kmeans_assign_sql(k=8, iters=2)).df()
+    errs = compare_frames(got, want, "semantic_kmeans_assign[expr]")
+    assert not errs, errs
+
+
 def test_semantic_dedup_arrow_identical(spark, tables):
     a = sorted(
         tuple(r)
