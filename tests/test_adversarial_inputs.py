@@ -182,16 +182,19 @@ def _sweep(spark, sf_dir) -> list[str]:
     return problems
 
 
+@pytest.mark.slowsweep
 def test_registry_adversarial_sweep(spark, adversarial_sf_dir):
     problems = _sweep(spark, adversarial_sf_dir)
     assert not problems, f"{len(problems)} adversarial failures:\n" + "\n".join(problems)
 
 
+@pytest.mark.slowsweep
 def test_registry_single_row_sweep(spark, single_row_sf_dir):
     problems = _sweep(spark, single_row_sf_dir)
     assert not problems, f"{len(problems)} single-row failures:\n" + "\n".join(problems)
 
 
+@pytest.mark.slowsweep
 def test_sql_facade_tiers_on_adversarial_corpus(spark, adversarial_sf_dir):
     """The SQL façade's certified strings (verbatim AND translated)
     must value-match their DataFrame twins on the adversarial corpus

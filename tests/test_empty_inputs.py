@@ -66,6 +66,7 @@ def empty_sf_dir(tmp_path_factory, spark, sf_dir):
     return out
 
 
+@pytest.mark.slowsweep
 def test_registry_empty_input_sweep(spark, empty_sf_dir):
     problems: list[str] = []
     for name in sorted(REGISTRY):

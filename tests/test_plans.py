@@ -545,6 +545,7 @@ def test_round4_warehouse_shuffle_budgets(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan or name == "approx_quantile_histogram", name
 
 
+@pytest.mark.slowsweep
 def test_no_cartesian_anywhere_in_registry(spark, sf_dir):
     """Blanket scale guarantee: NO registered query plans a
     CartesianProduct, and BroadcastNestedLoopJoin appears only in the

@@ -3,6 +3,8 @@ engine-neutral hash model — random inputs, pinned invariants."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from cloud_dataflow_batch_processing_spark.schema import bq_schema_to_struct
@@ -140,6 +142,7 @@ def test_fast_hash_twins_value_identical(spark):
     st.booleans(),
 )
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slowsweep
 def test_asof_join_matches_python_model(spark, left_rows, right_rows, inclusive):
     """asof_join against a direct python model on arbitrary small
     keyed timelines (duplicate right (k, ts) pre-aggregated to max id,
@@ -244,6 +247,7 @@ def test_png_roundtrip_property(w, h, ftype, seed):
     st.integers(0, 6),
 )
 @settings(max_examples=25, deadline=None)
+@pytest.mark.slowsweep
 def test_fuzzy_blocked_pairs_matches_model(spark, names, max_dist):
     """fuzzy_blocked_pairs ≡ brute-force Levenshtein over exactly the
     pairs sharing a FIRST or LAST token (the declared blocking recall),
@@ -364,6 +368,7 @@ def test_unigram_freq_merge_associative_random_corpus(spark):
 
 @given(st.data())
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slowsweep
 def test_minhash_pairs_verify_then_dedup_invariants(spark, data):
     """The round-7 verify-then-dedup reorder's contract on arbitrary
     small dense-vocab corpora: (1) NO false positives — every returned

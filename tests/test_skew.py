@@ -49,6 +49,7 @@ def test_salt_explode_join_matches_plain(spark, tables):
     assert big_s.join(small_s, on=cols).count() == plain
 
 
+@pytest.mark.slowsweep
 def test_dedup_lsh_adversarial_skew(spark, tmp_path):
     """Adversarial corpus for the MinHash-LSH join (VERDICT r2 #7):
 

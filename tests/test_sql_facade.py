@@ -286,6 +286,7 @@ def test_oracle_sql_runs_verbatim_on_engine(spark, sf_dir, name):
     assert not errs, "\n".join(errs)
 
 
+@pytest.mark.slowsweep
 @pytest.mark.parametrize("name", TRANSLATED_CERTIFIED)
 def test_oracle_sql_runs_translated_on_engine(spark, sf_dir, name):
     q = REGISTRY[name]

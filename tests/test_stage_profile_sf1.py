@@ -36,6 +36,7 @@ with open(BASELINE_PATH) as _f:
     BASELINE: dict[str, dict] = json.load(_f)
 
 
+@pytest.mark.slowsweep
 @pytest.mark.parametrize("name", sorted(BASELINE))
 def test_sf1_work_profile_pinned(spark, name):
     """Each scale_sf1 bench query must do EXACTLY the pinned work on the

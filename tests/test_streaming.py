@@ -186,6 +186,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert got == [1, 2, 3], got
 
 
+@pytest.mark.slowsweep
 def test_stream_stream_windowed_join_inner(spark, tmp_path):
     """Stream-stream inner join per (user, 1h window) — Beam's windowed
     CoGroupByKey over two unbounded inputs. Both sides are file streams;
@@ -235,6 +236,7 @@ def test_stream_stream_windowed_join_inner(spark, tmp_path):
     assert r.w_end - r.w_start == 3600
 
 
+@pytest.mark.slowsweep
 def test_stream_stream_windowed_join_left_outer_flush(spark, tmp_path):
     """Left-outer stream-stream join: unmatched left rows emit their
     null-padded result only after the watermark passes the window end —

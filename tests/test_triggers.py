@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloud_dataflow_batch_processing_spark.streaming.triggers import (
@@ -326,6 +328,7 @@ def test_discarding_sink_idempotent_on_batch_replay(spark):
     assert seen[-1] == ("a", 3)
 
 
+@pytest.mark.slowsweep
 def test_discarding_sink_bounded_state_high_cardinality(spark):
     """VERDICT r4 #7: with watermark eviction enabled, the baseline
     must stay bounded by the active-window span while the key domain
@@ -409,6 +412,7 @@ def test_discarding_sink_replay_restores_evicted_keys(spark):
     assert seen[len(first):] == first[1:] or sorted(seen[len(first):]) == sorted(first[1:])
 
 
+@pytest.mark.slowsweep
 def test_discarding_sink_evicts_null_window_keys(spark):
     """Keys whose evict_col is NULL are outside watermark ordering —
     they must be evicted at end of batch (resident within it) or they
