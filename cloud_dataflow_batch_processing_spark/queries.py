@@ -61,80 +61,70 @@ def register(
     return deco
 
 
-# Driver-window rotation (round 11), produced mechanically by
-# scripts/rotate_window.py: the never-driver-certified names first
-# (dedup_cross_source_matrix, corpus_source_tv_divergence,
-# datastore_mutations_agg, streaming_lsh_dedup, and vcf_variants_agg,
-# all new this round; avro_roundtrip_agg yields its slot to the
-# next rotation — certified r9, the roundtrip class keeps
-# orc/tfrecord rows in-window), then
-# the 46 whose latest driver cert is oldest — the r9 cohort (the full
-# TPC-H analog sweep q2/q4/q6-q17/q19-q22, the ANN family,
-# asof/rolling/resample temporal ops, the salted join/agg pair,
-# substring_dedup_clean/_incremental, and the avro/orc/tfrecord
-# roundtrips), none certified since r9 (broadcast_dim_join,
-# cdc_merge_orders, cogroup_by_key, and combine_fn_udaf fall to the
-# next rotation). Overlap with
-# CORRECTNESS_r10.json is 0 <= 25, so the rotation gate
-# (tests/test_window_rotation.py) is green and every name gets its
-# first re-certification in two rounds.
+# Driver-window rotation (round 12), produced mechanically by
+# scripts/rotate_window.py: every registry name is now driver-certified
+# at least once (147/147 union through r11), so the ranking is purely
+# least-recently-certified — the cohort whose last cert is r9/r10
+# (avro_roundtrip_agg and the broadcast/cdc/cogroup/combine names that
+# r11's comment deferred, the element-wise/text utility family, the
+# approx-sketch family, window_global/_session/_sliding), ties
+# alphabetical. Queries this optimization round TOUCHES that sit
+# in-window (semantic_kmeans_assign_arrow, avro_roundtrip_agg,
+# text_quality_filter, corpus_clean_pipeline) get their changed plans
+# re-certified by the driver immediately. Overlap with
+# CORRECTNESS_r11.json is 0 <= 25, so the rotation gate
+# (tests/test_window_rotation.py) is green.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # Session-4/5 additions, never-certified-first: exact-span
-    # decontamination, the Gopher repetition rules, BPE merge-pair
-    # counting, shuffle-sharding, and classifier scoring take the
-    # front; asof_join_events, approx_percentile, approx_distinct,
-    # approx_distinct_hll, and ann_lsh_pairs (all certified r9) yield
-    # the tail slots to the next rotation.
-    "classifier_quality_score",
-    "bpe_merge_pairs",
-    "corpus_shuffle_shard",
-    "gopher_repetition_filter",
-    "decontaminate_exact_spans",
-    "dedup_cross_source_matrix",
-    "corpus_source_tv_divergence",
-    "datastore_mutations_agg",
-    "streaming_lsh_dedup",
-    "vcf_variants_agg",
-    "group_sorted_values",
-    "orc_roundtrip_agg",
-    "pii_redact_roundtrip",
-    "pivot_event_matrix",
-    "q10_returned_items",
-    "q11_important_part_value",
-    "q12_priority_lines_by_class",
-    "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_excess_shipped_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customer_balance",
-    "q2_min_cost_supplier",
-    "q4_order_priority_exists",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_type_profit",
-    "resample_ffill_events",
-    "rolling_avg_events",
-    "salted_aggregate_lineitem",
-    "salted_join_lineitem_orders",
-    "scalar_subquery_above_avg",
-    "sequential_ids_orders",
-    "stats_corr_ols_lineitem",
-    "substring_dedup_clean",
-    "substring_dedup_incremental",
-    "text_repetition_ratio",
-    "tfidf_top_terms",
-    "tfrecord_roundtrip_agg",
-    "token_length_histogram",
-    "udtf_split_segments",
-    "zorder_curve",
-    "ann_brute_topk",
-    "ann_ivf_topk",
-    "ann_lsh_buckets",
+    "ann_lsh_pairs",
+    "approx_distinct",
+    "approx_distinct_hll",
+    "approx_percentile",
+    "asof_join_events",
+    "avro_roundtrip_agg",
+    "broadcast_dim_join",
+    "cdc_merge_orders",
+    "cogroup_by_key",
+    "combine_fn_udaf",
+    "combine_globally",
+    "corpus_clean_pipeline",
+    "corpus_mix_sample",
+    "count_per_element",
+    "decontaminate_eval_overlap",
+    "dedup_duplicate_clusters",
+    "dedup_embedding_cosine",
+    "dedup_minhash_pairs",
+    "dedup_minhash_signature",
+    "dedup_near_exact_keep",
+    "dedup_ngram_jaccard",
+    "distinct_values",
+    "events_json_extract",
+    "group_by_key_lists",
+    "group_mean",
+    "group_normalize_zscore",
+    "intersect_except",
+    "kv_swap",
+    "sample_deterministic",
+    "sample_per_key_deterministic",
+    "semantic_kmeans_assign_arrow",
+    "table_fingerprint",
+    "text_chunks",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_normalize_nfc",
+    "text_quality_filter",
+    "text_token_stats",
+    "to_dict_global",
+    "top_n_global",
+    "top_n_per_key",
+    "union_all",
+    "union_distinct",
+    "unpivot_roundtrip",
+    "window_global",
+    "window_session",
+    "window_sliding",
+    "approx_distinct_hll_by_type",
+    "approx_quantile_histogram",
+    "bloom_decontaminate",
 )
 
 

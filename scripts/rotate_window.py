@@ -86,7 +86,9 @@ def main() -> None:
         path = REPO / "cloud_dataflow_batch_processing_spark" / "queries.py"
         src = path.read_text()
         new, n = re.subn(
-            r"DRIVER_WINDOW: tuple\[str, \.\.\.\] = \(\n(?:    \"[^\"]+\",\n)+\)",
+            # Tuple body may carry inline rationale comments from a
+            # previous hand-edit — match both entry and comment lines.
+            r"DRIVER_WINDOW: tuple\[str, \.\.\.\] = \(\n(?:    (?:\"[^\"]+\",|#[^\n]*)\n)+\)",
             tuple_src,
             src,
             count=1,
