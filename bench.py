@@ -261,6 +261,69 @@ def _ivf_scale_point(spark) -> dict:
     }
 
 
+def heavy_bench(spark) -> dict:
+    """``queries_heavy`` (VERDICT r11 #2): the round-11 optimization
+    targets re-timed at sf1-equivalent scale, median-of-3, so
+    round-over-round PERF has signal above the measured ±25% session
+    drift that swamps the sub-second sf0.1 headliners. Additions-only:
+    the headline ``queries``/``value`` fields are untouched.
+
+    Inputs are generated deterministically into ``.bench_data/sf1_docs``
+    (documents 50k = 10x sf0.1; lineitem 6M / orders 1.5M / events 1M =
+    the sf1 cardinalities; embeddings capped at 20k = 10x sf0.1's
+    2000 — vec_id < 20000 pushes to the scan). Four entries run the
+    REGISTRY functions unmodified against that directory; the two
+    non-registry shapes scale the one knob the registry pins
+    (semantic dedup at k=256 — k=8 over 20k vectors would emit
+    O((n/k)²·k) ≈ 25M verify pairs, a different operator; the VCF
+    pipeline at 10x records via ``vcf_variants_report``). Every run
+    recomputes from the parquet inputs; managed caches are released
+    per entry (same discipline as the headline loop)."""
+    from cloud_dataflow_batch_processing_spark.caching import release_managed_caches
+    from cloud_dataflow_batch_processing_spark.extensions import similarity as S
+    from cloud_dataflow_batch_processing_spark.queries_io import vcf_variants_report
+    from scripts.gen_scale_docs import (
+        ensure_scale_docs,
+        ensure_scale_embeddings,
+        ensure_scale_tpch,
+    )
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    hdir = os.path.join(base, ".bench_data", "sf1_docs")
+    ensure_scale_docs(hdir)
+    epath = ensure_scale_embeddings(hdir)
+    ensure_scale_tpch(hdir)
+
+    entries: dict[str, dict] = {}
+
+    def timed(name: str, thunk) -> None:
+        spark.sparkContext.setJobDescription(f"heavy: {name}")
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        release_managed_caches()
+        spark.sparkContext.setJobDescription(None)
+        entries[name] = {
+            "median": round(sorted(runs)[1], 4),
+            "runs": [round(r, 4) for r in runs],
+        }
+
+    timed("pagerank_supplier_customer", lambda: REGISTRY["pagerank_supplier_customer"].fn(spark, hdir))
+    timed("approx_distinct", lambda: REGISTRY["approx_distinct"].fn(spark, hdir))
+    timed("gopher_repetition_filter", lambda: REGISTRY["gopher_repetition_filter"].fn(spark, hdir))
+    emb20k = spark.read.parquet(epath).filter("vec_id < 20000")
+    timed(
+        "semantic_dedup_prune_k256",
+        lambda: S.semantic_dedup_stats(
+            emb20k, k=256, iters=2, min_cosine=0.9, assign_method="arrow"
+        ),
+    )
+    timed("vcf_variants_agg_10x", lambda: vcf_variants_report(spark, hdir, n_records=40_000))
+    return entries
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -314,6 +377,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — reported, not swallowed
             scale = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Same fail-soft posture for the r12 heavy block: a generation or
+    # scale failure reports inline instead of costing the headline run.
+    heavy = None
+    if os.environ.get("SPARK_GRAFT_HEAVY_BENCH", "1") != "0":
+        try:
+            heavy = heavy_bench(spark)
+        except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+            heavy = {"error": f"{type(exc).__name__}: {exc}"}
+
     print(
         json.dumps(
             {
@@ -325,6 +397,7 @@ def main() -> None:
                 "value_cold": round(sum(cold.values()), 4),
                 "sf": float(sf),
                 "scale_sf1": scale,
+                "queries_heavy": heavy,
             }
         )
     )

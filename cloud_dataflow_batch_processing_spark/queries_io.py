@@ -265,6 +265,17 @@ def vcf_variants_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter, flag INFO keys, per-sample genotype incl. the -1 missing
     convention, phaseset defaulting — to exact integer aggregates the
     oracle recomputes analytically."""
+    return vcf_variants_report(spark, sf_dir, n_records=_VCF_N)
+
+
+def vcf_variants_report(
+    spark: SparkSession, sf_dir: str, n_records: int = _VCF_N
+) -> DataFrame:
+    """Parameterized body of :func:`vcf_variants_agg` (r12): the record
+    count ``n_records`` is the ONLY knob — the registry query pins it
+    at ``_VCF_N`` (plan unchanged), and bench.py's ``queries_heavy``
+    block runs the identical derive→write→parse→aggregate pipeline at
+    10x the records against the sf1-equivalent events table."""
     from cloud_dataflow_batch_processing_spark.sources.vcf import (
         read_vcf,
         write_vcf_lines,
@@ -273,7 +284,7 @@ def vcf_variants_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_tables(spark, sf_dir)["events"]
         .filter(
-            (F.col("event_id") < _VCF_N)
+            (F.col("event_id") < n_records)
             & F.col("value").isNotNull()
             & F.col("event_type").isNotNull()
         )

@@ -202,6 +202,116 @@ def ensure_scale_embeddings(out_dir: str) -> str:
     return path
 
 
+def ensure_scale_tpch(out_dir: str) -> dict[str, str]:
+    """Deterministic sf1-equivalent relational tables for the bench's
+    ``queries_heavy`` block (VERDICT r11 #2): lineitem (6M rows — 10x
+    sf0.1, the real TPC-H sf1 cardinality), orders (1.5M) and events
+    (1M), with the same key-space scaling as the driver tables
+    (suppliers 10k, customers 150k, parts 2M key space). Only the
+    columns the heavy queries touch are generated — load_tables is
+    lazy and the registry fns project, so a partial schema is exactly
+    what runs. NumPy + seeded Generator: bytes reproducible run over
+    run."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import glob as _glob
+    import shutil as _shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_li, n_ord, n_ev = 6_000_000, 1_500_000, 1_000_000
+    paths = {
+        "lineitem": os.path.join(out_dir, "lineitem.parquet"),
+        "orders": os.path.join(out_dir, "orders.parquet"),
+        "events": os.path.join(out_dir, "events.parquet"),
+    }
+    want_rows = {"lineitem": n_li, "orders": n_ord, "events": n_ev}
+
+    def _rows_of(p: str) -> int:
+        files = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+        if not files:
+            return -1
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    stale = [t for t, p in paths.items() if _rows_of(p) != want_rows[t]]
+    if not stale:
+        return paths
+
+    # Each "table.parquet" is a DIRECTORY of 16 part files: Spark's
+    # scan split is byte-ranged per file (maxPartitionBytes 128 MB), so
+    # a single ~60 MB file would scan — and run every map-side partial
+    # aggregation — on ONE task. 16 files give the 8-vs-32-core
+    # comparison real scan parallelism (the point of the heavy block).
+    n_chunks = 16
+
+    def _write(p: str, table: "pa.Table") -> None:
+        tmp = p + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        n = table.num_rows
+        step = (n + n_chunks - 1) // n_chunks
+        for i in range(n_chunks):
+            chunk = table.slice(i * step, step)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(tmp, f"part-{i:03d}.parquet"))
+        _shutil.rmtree(p, ignore_errors=True)
+        os.replace(tmp, p)
+
+    rng = np.random.default_rng(SEED)
+    # orders: o_orderkey dense, o_custkey uniform over the sf1 customer
+    # key space (150k).
+    o_custkey = rng.integers(0, 150_000, size=n_ord, dtype=np.int64)
+    _write(
+        paths["orders"],
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+                "o_custkey": pa.array(o_custkey),
+            }
+        ),
+    )
+    # lineitem: ~4 lines per order (orderkeys drawn uniformly so the
+    # join fan-out varies per key), partkey over 2M, suppkey over 10k.
+    l_orderkey = rng.integers(0, n_ord, size=n_li, dtype=np.int64)
+    _write(
+        paths["lineitem"],
+        pa.table(
+            {
+                "l_orderkey": pa.array(np.sort(l_orderkey)),
+                "l_partkey": pa.array(rng.integers(0, 2_000_000, size=n_li, dtype=np.int64)),
+                "l_suppkey": pa.array(rng.integers(0, 10_000, size=n_li, dtype=np.int64)),
+            }
+        ),
+    )
+    # events: the vcf heavy point derives 10x the registry query's
+    # record count from event_id < 40_000; null densities mirror the
+    # driver table (value/event_type occasionally NULL — the vcf
+    # derivation filters them).
+    ev_val = rng.uniform(0, 1000, size=n_ev)
+    val_null = rng.random(n_ev) < 0.05
+    types = np.array(["click", "view", "purchase"])[
+        rng.integers(0, 3, size=n_ev)
+    ].astype(object)
+    type_null = rng.random(n_ev) < 0.02
+    types[type_null] = None
+    _write(
+        paths["events"],
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+                "user_id": pa.array(rng.integers(0, 50_000, size=n_ev, dtype=np.int64)),
+                "value": pa.array(
+                    [None if m else float(v) for v, m in zip(ev_val, val_null)],
+                    pa.float64(),
+                ),
+                "event_type": pa.array(types, pa.string()),
+            }
+        ),
+    )
+    return paths
+
+
 if __name__ == "__main__":
     p = ensure_scale_docs(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_data", "sf1_docs")
