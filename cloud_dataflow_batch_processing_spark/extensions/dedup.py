@@ -144,6 +144,7 @@ def minhash_near_dup_pairs(
     materialize: str = "cache",
     scratch_dir: str | None = None,
     checkpoint_files: int | None = None,
+    th_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline:
 
@@ -202,7 +203,7 @@ def minhash_near_dup_pairs(
     #   stage 3: 16 minhash lanes + distinct shingle set
     # then cache: the band explosion, bucket sizing, and the pair join
     # all reuse the signature frame instead of recomputing it 6x.
-    sig_frame = minhash_signatures(df, id_col, text_col, fast_hashing)
+    sig_frame = minhash_signatures(df, id_col, text_col, fast_hashing, th_col=th_col)
     if materialize == "bucketed":
         # VERDICT r9 #6: persist the SIGNATURE store bucketed (and
         # sorted) by __id — the two wide fetch joins below then consume
@@ -875,7 +876,11 @@ def segment_dup_stats_sql(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, fast_hashing: bool = True
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    fast_hashing: bool = True,
+    th_col: str | None = None,
 ) -> DataFrame:
     """The signature-store frame: (__id, __sh distinct-shingle set,
     mh0..mh15). In production this is persisted once per corpus
@@ -895,8 +900,17 @@ def minhash_signatures(
     1.6 -> 2.2 s) — the signature output (shingle sets + 16 lanes) then
     flows through every downstream join at the inflated partition
     count, and the tokenize here is too cheap per doc to amortize it.
-    At real scale input splits exceed cores anyway."""
-    if fast_hashing:
+    At real scale input splits exceed cores anyway.
+
+    ``th_col`` (r12): name of an ALREADY-COMPUTED token-hash column to
+    consume instead of re-tokenizing ``text_col`` — for pipelines that
+    carry ``__th`` across stage boundaries (corpus_build tokenizes the
+    corpus once in its quality pass and feeds the hashes through the
+    exact-dedup aggregate). Values are identical by the fast-twin
+    contract; the Arrow tokenize node simply drops out of the plan."""
+    if th_col is not None:
+        th_expr = F.col(th_col)
+    elif fast_hashing:
         from cloud_dataflow_batch_processing_spark.functions.text_fast import (
             token_hashes_fast,
         )

@@ -72,6 +72,7 @@ def _dup_spans(
     dup_marking: str = "join",
     materialize: str = "cache",
     scratch_dir: str | None = None,
+    th_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, pos) for every K-token span at 1-based token
     position ``pos`` whose hash occurs >1 time corpus-wide (counting
@@ -87,8 +88,27 @@ def _dup_spans(
     element_at references inside the span transform — measured 234 s
     vs 0.6 s warm at sf0.1 (the NOTES r3 quadratic-HOF trap, third
     sighting); ``fast_hashing=False`` keeps the HOF path for
-    oracle-form reference only."""
-    if fast_hashing:
+    oracle-form reference only.
+
+    ``th_col`` (r12): consume an ALREADY-COMPUTED token-hash column
+    instead of re-tokenizing ``text_col`` — the identical vectorized
+    span fold runs on the carried hashes (corpus_build tokenizes the
+    corpus once; this stage previously re-tokenized every surviving
+    document)."""
+    if th_col is not None:
+        from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+            span_hashes_from_th_fast,
+        )
+
+        staged = df.select(
+            F.col(id_col).alias("doc_id"),
+            span_hashes_from_th_fast(F.col(th_col), k).alias("__sp"),
+        ).select(
+            "doc_id",
+            (F.size("__sp") + (k - 1)).alias("n_tokens"),
+            "__sp",
+        )
+    elif fast_hashing:
         from cloud_dataflow_batch_processing_spark.functions.text_fast import (
             span_hashes_fast,
         )
@@ -249,6 +269,7 @@ def remove_intervals(
     dup_marking: str = "join",
     materialize: str = "cache",
     scratch_dir: str | None = None,
+    th_col: str | None = None,
 ) -> DataFrame:
     """Maximal removal intervals per document: merge every duplicated
     K-token span [pos, pos+k) with its overlapping-or-touching
@@ -256,7 +277,10 @@ def remove_intervals(
     sorted by pos merge iff the gap <= k). Returns
     (doc_id, start_pos, end_pos) with token positions 1-based and
     end exclusive."""
-    dup = _dup_spans(df, id_col, text_col, k, fast_hashing, dup_marking, materialize, scratch_dir)
+    dup = _dup_spans(
+        df, id_col, text_col, k, fast_hashing, dup_marking, materialize,
+        scratch_dir, th_col,
+    )
     return _merge_marked_spans(dup, k)
 
 
@@ -288,19 +312,31 @@ def substring_dup_stats(
     dup_marking: str = "join",
     materialize: str = "cache",
     scratch_dir: str | None = None,
+    th_col: str | None = None,
 ) -> DataFrame:
     """Per-document substring-dedup report over ALL documents:
     (doc_id, n_tokens, n_remove_intervals, removed_tokens,
     kept_tokens, removed_frac). Documents with no duplicated span (or
     fewer than k tokens) report zeros."""
-    iv = remove_intervals(df, id_col, text_col, k, fast_hashing, dup_marking, materialize, scratch_dir)
+    iv = remove_intervals(
+        df, id_col, text_col, k, fast_hashing, dup_marking, materialize,
+        scratch_dir, th_col,
+    )
     per_doc = iv.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_remove_intervals"),
         F.sum(F.col("end_pos") - F.col("start_pos")).alias("removed_tokens"),
     )
-    base = df.select(
-        F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("n_tokens")
-    )
+    if th_col is not None:
+        # |th| == |tokens(text)| by the fast-twin contract (including
+        # NULL text -> NULL on both sides), so the report's n_tokens
+        # column needs no second pass over the text.
+        base = df.select(
+            F.col(id_col).alias("doc_id"), F.size(F.col(th_col)).alias("n_tokens")
+        )
+    else:
+        base = df.select(
+            F.col(id_col).alias("doc_id"), F.size(tokens(text_col)).alias("n_tokens")
+        )
     out = base.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_tokens",

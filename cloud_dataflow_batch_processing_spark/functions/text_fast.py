@@ -144,9 +144,20 @@ def _quality_of(s):
         # ratio branches fall through to their 0.0/0.5 defaults —
         # NULL text scores 0.6, not NULL.
         return math.floor((0.4 * 1.0 + 0.2 * 0.5 + 0.3 * 0.0 + 0.1 * 1.0) * 10000 + 0.5) / 10000.0
+    return _quality_from_toks(s, _toks(s))
+
+
+def _quality_from_toks(s, toks):
+    """`_quality_of` with the tokenization hoisted out (same IEEE
+    operation order bit for bit), so a combined pass can tokenize a
+    document ONCE and derive both the quality score and the token
+    hashes from the same token list (guide §4: one Arrow hop, one
+    tokenize — corpus_build's quality and signature stages shared no
+    work before r12)."""
+    import math
+
     en = _sw_sets()["en"]
     n = float(len(s))
-    toks = _toks(s)
     n_tok = float(len(toks))
     punct = float(sum(ch in _PUNCT for ch in s))
     sw_hits = float(sum(t.lower() in en for t in toks))
@@ -215,45 +226,105 @@ def quality_score_fast(col: Column) -> Column:
     return pandas_udf(_quality_series, T.DoubleType())(col)
 
 
+_QUALITY_TH_TYPE = T.StructType(
+    [
+        T.StructField("q", T.DoubleType()),
+        T.StructField("th", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _quality_th_frame(col):
+    import pandas as pd
+
+    memo: dict[str, int] = {}
+    qs: list = []
+    ths: list = []
+    for s in col:
+        if s is None:
+            qs.append(_quality_of(None))
+            ths.append(None)
+        else:
+            toks = _toks(s)
+            qs.append(_quality_from_toks(s, toks))
+            ths.append([_hash_str(t, memo) for t in toks])
+    return pd.DataFrame({"q": qs, "th": ths})
+
+
+def quality_th_fast(col: Column) -> Column:
+    """Quality score AND token hashes in ONE Arrow pass over the text:
+    struct(q double, th array<long>), each field bit-identical to
+    ``quality_score_fast`` / ``token_hashes_fast`` (the per-field unit
+    test pins it). The document is tokenized once and both values
+    derive from the same token list — corpus_build's quality filter
+    and MinHash signature stage previously each re-tokenized the
+    corpus (guide §4: the tokenize dominates the Python-side cost, and
+    every extra UDF node is a full extra JVM→Python→JVM hop of the
+    text column).
+
+    Marked non-deterministic ON PURPOSE (it is semantically
+    deterministic): a filter on the ``q`` field next to a projection of
+    the ``th`` field otherwise duplicates the ArrowEvalPython node
+    (guide §4.4 — one instance under the pushed filter, one in the
+    projection; observed in the executed plan), and the whole combined
+    pass then runs twice per row. Same precedent as
+    ``span_hashes_fast``."""
+    return pandas_udf(_quality_th_frame, _QUALITY_TH_TYPE).asNondeterministic()(col)
+
+
+def _fold_spans(th_lists: list, k: int):
+    """Batch-vectorized span-hash fold shared by the text and
+    token-hash entry points: concatenate every doc's token hashes into
+    one int64 array, fold all span hashes in k-1 vectorized passes
+    ((acc*31 + next) % 1e9+7 stays < 2^63), mask folds that crossed a
+    document boundary, then split per doc."""
+    import numpy as np
+    import pandas as pd
+
+    flat = np.concatenate(
+        [np.asarray(t, dtype=np.int64) for t in th_lists if t is not None and len(t)]
+        or [np.array([], dtype=np.int64)]
+    )
+    n = len(flat)
+    if n >= k:
+        acc = flat[: n - k + 1].copy()
+        for off in range(1, k):
+            acc = (acc * HASH_MULT + flat[off : off + n - k + 1]) % HASH_MOD
+    else:
+        acc = np.array([], dtype=np.int64)
+
+    out: list = []
+    pos = 0
+    for t in th_lists:
+        if t is None:
+            out.append(None)
+            continue
+        ln = len(t)
+        n_spans = max(ln - k + 1, 0)
+        # spans starting in this doc that do not cross its end
+        out.append(acc[pos : pos + n_spans].tolist())
+        pos += ln
+    return pd.Series(out)
+
+
 def _span_hashes_series_factory(k: int):
     def series_fn(col):
-        import numpy as np
-        import pandas as pd
-
         memo: dict[str, int] = {}
 
-        # Batch-vectorized: concatenate every doc's token hashes into
-        # one int64 array, fold all span hashes in k-1 vectorized
-        # passes ((acc*31 + next) % 1e9+7 stays < 2^63), mask folds
-        # that crossed a document boundary, then split per doc.
         th_lists = [
             None if s is None else [_hash_str(t, memo) for t in _toks(s)]
             for s in col
         ]
-        flat = np.concatenate(
-            [np.asarray(t, dtype=np.int64) for t in th_lists if t] or
-            [np.array([], dtype=np.int64)]
-        )
-        n = len(flat)
-        if n >= k:
-            acc = flat[: n - k + 1].copy()
-            for off in range(1, k):
-                acc = (acc * HASH_MULT + flat[off : off + n - k + 1]) % HASH_MOD
-        else:
-            acc = np.array([], dtype=np.int64)
+        return _fold_spans(th_lists, k)
 
-        out: list = []
-        pos = 0
-        for t in th_lists:
-            if t is None:
-                out.append(None)
-                continue
-            ln = len(t)
-            n_spans = max(ln - k + 1, 0)
-            # spans starting in this doc that do not cross its end
-            out.append(acc[pos : pos + n_spans].tolist())
-            pos += ln
-        return pd.Series(out)
+    return series_fn
+
+
+def _span_from_th_series_factory(k: int):
+    def series_fn(col):
+        # Arrow list<long> cells arrive as numpy arrays (None for NULL
+        # documents); the fold consumes them without re-tokenizing.
+        return _fold_spans([None if t is None else t for t in col], k)
 
     return series_fn
 
@@ -276,4 +347,17 @@ def span_hashes_fast(col: Column, k: int) -> Column:
     plan pin test guards it). The flag pins the UDF where it is
     written."""
     f = pandas_udf(_span_hashes_series_factory(k), T.ArrayType(T.LongType()))
+    return f.asNondeterministic()(col)
+
+
+def span_hashes_from_th_fast(col: Column, k: int) -> Column:
+    """``span_hashes_fast`` starting from an ALREADY-COMPUTED token-hash
+    column (``token_hashes_fast`` / the ``th`` field of
+    ``quality_th_fast``): the identical vectorized fold, minus the
+    tokenize — for pipelines that carry ``__th`` across stage
+    boundaries so the corpus is tokenized once (corpus_build r12).
+    Same non-determinism marking as ``span_hashes_fast`` and for the
+    same reason (InferFiltersFromGenerate would duplicate the node
+    below the fan-out exchange)."""
+    f = pandas_udf(_span_from_th_series_factory(k), T.ArrayType(T.LongType()))
     return f.asNondeterministic()(col)

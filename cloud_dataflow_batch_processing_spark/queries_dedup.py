@@ -762,16 +762,41 @@ def corpus_build(
     adopted via the 500k/5M A/Bs, NOTES r10) as ONE configuration."""
     from cloud_dataflow_batch_processing_spark.extensions import substring as _SUB
     from cloud_dataflow_batch_processing_spark.functions.text_fast import (
-        quality_score_fast,
+        quality_th_fast,
     )
 
     from cloud_dataflow_batch_processing_spark.caching import materialize_stage
 
     d = load_tables(spark, sf_dir)["documents"]
-    q1 = d.filter((F.col("doc_id") % 97 != 0) & (quality_score_fast(F.col("text")) >= 0.5)).select(
-        "doc_id", "text", "source"
+    # ONE Arrow pass over the corpus text (r12, guide §4): the combined
+    # quality+token-hash UDF tokenizes each document once and every
+    # later stage consumes the carried `__th` — before, the quality
+    # filter ran its own tokenize TWICE (q1 fed both the exact-dedup
+    # aggregate and the survivor join, and Catalyst cannot share a UDF
+    # subtree across consumers), the signature stage re-tokenized q2,
+    # and the substring stage re-tokenized q4: four full UDF passes +
+    # a JVM tokens() pass for n_tokens, now one.
+    q1 = (
+        d.filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", "source", "text", quality_th_fast(F.col("text")).alias("__qt"))
+        .filter(F.col("__qt.q") >= 0.5)
+        .select("doc_id", "source", "text", F.col("__qt.th").alias("__th"))
     )
-    keep = q1.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    # Exact dedup as ONE row_number window (r12, guide §2.4): the old
+    # groupBy(text).min(doc_id) + self-join consumed q1 twice (the
+    # duplicated quality pass above) and shuffled the corpus twice
+    # (agg by text, join back by doc_id). The window keeps the min-id
+    # survivor row in one exchange and one pass over a SINGLE q1
+    # consumer — identical rows (doc_id is unique, so rank ties are
+    # impossible; quality is a pure function of text, so duplicate
+    # texts agree on the filter) — and Spark's WindowGroupLimit prunes
+    # to the per-group top-1 on the MAP side, so the shuffle carries
+    # one candidate per (task, text) like a partial aggregate would.
+    # (min_by(struct) was measured first: a struct buffer is not
+    # hash-aggregable, so it planned a SortAggregate with a second
+    # full local sort.) `text` itself is no longer carried past this
+    # point: every downstream stage reads `__th`.
+    #
     # Stage boundaries are EAGERLY cached (materialize_stage): each
     # survivor frame feeds several downstream branches (q2 -> near-dup
     # + anti-join; q3 -> shingle probe + q4; q4 -> substring stats
@@ -783,11 +808,21 @@ def corpus_build(
     # between reusing and re-executing the exact-dedup exchange
     # (work-profile 3 vs 4 shuffles). At 100 TB the same boundaries
     # would be checkpoint writes (the dedup family's materialize knob).
-    q2 = materialize_stage(q1.join(keep, "doc_id"))
+    from pyspark.sql import Window as _W
+
+    q2 = materialize_stage(
+        q1.withColumn(
+            "__rn",
+            F.row_number().over(_W.partitionBy("text").orderBy(F.col("doc_id").asc())),
+        )
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "source", "__th")
+    )
     nd = (
         D.minhash_near_dup_pairs(
             q2, "doc_id", "text", threshold=0.8,
             materialize=materialize, scratch_dir=scratch_dir,
+            th_col="__th",
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -821,22 +856,27 @@ def corpus_build(
         # is the dominant corpus-scale cost — NOTES). __sh is exactly
         # array_distinct(shingles(token_hashes(text))), the value this
         # branch computed inline before.
-        sigs_cached = D.minhash_signatures(q2, "doc_id", "text")
+        sigs_cached = D.minhash_signatures(q2, "doc_id", "text", th_col="__th")
         staged_ex = materialize_stage(
             sigs_cached.select(
                 F.col("__id").alias("doc_id"), F.col("__sh").alias("sh")
             )
-            .join(F.broadcast(q3.select("doc_id")), "doc_id", "left_semi")
+            # Probe ALL q2 signatures, not a q3 semi-join (r12): the
+            # q4 anti-join intersects `contaminated` with q3 anyway, so
+            # contamination rows for near-dup-dropped docs are inert —
+            # identical output, and the q3-id broadcast build (the one
+            # AQE-timing-sensitive node in the pinned work profile)
+            # drops out of the cached stage.
             .filter(F.size("sh") > 0)
         )
     else:
         # checkpoint/bucketed postures materialize signatures under
         # uuid-tagged paths/tables the plan matcher cannot see; the
         # q3-only recompute stays (strictly less work than rebuilding
-        # the full-q2 signature frame on a cache miss).
+        # the full-q2 signature frame on a cache miss) — and with
+        # `__th` carried, it is a JVM-only shingle fold: no re-tokenize.
         staged_ex = materialize_stage(
-            q3.select("doc_id", token_hashes_fast(F.col("text")).alias("__th"))
-            .select(
+            q3.select(
                 "doc_id", D.shingles_from_token_hashes(F.col("__th")).alias("__shl")
             )
             .select("doc_id", F.array_distinct("__shl").alias("sh"))
@@ -852,7 +892,7 @@ def corpus_build(
     )
     q4 = materialize_stage(q3.join(contaminated, "doc_id", "left_anti"))
     st = _SUB.substring_dup_stats(
-        q4, materialize=materialize, scratch_dir=scratch_dir
+        q4, materialize=materialize, scratch_dir=scratch_dir, th_col="__th"
     )
     return (
         q4.join(st, "doc_id")

@@ -20,8 +20,13 @@ from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
 queries()
 spark = get_spark()
 spark.sparkContext.setLogLevel("ERROR")
-for t, df in load_tables(spark, sf_dir).items():
-    df.count()  # session warm-up, same as bench.py
+# Session warm-up, same as bench.py — but only tables that exist, so
+# the script also runs against the partial sf1-equivalent directory
+# (documents + the heavy-block tpch tables, no customer/part/...).
+tables = load_tables(spark, sf_dir)
+for t in tables:
+    if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
+        tables[t].count()
 
 fn = REGISTRY["corpus_build_full"].fn
 runs = []

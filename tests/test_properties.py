@@ -215,6 +215,55 @@ def test_lang_quality_fast_twins_value_identical(spark, sf_dir):
         assert bad == 0
 
 
+def test_quality_th_and_span_from_th_twins_value_identical(spark, sf_dir):
+    """r12 combined-pass twins: ``quality_th_fast`` must reproduce
+    (quality_score_fast, token_hashes_fast) field-for-field, and
+    ``span_hashes_from_th_fast`` over the carried hashes must equal
+    ``span_hashes_fast`` over the text — the identities that let
+    corpus_build tokenize the corpus ONCE while the same DuckDB oracle
+    still certifies every stage."""
+    from pyspark.sql import functions as F
+
+    from cloud_dataflow_batch_processing_spark.functions.text import quality_score
+    from cloud_dataflow_batch_processing_spark.extensions.dedup import token_hashes
+    from cloud_dataflow_batch_processing_spark.functions.text_fast import (
+        quality_th_fast,
+        span_hashes_fast,
+        span_hashes_from_th_fast,
+    )
+    from cloud_dataflow_batch_processing_spark.sources.testdata import load_tables
+
+    d = load_tables(spark, sf_dir)["documents"].select("text")
+    edge = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("the the der der",), ("x" * 600,), ("a. b! c?",),
+         ("one two three four five six seven eight nine ten",),
+         ("\tthe cat",), ("the cat\n",), (" \t le la \n ",), (" the cat und",)],
+        "text string",
+    )
+    for frame in (d, edge):
+        qt = frame.select(
+            "text",
+            quality_th_fast(F.col("text")).alias("__qt"),
+            quality_score("text").alias("q_ref"),
+            token_hashes("text").alias("th_ref"),
+        )
+        bad_q = qt.filter(
+            F.col("__qt.q").eqNullSafe(F.col("q_ref")) == False  # noqa: E712
+        ).count()
+        bad_th = qt.filter(
+            F.col("__qt.th").eqNullSafe(F.col("th_ref")) == False  # noqa: E712
+        ).count()
+        assert bad_q == 0 and bad_th == 0
+        sp = qt.select(
+            span_hashes_fast(F.col("text"), 8).alias("sp_text"),
+            span_hashes_from_th_fast(F.col("__qt.th"), 8).alias("sp_th"),
+        )
+        bad_sp = sp.filter(
+            F.col("sp_text").eqNullSafe(F.col("sp_th")) == False  # noqa: E712
+        ).count()
+        assert bad_sp == 0
+
+
 @given(
     st.integers(1, 6),
     st.integers(1, 6),
