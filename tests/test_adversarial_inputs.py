@@ -288,6 +288,7 @@ def nonfinite_money_sf_dir(tmp_path_factory):
     return out
 
 
+@pytest.mark.slowsweep
 def test_dq_gate_counts_non_finite_money_exactly(spark, nonfinite_money_sf_dir):
     fails = run_parity(spark, nonfinite_money_sf_dir, ["dq_violation_summary"])
     assert not any(fails.values()), fails

@@ -115,6 +115,7 @@ def test_schema_mapping_roundtrip():
     assert A.avro_schema_to_struct(A.struct_to_avro_schema(st)) == st
 
 
+@pytest.mark.slowsweep
 def test_spark_write_read_roundtrip(spark, tmp_path):
     out = str(tmp_path / "avro_rt")
     df = spark.createDataFrame(

@@ -7,6 +7,7 @@ parallel planning, checkpoint resume — without a jar or broker.
 
 from __future__ import annotations
 
+import pytest
 import json
 import time
 
@@ -137,6 +138,7 @@ def test_streaming_consumer_code_unchanged_and_offset_advance(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slowsweep
 def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     """Stop a checkpointed query, produce more, restart: the file sink
     holds each offset exactly once — the committed-offset resume the

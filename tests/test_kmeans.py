@@ -133,6 +133,7 @@ def test_argmin_auto_dispatch(spark):
     assert "ArrowEvalPython" in plan_big
 
 
+@pytest.mark.slowsweep
 def test_argmin_arrow_bounded_plan_at_k1024(spark):
     """The VERDICT scale fix: at k=1024 × dim=64 the literal path would
     inline ~65k literals and die in analysis; the Arrow path's plan must

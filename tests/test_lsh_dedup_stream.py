@@ -27,6 +27,7 @@ def dirs(tmp_path):
     return str(tmp_path / "store"), str(tmp_path / "out")
 
 
+@pytest.mark.slowsweep
 def test_batch_side_loses_and_store_is_all_docs(spark, dirs):
     store, out = dirs
     b0 = _docs(spark, [(10, BASE), (11, BASE + " tail"), (99, "totally different words " * 30)])
@@ -43,6 +44,7 @@ def test_batch_side_loses_and_store_is_all_docs(spark, dirs):
     assert s_all == {10, 99, 200}
 
 
+@pytest.mark.slowsweep
 def test_redelivery_is_idempotent(spark, dirs):
     store, out = dirs
     b0 = _docs(spark, [(1, BASE), (2, BASE + " x")])

@@ -561,6 +561,7 @@ def test_snapshot_diff_null_columns(spark):
     assert spark_sigs == [(k, int(s)) for k, s in duck_sigs]
 
 
+@pytest.mark.slowsweep
 def test_incremental_minhash_equals_full_run(spark, sf_dir):
     """Incremental dedup (probe = new batch against the signature
     store) must produce exactly the full re-run's pairs restricted to
@@ -658,6 +659,7 @@ def test_hll_register_table_accepts_expression_key(spark):
     assert 150 <= est <= 260  # coarse: the point is it runs and is sane
 
 
+@pytest.mark.slowsweep
 def test_checkpoint_scratch_released_with_caches(spark, tmp_path):
     """Scratch lifecycle (VERDICT r5/r6 #5): dedup's checkpoint
     materialization registers its <uuid> scratch dir, and
@@ -692,6 +694,7 @@ def test_checkpoint_scratch_released_with_caches(spark, tmp_path):
     assert remaining == []
 
 
+@pytest.mark.slowsweep
 def test_minhash_bucketed_store_parity_and_plan(spark, tmp_path, tables):
     """materialize='bucketed' (VERDICT r9 #6): same pairs as the cache
     mode, and the wide fetch joins consume the signature store's bucket

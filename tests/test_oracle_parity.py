@@ -12,8 +12,22 @@ from tests.oracle import run_parity
 
 queries()  # populate submodule registries before parametrize collection
 
+# r12 (VERDICT r11 #1): the two slowest parity cases (streaming query
+# startup / 40k generated datastore mutations — fixed costs unrelated
+# to parity itself) run in the slowsweep tier; they stay covered by
+# the dualscale sweep and the driver's own correctness window. Every
+# other registry query remains always-on here.
+_SLOW_PARITY = {"streaming_lsh_dedup", "datastore_mutations_agg"}
 
-@pytest.mark.parametrize("name", [n for n, q in REGISTRY.items() if q.oracle])
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slowsweep) if n in _SLOW_PARITY else n
+        for n, q in REGISTRY.items()
+        if q.oracle
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     failures = run_parity(spark, sf_dir, [name])
     assert not failures, failures

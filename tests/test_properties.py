@@ -328,6 +328,7 @@ def test_fuzzy_blocked_pairs_matches_model(spark, names, max_dist):
     assert got == want
 
 
+@pytest.mark.slowsweep
 def test_substring_dedup_invariants_random_corpus(spark):
     """Invariants of exact substring dedup on a randomized corpus
     (seeded): for every document kept + removed == total tokens,
@@ -386,6 +387,7 @@ def test_hll_merge_associative_random_splits(spark):
     assert t(ab_c) == t(a_bc) == t(whole)
 
 
+@pytest.mark.slowsweep
 def test_unigram_freq_merge_associative_random_corpus(spark):
     """Unigram LM training merges like every mergeable structure here:
     any seeded 3-way shard split, merged in any grouping, equals

@@ -28,6 +28,7 @@ def _expected(spark):
     }
 
 
+@pytest.mark.slowsweep
 def test_streaming_rollup_matches_batch_aggregate(spark, tmp_path):
     src = str(tmp_path / "src")
     ckpt = str(tmp_path / "ckpt")

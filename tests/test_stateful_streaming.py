@@ -4,6 +4,7 @@ transform_evaluator.py:676-789)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloud_dataflow_batch_processing_spark.streaming.state import (
@@ -39,6 +40,7 @@ def _run_stateful(spark, path, ckpt, out_dir, build, mode="update"):
     q.awaitTermination(120)
 
 
+@pytest.mark.slowsweep
 def test_running_count_accumulates_across_batches(spark, tmp_path):
     path, ckpt, out = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
     _write_batch(spark, path, [(1, 1.0), (1, 2.0), (2, 1.0)])

@@ -92,6 +92,7 @@ def test_streaming_session(spark, stream_events):
     assert len(by_user[2]) == 2
 
 
+@pytest.mark.slowsweep
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     """With watermark delay 0 and append mode, a row older than the
     watermark is dropped — Beam 2.5's allowed_lateness=0 semantics.

@@ -186,6 +186,7 @@ def test_session_adversarial_keys_stream_matches_batch(spark, adv_events):
     assert sess[(ADV_KEYS[3], 1704069900)] == 1
 
 
+@pytest.mark.slowsweep
 def test_watermark_boundary_and_duplicate_late_rows(spark, tmp_path):
     """Late-row semantics at the EXACT watermark boundary, with
     duplicates. Watermark delay 0, append mode, three availableNow
@@ -362,6 +363,7 @@ def test_rollup_sink_adversarial_keys_and_values(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slowsweep
 def test_fire_after_count_nan_value_propagates(spark, tmp_path):
     """AfterCount panes with a NaN element: the pane still FIRES on
     count (the trigger is count-driven, not value-driven). Pinned
@@ -402,6 +404,7 @@ def test_fire_after_count_nan_value_propagates(spark, tmp_path):
     assert got[(2, 1)] == (2, INF)
 
 
+@pytest.mark.slowsweep
 def test_empty_stream_through_windows_and_rollup(spark, tmp_path):
     """Empty-input class for the streaming layer (the batch empty-input
     sweep found 5 real bugs; streaming had never run one): an empty —
@@ -440,6 +443,7 @@ def test_empty_stream_through_windows_and_rollup(spark, tmp_path):
     assert got.columns == ["k", "v_sum", "v_count", "v_min", "v_max", "v_mean"]
 
 
+@pytest.mark.slowsweep
 def test_fire_after_any_adversarial_values(spark, tmp_path):
     """The trigger FAMILY under adversarial values, not just
     fire_after_count: AfterAny's count leg fires on element arrival
@@ -487,6 +491,7 @@ def test_fire_after_any_adversarial_values(spark, tmp_path):
     assert rows[2][2] == INF           # Inf survives the channel
 
 
+@pytest.mark.slowsweep
 def test_stateful_dedup_duplicate_ts_distinct_keys(spark, tmp_path):
     """remove_duplicates_stream: rows sharing a timestamp but carrying
     DISTINCT keys all survive; an exact redelivery inside the watermark

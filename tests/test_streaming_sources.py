@@ -3,6 +3,8 @@ Reshuffle coverage (SURVEY.md §2.2 remaining rows)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from cloud_dataflow_batch_processing_spark.operators.grouping import (
@@ -128,6 +130,7 @@ def test_socket_stream_happy_path(spark):
         server.close()
 
 
+@pytest.mark.slowsweep
 def test_socket_e2e_window_watermark_trigger(spark, tmp_path):
     """Streaming END-TO-END (VERDICT r2 #8): socket source → event-time
     parse → watermark → tumbling window → ``early_and_final`` trigger

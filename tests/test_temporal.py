@@ -5,6 +5,8 @@ no nested-loop join for range)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row, functions as F
 
 from cloud_dataflow_batch_processing_spark.extensions.temporal import asof_join, range_join
@@ -125,6 +127,7 @@ def test_range_join_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slowsweep
 def test_asof_chunked_equals_plain(spark):
     """Property: the bounded-window variant is row-for-row identical to
     asof_join for every chunk width and both tie semantics."""

@@ -4,6 +4,7 @@ explicitly, observe exactly when panes fire and that late data drops."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cloud_dataflow_batch_processing_spark.streaming.teststream import TestStream
@@ -19,6 +20,7 @@ def _window_counts(df):
     )
 
 
+@pytest.mark.slowsweep
 def test_scripted_watermark_controls_pane_timing(spark, tmp_path):
     h0 = 1704067200  # 2024-01-01 00:00:00 UTC
 
@@ -46,6 +48,7 @@ def test_scripted_watermark_controls_pane_timing(spark, tmp_path):
     assert step_out[3] == [], "late element after the advance is dropped"
 
 
+@pytest.mark.slowsweep
 def test_scripted_watermark_multiple_windows(spark, tmp_path):
     """Two windows closed by two separate scripted advances — each
     advance releases exactly its own window's pane."""

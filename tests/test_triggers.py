@@ -20,6 +20,7 @@ def _write(spark, path, rows):
     ).coalesce(1).write.mode("append").json(path)
 
 
+@pytest.mark.slowsweep
 def test_early_and_final_firings(spark, tmp_path):
     src = str(tmp_path / "in")
     early_rows, final_rows = [], []
@@ -87,6 +88,7 @@ def test_fire_after_count_panes(spark, tmp_path):
     assert not any(k == 2 for k, _ in panes)
 
 
+@pytest.mark.slowsweep
 def test_fire_after_any_both_causes(spark, tmp_path):
     """AfterAny(AfterCount(3), AfterProcessingTime(2s)): a burst of 4
     elements fires the count leg immediately (pane 1) and leaves one
@@ -130,6 +132,7 @@ def test_fire_after_any_both_causes(spark, tmp_path):
         q.stop()
 
 
+@pytest.mark.slowsweep
 def test_fire_after_all_waits_for_both_legs(spark, tmp_path):
     """AfterAll(AfterCount(3), AfterProcessingTime(2s)): the count leg
     is satisfied immediately by a 4-element burst, but the pane must
@@ -256,6 +259,7 @@ def test_fire_after_count_discarding_mode(spark, tmp_path):
     assert got == [(1, 3, 6.0), (2, 3, 15.0)]
 
 
+@pytest.mark.slowsweep
 def test_discarding_early_panes(spark, tmp_path):
     """DISCARDING early firings: each early pane carries only the delta
     since the previous pane of the same window (additive aggregates),
