@@ -141,7 +141,7 @@ def plan_has_wide_node(df: DataFrame) -> bool:
     return False
 
 
-def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+def fan_out_scan(df: DataFrame, key_col: str, min_bytes: int | None = None) -> DataFrame:
     """Hash-repartition a SCAN-SHAPED frame to the core count when the
     scan yields fewer splits than cores — so a following Arrow/UDF
     pass parallelizes instead of running every row on one task (a
@@ -150,12 +150,39 @@ def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
     wide node. Hash on ``key_col``, NOT round-robin: round-robin
     injects a sort-before-repartition for retry determinism, which
     re-derives the projection and duplicates the UDF node below the
-    exchange (the substring span-stage findings, r11-shared)."""
+    exchange (the substring span-stage findings, r11-shared).
+
+    ``min_bytes`` (r12) additionally gates on the optimizer's size
+    estimate (metadata only — nothing executes): below it, the fan-out
+    exchange + 32-way task scheduling costs MORE than the serial pass
+    saves (measured: the kmeans/semantic argmin family regressed 2-3×
+    at sf0.1 under an ungated fan-out while the 10×-bigger heavy
+    corpus was core-count-bound without one — this gate keeps both
+    regimes on their fast path, scale-adaptively). When the gate is
+    active the target partition count is DATA-PROPORTIONAL
+    (est / min_bytes×, bounded by the core count) rather than the raw
+    core count: a compute-heavy UDF stage wants a few MB per task —
+    fanning 20k rows to 32 tasks made each task overhead-dominated
+    (8-core beat 32-core in the scaling run); at real scale
+    est/bytes_per_partition exceeds the core count and the cap makes
+    this identical to the plain core-count fan-out."""
     from pyspark.sql import functions as F
 
     sc = df.sparkSession.sparkContext
-    if not plan_has_wide_node(df) and df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism, F.col(key_col))
+    if plan_has_wide_node(df):
+        return df
+    n_target = sc.defaultParallelism
+    if min_bytes is not None:
+        est = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        if est < min_bytes:
+            return df
+        # ~min_bytes/4 per task: the gate threshold is "worth fanning
+        # at all"; a quarter of it per task keeps each task's batch
+        # large enough for the vectorized kernel to amortize worker
+        # overhead. Bounded by the core count.
+        n_target = min(n_target, max(2, est // max(min_bytes // 4, 1)))
+    if df.rdd.getNumPartitions() < n_target:
+        return df.repartition(n_target, F.col(key_col))
     return df
 
 

@@ -29,10 +29,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def child() -> None:
     sys.path.insert(0, REPO)
+    from cloud_dataflow_batch_processing_spark.queries import queries
     from cloud_dataflow_batch_processing_spark.session import get_spark
 
     import bench
 
+    queries()  # populate the registry heavy_bench reads
     spark = get_spark(app_name=f"scaling-heavy-c{os.environ['SPARK_GRAFT_CPUS']}")
     spark.sparkContext.setLogLevel("ERROR")
     # Same python-worker warm-up as bench.main so the first pandas-udf
